@@ -1,0 +1,66 @@
+"""Benchmark harness (BASELINE.md §2).
+
+Runs every declared query at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Protocol: one warm-up action, then a single timed pass per query; each
+query's timing includes plan + execution to a count()-style action (we use
+``df.write.format("noop")``-equivalent: collect row count via ``count()`` on
+a cached-free plan — no result materialization on the driver beyond counts).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+from hadoop_copier_spark.queries import REGISTRY  # noqa: E402
+from hadoop_copier_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark(app_name="hcs-bench", cpus=cpus, shuffle_partitions=int(cpus))
+
+    # warm-up: JVM + parquet footers
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name, q in sorted(REGISTRY.items()):
+        t0 = time.perf_counter()
+        try:
+            df = q.fn(spark, sf_dir)
+            df.count()
+            dt = time.perf_counter() - t0
+        except Exception as e:  # pragma: no cover - bench robustness
+            print(f"bench: {name} FAILED: {e}", file=sys.stderr)
+            dt = -1.0
+        timings[name] = round(dt, 3)
+        if dt > 0:
+            total += dt
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "declared_query_suite_wall",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,7 @@
+"""Declared-query registry — import all query modules for side effects."""
+
+from .registry import REGISTRY, Query, register  # noqa: F401
+
+from . import aggregates  # noqa: F401,E402
+
+__all__ = ["REGISTRY", "Query", "register"]
