@@ -122,12 +122,17 @@ def q46(spark, sf_dir):
     "q47",
     oracle="""SELECT c_custkey AS custkey FROM customer
               EXCEPT
-              SELECT o_custkey AS custkey FROM orders
+              SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
               ORDER BY custkey""",
     tags=("setop",),
 )
 def q47(spark, sf_dir):
-    """EXCEPT (customers with no orders — the anti-join as a set op)."""
+    """EXCEPT (customers with no urgent orders — the anti-join as a set op;
+    the right side is filtered so the result is non-trivial at every sf)."""
     c = tbl(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
-    o = tbl(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
+    o = (
+        tbl(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("custkey"))
+    )
     return c.subtract(o).orderBy("custkey")
