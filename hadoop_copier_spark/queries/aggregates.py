@@ -52,3 +52,262 @@ def q24(spark, sf_dir):
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
+
+
+@register(
+    "q25",
+    oracle="""SELECT MIN(l_quantity) AS min_qty, MAX(l_extendedprice) AS max_price,
+                     CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_price,
+                     COUNT(*) AS n,
+                     CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(l_quantity) AS DECIMAL(18,6)) AS avg_qty
+              FROM lineitem""",
+    tags=("agg",),
+)
+def q25(spark, sf_dir):
+    """Global (no-group) aggregate — min/max are order-independent on raw
+    doubles; sum/avg go through the decimal discipline."""
+    li = tbl(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_extendedprice").alias("max_price"),
+        F.sum(dec("l_extendedprice", 12, 2)).cast("decimal(38,2)").alias("sum_price"),
+        F.count(F.lit(1)).alias("n"),
+        dec_avg("l_quantity", "avg_qty"),
+    )
+
+
+@register(
+    "q26",
+    oracle="""SELECT l_returnflag,
+                     COUNT(DISTINCT l_partkey) AS nd_part,
+                     COUNT(DISTINCT l_suppkey) AS nd_supp,
+                     COUNT(*) AS n
+              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    tags=("agg", "distinct"),
+)
+def q26(spark, sf_dir):
+    """Multi-distinct aggregate (Catalyst expands to two aggregations; at
+    scale prefer approx_count_distinct — see p_approx_sketches)."""
+    li = tbl(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("nd_part"),
+            F.countDistinct("l_suppkey").alias("nd_supp"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "q27",
+    oracle="""SELECT n_name,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS spend,
+                     COUNT(*) AS n_orders
+              FROM customer
+              JOIN nation ON c_nationkey = n_nationkey
+              JOIN orders ON o_custkey = c_custkey
+              GROUP BY n_name
+              HAVING SUM(CAST(o_totalprice AS DECIMAL(12,2))) > 1000000
+              ORDER BY n_name""",
+    tags=("agg", "having"),
+)
+def q27(spark, sf_dir):
+    """HAVING: per-nation customer spend above a threshold (filter applied
+    post-aggregation; nation broadcast)."""
+    c = tbl(spark, sf_dir, "customer")
+    n = tbl(spark, sf_dir, "nation")
+    o = tbl(spark, sf_dir, "orders")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(o, o.o_custkey == c.c_custkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(dec("o_totalprice", 12, 2)).cast("decimal(38,2)").alias("spend"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .filter(F.col("spend") > 1000000)
+        .orderBy("n_name")
+    )
+
+
+@register(
+    "q28",
+    oracle="""SELECT n_name, r_name,
+                     GROUPING(n_name) AS g_n, GROUPING(r_name) AS g_r,
+                     COUNT(*) AS n_cust
+              FROM customer
+              JOIN nation ON c_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+              GROUP BY GROUPING SETS ((n_name), (r_name), ())
+              ORDER BY g_n, g_r, n_name NULLS FIRST, r_name NULLS FIRST""",
+    tags=("agg", "groupingsets"),
+)
+def q28(spark, sf_dir):
+    """GROUPING SETS with GROUPING() ids — SQL form on temp views (the
+    DataFrame DSL has no grouping-sets API; Catalyst expands to a single
+    Expand + aggregate, one shuffle)."""
+    views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n_name, r_name,
+               CAST(GROUPING(n_name) AS INT) AS g_n, CAST(GROUPING(r_name) AS INT) AS g_r,
+               COUNT(*) AS n_cust
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY GROUPING SETS ((n_name), (r_name), ())
+        ORDER BY g_n, g_r, n_name NULLS FIRST, r_name NULLS FIRST
+        """
+    )
+
+
+@register(
+    "q29",
+    oracle="""SELECT r_name, n_name, COUNT(*) AS n
+              FROM nation JOIN region ON n_regionkey = r_regionkey
+              GROUP BY ROLLUP (r_name, n_name)
+              ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""",
+    tags=("agg", "rollup"),
+)
+def q29(spark, sf_dir):
+    """ROLLUP via the DataFrame DSL (df.rollup)."""
+    n = tbl(spark, sf_dir, "nation")
+    r = tbl(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("r_name").asc_nulls_first(), F.col("n_name").asc_nulls_first())
+    )
+
+
+@register(
+    "q30",
+    oracle="""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+              FROM orders
+              GROUP BY CUBE (o_orderstatus, o_orderpriority)
+              ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
+    tags=("agg", "cube"),
+)
+def q30(spark, sf_dir):
+    """CUBE via the DataFrame DSL (df.cube)."""
+    o = tbl(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("o_orderstatus").asc_nulls_first(), F.col("o_orderpriority").asc_nulls_first())
+    )
+
+
+# Composite VARCHAR ordering key: acctbal (offset positive, zero-padded) then
+# custkey — gives max_by/arg_max a total order both engines agree on even if
+# two customers in a nation share an acctbal.
+_TIE_KEY_SPARK = "format_string('%012.2f', c_acctbal + 100000.0) || format_string('%015d', c_custkey)"
+_TIE_KEY_DUCK = "printf('%012.2f', c_acctbal + 100000.0) || printf('%015d', c_custkey)"
+
+
+@register(
+    "q31",
+    oracle=f"""SELECT n_name,
+                      arg_max(c_name, {_TIE_KEY_DUCK}) AS richest,
+                      arg_min(c_name, {_TIE_KEY_DUCK}) AS poorest
+               FROM customer JOIN nation ON c_nationkey = n_nationkey
+               GROUP BY n_name ORDER BY n_name""",
+    tags=("agg", "argextremum"),
+)
+def q31(spark, sf_dir):
+    """min_by/max_by (arg-extremum) with a deterministic composite tiebreak
+    (DuckDB arg_max lacks struct ordering keys, so both engines order by the
+    same padded string)."""
+    c = tbl(spark, sf_dir, "customer")
+    n = tbl(spark, sf_dir, "nation")
+    key = F.expr(_TIE_KEY_SPARK)
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.max_by("c_name", key).alias("richest"),
+            F.min_by("c_name", key).alias("poorest"),
+        )
+        .orderBy("n_name")
+    )
+
+
+@register(
+    "q32",
+    oracle="""SELECT r_name, list_sort(list(n_name)) AS nations
+              FROM nation JOIN region ON n_regionkey = r_regionkey
+              GROUP BY r_name ORDER BY r_name""",
+    tags=("agg", "collect"),
+)
+def q32(spark, sf_dir):
+    """collect_list canonicalized with sort_array (rule 4: unordered
+    collections are sorted before comparison)."""
+    n = tbl(spark, sf_dir, "nation")
+    r = tbl(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.sort_array(F.collect_list("n_name")).alias("nations"))
+        .orderBy("r_name")
+    )
+
+
+@register(
+    "q33",
+    oracle="""SELECT l_returnflag,
+                     CAST(quantile_cont(l_quantity, 0.5) AS DECIMAL(18,6)) AS p50,
+                     CAST(quantile_cont(l_quantity, 0.9) AS DECIMAL(18,6)) AS p90
+              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    tags=("agg", "percentile"),
+)
+def q33(spark, sf_dir):
+    """Exact interpolated percentile (Spark percentile <-> DuckDB
+    quantile_cont), decimal-cast (tie-free) to absorb interpolation ulp."""
+    li = tbl(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr("CAST(percentile(l_quantity, 0.5) AS DECIMAL(18,6))").alias("p50"),
+            F.expr("CAST(percentile(l_quantity, 0.9) AS DECIMAL(18,6))").alias("p90"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register("t_stddev_corr", oracle=None, tags=("agg", "tolerance"))
+def t_stddev_corr(spark, sf_dir):
+    """T-class (tolerance-checked, not hash-checked): stddev_pop/stddev_samp
+    of l_extendedprice and corr(l_quantity, l_extendedprice) per returnflag.
+    Double aggregation is order-dependent, so this is compared to DuckDB
+    with 1e-6 relative tolerance in tests/test_tolerance.py, not hashed."""
+    li = tbl(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.stddev_pop("l_extendedprice").alias("sd_pop"),
+            F.stddev_samp("l_extendedprice").alias("sd_samp"),
+            F.var_pop("l_extendedprice").alias("var_pop"),
+            F.corr("l_quantity", "l_extendedprice").alias("corr_qp"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register("p_approx_sketches", oracle=None, tags=("agg", "approx"))
+def p_approx_sketches(spark, sf_dir):
+    """P-class: approx_count_distinct (HLL) + approx percentile sketches —
+    the 100 TB path for Q26/Q33-style questions (mergeable, single pass,
+    no expand). Property-checked within 5% of exact in tests."""
+    li = tbl(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey").alias("apx_nd_part"),
+            F.percentile_approx("l_quantity", 0.5, 10000).alias("apx_p50"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )

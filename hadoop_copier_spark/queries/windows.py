@@ -1,0 +1,203 @@
+"""Window functions (SURVEY §2b Q34-Q40).
+
+Scale notes: every window here partitions by a key (customer/user) — one
+hash shuffle, then per-partition sort; no global sort. Frames are explicit
+everywhere a default would be ambiguous (last_value's default frame ends at
+CURRENT ROW — a classic wrong-answer trap).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+
+from .base import F, dec, tbl
+from .registry import register
+
+
+@register(
+    "q34",
+    oracle="""SELECT o_custkey, o_orderkey, o_totalprice,
+                     row_number() OVER w AS rn,
+                     rank()       OVER w AS rk,
+                     dense_rank() OVER w AS drk
+              FROM orders
+              WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+              ORDER BY o_custkey, rn""",
+    tags=("window",),
+)
+def q34(spark, sf_dir):
+    """row_number / rank / dense_rank over (customer, price desc)."""
+    o = tbl(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rk"),
+            F.dense_rank().over(w).alias("drk"),
+        )
+        .orderBy("o_custkey", "rn")
+    )
+
+
+@register(
+    "q35",
+    oracle="""SELECT o_orderkey,
+                     ntile(10)      OVER w AS tile,
+                     CAST(percent_rank() OVER w AS DECIMAL(18,9)) AS prk,
+                     CAST(cume_dist()    OVER w AS DECIMAL(18,9)) AS cd
+              FROM orders
+              WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
+              ORDER BY o_orderkey""",
+    tags=("window",),
+)
+def q35(spark, sf_dir):
+    """ntile / percent_rank / cume_dist with a unique tiebreak. The ratio
+    functions are single IEEE divisions of exact integers -> decimal-cast
+    is engine-stable."""
+    o = tbl(spark, sf_dir, "orders")
+    w = W.orderBy(F.col("o_totalprice"), F.col("o_orderkey"))
+    return (
+        o.select(
+            "o_orderkey",
+            F.ntile(10).over(w).alias("tile"),
+            F.percent_rank().over(w).cast("decimal(18,9)").alias("prk"),
+            F.cume_dist().over(w).cast("decimal(18,9)").alias("cd"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "q36",
+    oracle="""SELECT event_id, user_id, value,
+                     lag(value)  OVER w AS prev_value,
+                     lead(value) OVER w AS next_value,
+                     lag(value, 2, -1.0) OVER w AS prev2_value
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+              ORDER BY event_id""",
+    tags=("window",),
+)
+def q36(spark, sf_dir):
+    """lag / lead (with offset + default) per user ordered by event time."""
+    e = tbl(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.select(
+            "event_id",
+            "user_id",
+            "value",
+            F.lag("value").over(w).alias("prev_value"),
+            F.lead("value").over(w).alias("next_value"),
+            F.lag("value", 2, -1.0).over(w).alias("prev2_value"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "q37",
+    oracle="""SELECT event_id, user_id,
+                     SUM(CAST(value AS DECIMAL(12,2))) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_sum
+              FROM events ORDER BY event_id""",
+    tags=("window", "frame"),
+)
+def q37(spark, sf_dir):
+    """Running decimal sum (ROWS UNBOUNDED PRECEDING frame)."""
+    e = tbl(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.sum(dec("value", 12, 2)).over(w).alias("running_sum"),
+    ).orderBy("event_id")
+
+
+@register(
+    "q38",
+    oracle="""SELECT event_id, user_id,
+                     CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE)
+                          / COUNT(value) OVER w AS DECIMAL(18,6)) AS mavg3
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+              ORDER BY event_id""",
+    tags=("window", "frame"),
+)
+def q38(spark, sf_dir):
+    """Sliding 3-row moving average (decimal-sum / count, engine-stable)."""
+    e = tbl(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-2, W.currentRow)
+    return e.select(
+        "event_id",
+        "user_id",
+        (F.sum(dec("value", 12, 2)).over(w).cast("double") / F.count("value").over(w))
+        .cast("decimal(18,6)")
+        .alias("mavg3"),
+    ).orderBy("event_id")
+
+
+@register(
+    "q39",
+    oracle="""SELECT event_id, user_id,
+                     SUM(CAST(value AS DECIMAL(12,2))) OVER (
+                        PARTITION BY user_id ORDER BY CAST(epoch(date_trunc('second', ts)) AS BIGINT)
+                        RANGE BETWEEN 600 PRECEDING AND CURRENT ROW) AS sum_10min
+              FROM events ORDER BY event_id""",
+    tags=("window", "frame", "range"),
+)
+def q39(spark, sf_dir):
+    """RANGE frame over event-time: per-user sum of the trailing 10 minutes.
+    Ordered by epoch seconds (second-truncated, rule 3) so the numeric RANGE
+    bound means the same thing in both engines."""
+    e = tbl(spark, sf_dir, "events").withColumn(
+        "ts_sec", F.unix_timestamp(F.date_trunc("second", F.col("ts")))
+    )
+    w = W.partitionBy("user_id").orderBy("ts_sec").rangeBetween(-600, W.currentRow)
+    return e.select(
+        "event_id",
+        "user_id",
+        F.sum(dec("value", 12, 2)).over(w).alias("sum_10min"),
+    ).orderBy("event_id")
+
+
+@register(
+    "q40",
+    oracle="""SELECT o_custkey, o_orderkey,
+                     first_value(o_orderkey) OVER w AS first_ok,
+                     last_value(o_orderkey)  OVER w AS last_ok,
+                     nth_value(o_orderkey, 2) OVER w AS second_ok
+              FROM orders
+              WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+              ORDER BY o_custkey, o_orderkey""",
+    tags=("window",),
+)
+def q40(spark, sf_dir):
+    """first/last/nth value with an explicit full-partition frame (the
+    default frame would silently make last_value = current row)."""
+    o = tbl(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.first("o_orderkey").over(w).alias("first_ok"),
+            F.last("o_orderkey").over(w).alias("last_ok"),
+            F.nth_value("o_orderkey", 2).over(w).alias("second_ok"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )

@@ -1,0 +1,37 @@
+"""T-class (numeric tolerance) and P-class (property) checks that are not
+part of the hash contract (SURVEY §2b verification classes)."""
+
+import math
+
+from hadoop_copier_spark.queries import REGISTRY
+
+
+def _rows_by_key(rows, key_idx=0):
+    return {r[key_idx]: r for r in rows}
+
+
+def test_stddev_corr_tolerance(spark, sf_oracle, duck):
+    spark_rows = REGISTRY["t_stddev_corr"].fn(spark, sf_oracle).collect()
+    duck_rows = duck.execute(
+        """SELECT l_returnflag,
+                  stddev_pop(l_extendedprice) AS sd_pop,
+                  stddev_samp(l_extendedprice) AS sd_samp,
+                  var_pop(l_extendedprice) AS var_pop,
+                  corr(l_quantity, l_extendedprice) AS corr_qp
+           FROM lineitem GROUP BY 1 ORDER BY 1"""
+    ).fetchall()
+    s, d = _rows_by_key([tuple(r) for r in spark_rows]), _rows_by_key(duck_rows)
+    assert set(s) == set(d)
+    for k in s:
+        for a, b in zip(s[k][1:], d[k][1:]):
+            assert math.isfinite(a) and math.isfinite(b)
+            assert abs(a - b) <= 1e-6 * max(abs(a), abs(b), 1e-12), (k, a, b)
+
+
+def test_approx_sketches_within_5pct(spark, sf_oracle):
+    apx = {r["l_returnflag"]: r for r in REGISTRY["p_approx_sketches"].fn(spark, sf_oracle).collect()}
+    exact = {r["l_returnflag"]: r for r in REGISTRY["q26"].fn(spark, sf_oracle).collect()}
+    med = {r["l_returnflag"]: r for r in REGISTRY["q33"].fn(spark, sf_oracle).collect()}
+    for k in exact:
+        assert abs(apx[k]["apx_nd_part"] - exact[k]["nd_part"]) <= 0.05 * exact[k]["nd_part"]
+        assert abs(float(apx[k]["apx_p50"]) - float(med[k]["p50"])) <= 0.05 * max(float(med[k]["p50"]), 1.0)
