@@ -1,0 +1,159 @@
+"""Near-duplicate detection operators (SURVEY §2b P-class: MinHash+LSH,
+SimHash, n-gram Jaccard).
+
+Pipeline (the standard web-scale near-dup design):
+  shingle (word n-grams, JVM higher-order fns)
+  -> xxhash64 per shingle (JVM)
+  -> MinHash signature (vectorized pandas_udf over Arrow — numpy uint64
+     affine permutations, deterministic fixed parameters)
+  -> LSH banding: explode (band_id, band_hash), shuffle once on the band
+     key, self-join inside buckets -> candidate pairs
+  -> exact Jaccard verification on the shingle-hash arrays (JVM
+     array_intersect/array_union)
+
+At 100 TB: the only all-to-all step is the band-hash shuffle, which is
+uniform by construction; candidate verification joins back to shingle
+arrays co-partitioned by doc_id. Signature width k and band count trade
+recall vs candidate volume (k=32, bands=8 -> r=4: catches Jaccard >~0.7).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _minhash_params(k: int, seed: int = 42):
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE, size=k, dtype=np.uint64)
+    b = rng.randint(0, _MERSENNE, size=k, dtype=np.uint64)
+    return a, b
+
+
+def shingle_hashes(df: DataFrame, text_col: str, n: int = 3) -> DataFrame:
+    """Add __shingle_hashes: distinct xxhash64 of word n-grams (JVM-side)."""
+    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    grams = F.when(F.size(toks) < n, F.array(F.lower(F.col(text_col)))).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
+        )
+    )
+    hashed = F.array_distinct(F.transform(grams, lambda g: F.xxhash64(g)))
+    return df.withColumn("__shingle_hashes", hashed)
+
+
+def minhash_signature(df: DataFrame, k: int = 32, seed: int = 42) -> DataFrame:
+    """Add __sig: k-wide MinHash signature via a vectorized pandas UDF.
+
+    numpy uint64 affine permutations mod a Mersenne prime — exact modular
+    arithmetic (no Java long overflow), Arrow-batched, deterministic.
+    """
+    a, b = _minhash_params(k, seed)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def sig_udf(hashes: pd.Series) -> pd.Series:
+        out = []
+        for hs in hashes:
+            h = np.asarray(hs, dtype=np.int64).astype(np.uint64)
+            if h.size == 0:
+                out.append([0] * k)
+                continue
+            # (a*h + b) mod p for each of k permutations, then min
+            m = (a[:, None] * h[None, :] + b[:, None]) % np.uint64(_MERSENNE)
+            out.append(m.min(axis=1).astype(np.int64).tolist())
+        return pd.Series(out)
+
+    return df.withColumn("__sig", sig_udf(F.col("__shingle_hashes")))
+
+
+def lsh_candidate_pairs(sig_df: DataFrame, id_col: str, bands: int = 8, k: int = 32) -> DataFrame:
+    """Explode signatures into (band_id, band_hash) keys; docs sharing any
+    band bucket become candidate pairs (id_a < id_b)."""
+    r = k // bands
+    sig = F.col("__sig")
+    band_keys = F.array(*[F.hash(F.slice(sig, b * r + 1, r), F.lit(b)) for b in range(bands)])
+    band_rows = sig_df.select(
+        F.col(id_col),
+        F.posexplode(band_keys).alias("band_id", "band_hash"),
+    )
+    a = band_rows.alias("a")
+    b = band_rows.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.7,
+    n: int = 3,
+    k: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: returns (id_a, id_b, jaccard)
+    for pairs with exact shingle-Jaccard >= threshold."""
+    hashed = shingle_hashes(df.select(id_col, text_col), text_col, n=n)
+    sigs = minhash_signature(hashed, k=k)
+    cands = lsh_candidate_pairs(sigs, id_col, bands=bands, k=k)
+    sets_ = hashed.select(F.col(id_col), F.col("__shingle_hashes"))
+    ja = sets_.withColumnRenamed(id_col, "id_a").withColumnRenamed("__shingle_hashes", "__ha")
+    jb = sets_.withColumnRenamed(id_col, "id_b").withColumnRenamed("__shingle_hashes", "__hb")
+    jac = (
+        F.size(F.array_intersect(F.col("__ha"), F.col("__hb"))).cast("double")
+        / F.size(F.array_union(F.col("__ha"), F.col("__hb"))).cast("double")
+    )
+    return (
+        cands.join(ja, "id_a")
+        .join(jb, "id_b")
+        .select("id_a", "id_b", jac.cast("decimal(18,6)").alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash over word tokens (vectorized pandas UDF): identical
+    texts -> identical hash; near-identical -> small Hamming distance."""
+
+    @F.pandas_udf(T.LongType())
+    def simhash_udf(texts: pd.Series) -> pd.Series:
+        out = np.zeros(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            toks = str(t).lower().split()
+            if not toks:
+                continue
+            hs = np.array([_stable_hash(w) for w in toks], dtype=np.uint64)
+            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
+            maj = bits.sum(axis=0) * 2 >= len(hs)
+            val = 0
+            for s in range(64):
+                if maj[s]:
+                    val |= 1 << s
+            out[i] = val - (1 << 64) if val >= (1 << 63) else val
+        return pd.Series(out)
+
+    return df.select(F.col(id_col), simhash_udf(F.col(text_col)).alias("simhash"))
+
+
+def _stable_hash(w: str) -> int:
+    """Deterministic 64-bit FNV-1a (python hash() is salted per process)."""
+    h = 0xCBF29CE484222325
+    for ch in w.encode("utf-8"):
+        h ^= ch
+        h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h

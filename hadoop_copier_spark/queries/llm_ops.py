@@ -1,0 +1,288 @@
+"""LLM-data-pipeline operators (SURVEY §2b Q56-Q60 + P-class extensions).
+
+These are the north-star additions: deduplication, text analysis, and
+similarity search over the documents/embeddings tables — the operations a
+large-scale training-data pipeline runs at 100 TB.
+"""
+
+from __future__ import annotations
+
+from .base import F, dec, tbl
+from .registry import register
+from ..operators.similarity import cosine_topk, lsh_ann_topk
+
+
+@register(
+    "q56",
+    oracle="""SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+              FROM documents GROUP BY 1 ORDER BY 1""",
+    tags=("llm", "dedup"),
+)
+def q56(spark, sf_dir):
+    """Exact dedup: hash-groupBy on md5(text), keep the lowest doc_id.
+    One shuffle on the 128-bit hash — uniform by construction, no skew;
+    this is the canonical 100 TB exact-dedup plan."""
+    d = tbl(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5("text").alias("text_hash"))
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+        .orderBy("text_hash")
+    )
+
+
+@register(
+    "q57",
+    oracle="""SELECT token, COUNT(*) AS n
+              FROM (SELECT unnest(string_split_regex(lower(text), '\\s+')) AS token FROM documents)
+              WHERE token <> ''
+              GROUP BY token
+              ORDER BY n DESC, token
+              LIMIT 200""",
+    tags=("llm", "text"),
+)
+def q57(spark, sf_dir):
+    """Word count: tokenize (lower, split on whitespace) -> explode ->
+    count -> top-200. Partial aggregation collapses each partition to its
+    distinct tokens before the shuffle."""
+    d = tbl(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token"))
+        .limit(200)
+    )
+
+
+@register(
+    "q58",
+    oracle="""SELECT bigram, COUNT(*) AS n FROM (
+                SELECT unnest(CASE WHEN len(parts) < 2 THEN []
+                              ELSE list_transform(generate_series(1, len(parts)-1),
+                                                  i -> parts[i] || ' ' || parts[i+1]) END) AS bigram
+                FROM (SELECT string_split(lower(text), ' ') AS parts FROM documents))
+              GROUP BY bigram
+              ORDER BY n DESC, bigram
+              LIMIT 100""",
+    tags=("llm", "text", "ngram"),
+)
+def q58(spark, sf_dir):
+    """Word-bigram counts via higher-order functions (no Python in the
+    loop): transform over token indices -> explode -> count -> top-100."""
+    d = tbl(spark, sf_dir, "documents")
+    toks = F.split(F.lower("text"), " ")
+    bigrams = F.when(F.size(toks) < 2, F.array()).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+        )
+    )
+    return (
+        d.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram"))
+        .limit(100)
+    )
+
+
+_Q59_ORACLE = """
+WITH e AS (
+  SELECT vec_id, embedding,
+         (SELECT SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(30,18)))
+          FROM unnest(embedding) AS t(x)) AS norm2
+  FROM embeddings
+),
+pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         CAST((SELECT SUM(CAST(CAST(p.l1 AS DOUBLE) * CAST(p.l2 AS DOUBLE) AS DECIMAL(30,18)))
+               FROM (SELECT unnest(list_zip(q.embedding, c.embedding), recursive := true)) AS p(l1, l2))
+              AS DOUBLE)
+         / sqrt(CAST(q.norm2 AS DOUBLE) * CAST(c.norm2 AS DOUBLE)) AS cos
+  FROM e q JOIN e c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id < 10
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank,
+         CAST(cos AS DECIMAL(18,6)) AS score
+  FROM pairs
+)
+SELECT query_id, neighbor_id, rank, score FROM ranked
+WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+
+@register("q59", oracle=_Q59_ORACLE, tags=("llm", "similarity"))
+def q59(spark, sf_dir):
+    """Brute-force cosine top-5 for query vectors (vec_id < 10) over all
+    embeddings, via the engine's cosine_topk operator: decimal-exact dot
+    products (order-independent) + IEEE cosine, queries broadcast, one
+    window for top-k. The LSH variant (p_ann_lsh) is the scale path."""
+    e = tbl(spark, sf_dir, "embeddings")
+    return (
+        cosine_topk(e, e.filter(F.col("vec_id") < 10), k=5)
+        .orderBy("query_id", "rank")
+    )
+
+
+@register(
+    "q60",
+    oracle="""SELECT lang, source,
+                     COUNT(*) AS n_docs,
+                     SUM(n_chars) AS total_chars,
+                     CAST(CAST(SUM(CAST(n_chars AS DECIMAL(12,2))) AS DOUBLE) / COUNT(n_chars)
+                          AS DECIMAL(18,6)) AS avg_chars,
+                     COUNT(DISTINCT doc_id) AS nd_docs
+              FROM documents GROUP BY lang, source
+              ORDER BY lang, source""",
+    tags=("llm", "profile"),
+)
+def q60(spark, sf_dir):
+    """Language/source corpus profile (multi-dim text stats)."""
+    from .base import dec_avg
+
+    d = tbl(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            dec_avg("n_chars", "avg_chars"),
+            F.countDistinct("doc_id").alias("nd_docs"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+@register("p_ann_lsh", oracle=None, tags=("llm", "similarity", "approx"))
+def p_ann_lsh(spark, sf_dir):
+    """P-class: sign-LSH approximate nearest neighbors (the 100 TB
+    similarity path — same-bucket pairs only). Property-checked against
+    brute force recall in tests/test_llm_ops.py."""
+    e = tbl(spark, sf_dir, "embeddings")
+    return (
+        lsh_ann_topk(e, e.filter(F.col("vec_id") < 10), k=5)
+        .orderBy("query_id", "rank")
+    )
+
+
+@register(
+    "h_token_stats",
+    oracle="""SELECT doc_id,
+                     len(string_split_regex(lower(text), '\\s+')) AS ws_tokens,
+                     length(text) AS chars,
+                     length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS punct_chars
+              FROM documents ORDER BY doc_id""",
+    tags=("llm", "text"),
+)
+def h_token_stats(spark, sf_dir):
+    """Token/char/punctuation counting (text-analysis primitives with an
+    exact SQL oracle)."""
+    from ..functions.text import whitespace_token_count
+
+    d = tbl(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        whitespace_token_count(F.col("text")).alias("ws_tokens"),
+        F.length("text").alias("chars"),
+        F.length(F.regexp_replace("text", "[a-zA-Z0-9 ]", "")).alias("punct_chars"),
+    ).orderBy("doc_id")
+
+
+@register("p_minhash_neardup", oracle=None, tags=("llm", "dedup", "minhash"))
+def p_minhash_neardup(spark, sf_dir):
+    """P-class: MinHash+LSH near-duplicate pairs (Jaccard >= 0.7 verified
+    exactly on shingle sets). Property test: recall ⊇ planted exact dups."""
+    from ..operators.dedup import near_dup_pairs
+
+    d = tbl(spark, sf_dir, "documents")
+    return near_dup_pairs(d, "doc_id", "text", threshold=0.7).orderBy("id_a", "id_b")
+
+
+@register("p_simhash", oracle=None, tags=("llm", "dedup", "simhash"))
+def p_simhash(spark, sf_dir):
+    """P-class: 64-bit SimHash per document (FNV-1a token hashes, majority
+    bit vote — deterministic). Exact duplicates share a hash."""
+    from ..operators.dedup import simhash64
+
+    d = tbl(spark, sf_dir, "documents")
+    return simhash64(d, "doc_id", "text").orderBy("doc_id")
+
+
+@register("p_text_analysis", oracle=None, tags=("llm", "text"))
+def p_text_analysis(spark, sf_dir):
+    """P-class: language-ID guess, quality score, BPE-ish token count and
+    rolling fingerprint — all pure Column expressions (JVM-side)."""
+    from ..functions.text import (
+        bpe_ish_token_count,
+        doc_fingerprint,
+        lang_id_guess,
+        quality_score,
+    )
+
+    d = tbl(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        "lang",
+        lang_id_guess(F.col("text")).alias("lang_guess"),
+        quality_score(F.col("text")).alias("quality"),
+        bpe_ish_token_count(F.col("text")).alias("bpe_tokens"),
+        doc_fingerprint(F.col("text")).alias("fingerprint"),
+    ).orderBy("doc_id")
+
+
+@register("p_tfidf", oracle=None, tags=("llm", "text", "tfidf"))
+def p_tfidf(spark, sf_dir):
+    """P-class: SQL-built TF-IDF, top-3 terms per document (sampled docs).
+    tf = in-doc count, idf = ln((N+1)/(df+1)) + 1; one shuffle for the
+    (doc,token) counts, token df joined back (broadcast at this card.)."""
+    from pyspark.sql import Window as W
+
+    d = tbl(spark, sf_dir, "documents")
+    n_docs = d.count()  # scalar metadata, not a data-path collect
+    tokens = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("token")
+    ).filter(F.col("token") != "")
+    tf = tokens.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tokens.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    idf = df_.withColumn(
+        "idf", F.log((F.lit(float(n_docs + 1))) / (F.col("df") + 1)) + 1.0
+    )
+    scored = (
+        tf.join(F.broadcast(idf), "token")
+        .withColumn("tfidf", (F.col("tf") * F.col("idf")).cast("decimal(18,6)"))
+        .filter(F.col("doc_id") % 20 == 0)
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("token"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "token", "tfidf", "rk")
+        .orderBy("doc_id", "rk")
+    )
+
+
+@register("p_embedding_neardup", oracle=None, tags=("llm", "similarity", "dedup"))
+def p_embedding_neardup(spark, sf_dir):
+    """P-class: embedding-cosine near-duplicate pairs (cos >= 0.9) over a
+    bounded sample — brute force; the LSH-bucketed variant (p_ann_lsh) is
+    the 100 TB path."""
+    from ..operators.similarity import dec_dot, dec_norm2
+
+    e = tbl(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"),
+                 dec_norm2(F.col("embedding")).alias("na"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"),
+                 dec_norm2(F.col("embedding")).alias("nb"))
+    cos = dec_dot(F.col("va"), F.col("vb")).cast("double") / F.sqrt(
+        F.col("na").cast("double") * F.col("nb").cast("double")
+    )
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cos.cast("decimal(18,6)").alias("cos"))
+        .filter(F.col("cos") >= 0.9)
+        .orderBy("id_a", "id_b")
+    )

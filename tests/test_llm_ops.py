@@ -1,0 +1,121 @@
+"""Property checks for the LLM-pipeline operators (SURVEY §5.2 item 4):
+LSH recall superset of planted dups, simhash equality on exact dups,
+ANN-vs-brute-force recall, TF-IDF sanity, embedding near-dup vs numpy."""
+
+import itertools
+
+import numpy as np
+import pytest
+
+from hadoop_copier_spark.queries import REGISTRY
+
+
+# Planted exact duplicates only exist at sf0.1 (sf0.01 documents are all
+# distinct), so the dup-recall properties run there.
+SF_DUPS = "/root/testdata/sf0.1"
+
+
+@pytest.fixture(scope="module")
+def exact_dup_pairs(spark):
+    """All (a,b) doc pairs with identical text, from the exact-dedup query."""
+    from hadoop_copier_spark.queries.base import tbl
+    from pyspark.sql import functions as F
+
+    d = tbl(spark, SF_DUPS, "documents")
+    groups = (
+        d.groupBy(F.md5("text").alias("h"))
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+        .collect()
+    )
+    pairs = set()
+    for row in groups:
+        for a, b in itertools.combinations(row["ids"], 2):
+            pairs.add((a, b))
+    return pairs
+
+
+def test_minhash_lsh_finds_all_exact_dups(spark, exact_dup_pairs):
+    assert exact_dup_pairs, "fixture should contain planted exact duplicates"
+    rows = REGISTRY["p_minhash_neardup"].fn(spark, SF_DUPS).collect()
+    found = {(r["id_a"], r["id_b"]) for r in rows}
+    missing = exact_dup_pairs - found
+    assert not missing, f"LSH missed {len(missing)} exact-dup pairs (of {len(exact_dup_pairs)})"
+    # every exact dup must score Jaccard exactly 1.0
+    scores = {(r["id_a"], r["id_b"]): float(r["jaccard"]) for r in rows}
+    for p in exact_dup_pairs:
+        assert scores[p] == 1.0
+
+
+def test_simhash_equal_for_exact_dups(spark, exact_dup_pairs):
+    sh = {r["doc_id"]: r["simhash"] for r in REGISTRY["p_simhash"].fn(spark, SF_DUPS).collect()}
+    for a, b in exact_dup_pairs:
+        assert sh[a] == sh[b]
+
+
+def test_ann_lsh_recall_vs_brute_force(spark, sf_oracle):
+    brute = REGISTRY["q59"].fn(spark, sf_oracle).collect()
+    approx = REGISTRY["p_ann_lsh"].fn(spark, sf_oracle).collect()
+    top_b = {}
+    for r in brute:
+        top_b.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    top_a = {}
+    for r in approx:
+        top_a.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    # sign-LSH with 8 planes: same-bucket neighbors only; expect meaningful
+    # but not perfect recall of the true top-5
+    recalls = [len(top_b[q] & top_a.get(q, set())) / len(top_b[q]) for q in top_b]
+    assert sum(recalls) / len(recalls) >= 0.2, recalls
+
+
+def test_tfidf_sane(spark, sf_oracle):
+    rows = REGISTRY["p_tfidf"].fn(spark, sf_oracle).collect()
+    assert rows
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc, rs in by_doc.items():
+        rs = sorted(rs, key=lambda r: r["rk"])
+        assert [r["rk"] for r in rs] == list(range(1, len(rs) + 1))
+        # scores non-increasing with rank
+        scores = [float(r["tfidf"]) for r in rs]
+        assert scores == sorted(scores, reverse=True)
+        assert all(s > 0 for s in scores)
+
+
+def test_embedding_neardup_matches_numpy(spark, sf_oracle):
+    from hadoop_copier_spark.queries.base import tbl
+
+    emb = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in tbl(spark, sf_oracle, "embeddings").filter("vec_id < 300").collect()
+    }
+    expected = set()
+    ids = sorted(emb)
+    mat = np.stack([emb[i] for i in ids])
+    norms = np.linalg.norm(mat, axis=1)
+    cos = (mat @ mat.T) / np.outer(norms, norms)
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if round(cos[i, j], 6) >= 0.9:
+                expected.add((ids[i], ids[j]))
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in REGISTRY["p_embedding_neardup"].fn(spark, sf_oracle).collect()
+    }
+    # allow boundary disagreement exactly at the threshold (float vs decimal)
+    sym_diff = expected ^ got
+    assert len(sym_diff) <= max(2, len(expected) // 50), (len(expected), len(got), list(sym_diff)[:5])
+
+
+def test_text_analysis_outputs_valid(spark, sf_oracle):
+    rows = REGISTRY["p_text_analysis"].fn(spark, sf_oracle).collect()
+    assert rows
+    for r in rows[:200]:
+        assert r["lang_guess"] in {"de", "en", "es", "fr", "zh", "und"}
+        assert 0.0 <= float(r["quality"]) <= 1.0
+        assert r["bpe_tokens"] >= 1
+        assert isinstance(r["fingerprint"], int)
+    # determinism: second run identical
+    again = REGISTRY["p_text_analysis"].fn(spark, sf_oracle).collect()
+    assert rows == again
