@@ -8,6 +8,8 @@ from . import joins  # noqa: F401,E402
 from . import llm_ops  # noqa: F401,E402
 from . import relational  # noqa: F401,E402
 from . import sorts_setops  # noqa: F401,E402
+from . import streaming_batch  # noqa: F401,E402
+from . import udfs  # noqa: F401,E402
 from . import windows  # noqa: F401,E402
 
 __all__ = ["REGISTRY", "Query", "register"]
