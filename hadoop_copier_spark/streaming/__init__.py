@@ -1,0 +1,14 @@
+"""Structured Streaming surface (SURVEY §2b streaming rows).
+
+Batch-equivalent H forms live in queries/streaming_batch.py; this package
+provides the actual streaming jobs plus deterministic file-replay tooling,
+and tests/test_streaming.py asserts stream results == batch results.
+"""
+
+from .replay import replay_events_chunks, EVENTS_SCHEMA  # noqa: F401
+from .jobs import (  # noqa: F401
+    stream_tumbling_counts,
+    stream_dedup,
+    stream_static_join_counts,
+    stream_running_counts,
+)

@@ -1,0 +1,86 @@
+"""Streaming jobs (SURVEY §2b streaming P rows).
+
+Each job mirrors a batch-equivalent query so tests can assert equality:
+- stream_tumbling_counts  <-> queries q61 (tumbling window agg)
+- stream_dedup            <-> dropDuplicates on event_id (re-sent once)
+- stream_static_join_counts <-> batch events x customer join
+- stream_running_counts   <-> batch per-user counts (update-mode state)
+
+All sinks are memory tables (synchronous, deterministic via
+processAllAvailable) except the foreachBatch/exactly-once path which is
+exercised directly in tests with a checkpointed parquet sink.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .replay import EVENTS_SCHEMA
+
+
+def _read_stream(spark: SparkSession, src_dir: str, max_files: int | None = 1) -> DataFrame:
+    r = spark.readStream.schema(EVENTS_SCHEMA)
+    if max_files:
+        # reference R7 parity: bounded ingest per micro-batch
+        r = r.option("maxFilesPerTrigger", str(max_files))
+    return r.option("recursiveFileLookup", "true").parquet(src_dir)
+
+
+def stream_tumbling_counts(spark: SparkSession, src_dir: str, queryName: str):
+    """Tumbling 10-min window count+decimal-sum per event_type (complete
+    mode -> memory sink); final table must equal batch q61."""
+    events = _read_stream(spark, src_dir)
+    agg = (
+        events.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("decimal(38,2)").alias("sum_val"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("w_start_sec"),
+            "event_type",
+            "n",
+            "sum_val",
+        )
+    )
+    return (
+        agg.writeStream.outputMode("complete").format("memory").queryName(queryName).start()
+    )
+
+
+def stream_dedup(spark: SparkSession, src_dir: str, queryName: str):
+    """Stateful streaming dedup on event_id within a 1-hour watermark:
+    re-sent events appear exactly once downstream."""
+    events = _read_stream(spark, src_dir)
+    deduped = events.withWatermark("ts", "1 hour").dropDuplicates(["event_id"])
+    return (
+        deduped.select("event_id", "user_id", "event_type")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(queryName)
+        .start()
+    )
+
+
+def stream_static_join_counts(spark: SparkSession, src_dir: str, customer: DataFrame, queryName: str):
+    """Stream-static join: events stream joined to the static customer dim
+    (broadcast — never shuffles the stream side), counting per mktsegment."""
+    events = _read_stream(spark, src_dir)
+    joined = events.join(
+        F.broadcast(customer), events.user_id == customer.c_custkey, "inner"
+    )
+    agg = joined.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        agg.writeStream.outputMode("complete").format("memory").queryName(queryName).start()
+    )
+
+
+def stream_running_counts(spark: SparkSession, src_dir: str, queryName: str):
+    """Stateful per-key aggregation (update mode): running event count per
+    user; at end-of-stream the latest value per user equals the batch count."""
+    events = _read_stream(spark, src_dir)
+    agg = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        agg.writeStream.outputMode("complete").format("memory").queryName(queryName).start()
+    )

@@ -1,0 +1,57 @@
+"""Deterministic event replay: split the events table into K time-ordered
+parquet chunk files so a file-source stream consumes them as micro-batches
+(maxFilesPerTrigger=1 — the engine's analog of the reference's bandwidth
+throttle R7, capping ingest per trigger;
+/root/reference/src/main/java/com/github/nlayna/hadoopcopier/service/ThrottledInputStream.java:47-67).
+
+Never wall-clock driven (SURVEY §7.3): tests call processAllAvailable()
+between appends, so micro-batch boundaries are exact.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..tables import load_table
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def replay_events_chunks(
+    spark: SparkSession, sf_dir: str, out_dir: str, n_chunks: int = 5
+) -> list[str]:
+    """Write events (ts-ordered) as n_chunks parquet directories; returns
+    the chunk paths in replay order. Chunking is by row_number ranges, so
+    the split is deterministic."""
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    n = e.count()
+    per = (n + n_chunks - 1) // n_chunks
+    w = W.orderBy("ts", "event_id")
+    ranked = e.withColumn("__rn", F.row_number().over(w))
+    paths = []
+    for i in range(n_chunks):
+        path = os.path.join(out_dir, f"chunk_{i:03d}")
+        (
+            ranked.filter((F.col("__rn") > i * per) & (F.col("__rn") <= (i + 1) * per))
+            .drop("__rn")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+        paths.append(path)
+    return paths

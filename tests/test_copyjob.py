@@ -1,0 +1,173 @@
+"""Copy-job reference-parity tests (SURVEY §2a R1-R22, §5.2 item 1).
+
+Mirrors the reference's test coverage: file/dir/nested-dir copies with
+byte+MD5 equality (t/service/HdfsCopyServiceTest.java:62-164), missing
+source -> PARTIALLY_FAILED rollup (t/service/CopyTaskServiceTest.java:112-139),
+validation messages (t/controller/CopyControllerTest.java), throttle rate
+bound (t/service/ThrottledInputStreamTest.java:63-82 generalized), empty
+dir checksum=False (HdfsCopyService.java:108), buffer-boundary file sizes
+(0 B / 1 B / 64 KiB / 1 MiB per HdfsCopyService.java:25).
+"""
+
+import hashlib
+import os
+import time
+
+import pytest
+
+from hadoop_copier_spark.copyjob import (
+    CopyItem,
+    CopyJobEngine,
+    CopyRequest,
+    ValidationError,
+    _speed,
+)
+
+
+def _md5(path):
+    h = hashlib.md5()
+    with open(path, "rb") as f:
+        for chunk in iter(lambda: f.read(65536), b""):
+            h.update(chunk)
+    return h.hexdigest()
+
+
+@pytest.fixture()
+def tree(tmp_path):
+    """Generated source tree: nested >=3 deep, buffer-boundary file sizes,
+    plus an empty directory (FIXTURES.md fixture 1)."""
+    src = tmp_path / "src"
+    files = {
+        "zero.bin": b"",
+        "one.bin": b"x",
+        "buf.bin": os.urandom(64 * 1024),
+        "big.bin": os.urandom(1024 * 1024 + 17),
+        "a/nested.txt": b"hello nested",
+        "a/b/c/deep.txt": b"deep" * 1000,
+    }
+    for rel, data in files.items():
+        p = src / rel
+        p.parent.mkdir(parents=True, exist_ok=True)
+        p.write_bytes(data)
+    (src / "empty_dir").mkdir()
+    return src, files
+
+
+def test_copy_directory_tree_bytes_and_md5(spark, tree, tmp_path):
+    src, files = tree
+    dst = tmp_path / "dst"
+    eng = CopyJobEngine(spark)
+    rid = eng.submit(CopyRequest("local", [CopyItem(str(src), str(dst))]))
+    st = eng.status(rid)
+    assert st["status"] == "COMPLETED"
+    item = st["items"][0]
+    assert item["status"] == "COMPLETED"
+    assert item["checksumVerified"] is True
+    assert item["bytesCopied"] == sum(len(d) for d in files.values())
+    for rel in files:
+        assert _md5(src / rel) == _md5(dst / rel)
+
+
+def test_copy_single_file(spark, tree, tmp_path):
+    src, files = tree
+    dst_file = tmp_path / "out" / "single.bin"
+    eng = CopyJobEngine(spark)
+    rid = eng.submit(CopyRequest("local", [CopyItem(str(src / "big.bin"), str(dst_file))]))
+    st = eng.status(rid)
+    assert st["status"] == "COMPLETED"
+    assert _md5(src / "big.bin") == _md5(dst_file)
+    assert st["items"][0]["speed"].endswith("MB/s")
+
+
+def test_missing_source_partially_failed(spark, tree, tmp_path):
+    src, _ = tree
+    eng = CopyJobEngine(spark)
+    rid = eng.submit(
+        CopyRequest(
+            "local",
+            [
+                CopyItem(str(src / "one.bin"), str(tmp_path / "ok.bin")),
+                CopyItem(str(src / "does_not_exist"), str(tmp_path / "nope")),
+            ],
+        )
+    )
+    st = eng.status(rid)
+    assert st["status"] == "PARTIALLY_FAILED"
+    by_status = {i["status"]: i for i in st["items"]}
+    assert by_status["FAILED"]["errorMessage"].startswith("Source path does not exist")
+    assert by_status["FAILED"]["speed"] == "N/A"
+    assert by_status["COMPLETED"]["checksumVerified"] is True
+
+
+def test_all_missing_failed(spark, tmp_path):
+    eng = CopyJobEngine(spark)
+    rid = eng.submit(CopyRequest("local", [CopyItem(str(tmp_path / "ghost"), str(tmp_path / "g"))]))
+    assert eng.status(rid)["status"] == "FAILED"
+
+
+def test_empty_dir_checksum_false(spark, tree, tmp_path):
+    src, _ = tree
+    eng = CopyJobEngine(spark)
+    rid = eng.submit(CopyRequest("local", [CopyItem(str(src / "empty_dir"), str(tmp_path / "ed"))]))
+    st = eng.status(rid)
+    assert st["status"] == "COMPLETED"
+    assert st["items"][0]["checksumVerified"] is False
+    assert st["items"][0]["bytesCopied"] == 0
+
+
+def test_checksum_disabled_verified_false_not_error(spark, tree, tmp_path):
+    src, _ = tree
+    eng = CopyJobEngine(spark, checksum_enabled=False)
+    rid = eng.submit(CopyRequest("local", [CopyItem(str(src / "one.bin"), str(tmp_path / "o"))]))
+    st = eng.status(rid)
+    assert st["status"] == "COMPLETED"
+    assert st["items"][0]["checksumVerified"] is False
+
+
+def test_validation_messages_verbatim(spark):
+    eng = CopyJobEngine(spark)
+    with pytest.raises(ValidationError, match="^namespace is required$"):
+        eng.submit(CopyRequest("  ", [CopyItem("a", "b")]))
+    with pytest.raises(ValidationError, match="^items must not be empty$"):
+        eng.submit(CopyRequest("ns", []))
+    with pytest.raises(ValidationError, match="^bandwidth must be positive$"):
+        eng.submit(CopyRequest("ns", [CopyItem("a", "b")], bandwidth=0))
+    with pytest.raises(ValidationError, match="^bandwidth must be positive$"):
+        eng.submit(CopyRequest("ns", [CopyItem("a", "b")], bandwidth=-5))
+
+
+def test_unknown_request_id_none(spark):
+    assert CopyJobEngine(spark).status("no-such-id") is None
+
+
+def test_throttle_rate_bounded(spark, tmp_path):
+    """BENCH-5 invariant: measured rate within [0.8, 1.2]x of the cap
+    (generalizes the reference's 200 B @ 100 B/s > 500 ms floor)."""
+    src = tmp_path / "throttle.bin"
+    src.write_bytes(os.urandom(3 * 1024 * 1024))  # 3 MiB
+    eng = CopyJobEngine(spark, checksum_enabled=False, parallelism=1)
+    t0 = time.monotonic()
+    rid = eng.submit(
+        CopyRequest("local", [CopyItem(str(src), str(tmp_path / "t.bin"))], bandwidth=1)
+    )
+    elapsed = time.monotonic() - t0
+    assert eng.status(rid)["status"] == "COMPLETED"
+    # 3 MiB at 1 MB/s -> >= ~2.4s even with scheduling overhead counted
+    assert elapsed >= 2.0, elapsed
+
+
+def test_speed_formatting():
+    assert _speed(0, 100) == "N/A"
+    assert _speed(100, 0) == "N/A"
+    assert _speed(1048576, 1000) == "1.00 MB/s"
+    assert _speed(2 * 1048576, 500) == "4.00 MB/s"
+
+
+def test_overwrite_existing_destination(spark, tree, tmp_path):
+    """R5: destination silently overwritten (HdfsCopyService.java:127)."""
+    src, files = tree
+    dst = tmp_path / "ow.bin"
+    dst.write_bytes(b"old content")
+    eng = CopyJobEngine(spark)
+    eng.submit(CopyRequest("local", [CopyItem(str(src / "one.bin"), str(dst))]))
+    assert dst.read_bytes() == b"x"

@@ -1,0 +1,188 @@
+"""Streaming P checks (SURVEY §2b): file-replay equivalence to batch,
+watermark late-data drop, streaming dedup, stream-static join, stateful
+aggregation, foreachBatch exactly-once sink with checkpoint restart.
+
+All micro-batch boundaries are explicit (append files + processAllAvailable)
+— never wall-clock (SURVEY §7.3).
+"""
+
+import datetime as dt
+import os
+import shutil
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from hadoop_copier_spark.queries import REGISTRY
+from hadoop_copier_spark.streaming import (
+    EVENTS_SCHEMA,
+    replay_events_chunks,
+    stream_dedup,
+    stream_running_counts,
+    stream_static_join_counts,
+    stream_tumbling_counts,
+)
+from hadoop_copier_spark.tables import load_table
+
+SF = "/root/testdata/sf0.001"  # streaming checks use the small fixture
+
+
+@pytest.fixture(scope="module")
+def replay_dir(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("events_replay"))
+    replay_events_chunks(spark, SF, out, n_chunks=5)
+    return out
+
+
+def _rows(spark, name):
+    return spark.sql(f"SELECT * FROM {name}").collect()
+
+
+def test_stream_tumbling_equals_batch(spark, replay_dir):
+    q = stream_tumbling_counts(spark, replay_dir, "t_tumb")
+    try:
+        q.processAllAvailable()
+        got = {(r["w_start_sec"], r["event_type"]): (r["n"], r["sum_val"]) for r in _rows(spark, "t_tumb")}
+    finally:
+        q.stop()
+    batch = {
+        (r["w_start_sec"], r["event_type"]): (r["n"], r["sum_val"])
+        for r in REGISTRY["q61"].fn(spark, SF).collect()
+    }
+    assert got == batch
+
+
+def test_stream_dedup_resent_events_once(spark, tmp_path):
+    src = str(tmp_path / "dedup_src")
+    e = load_table(spark, SF, "events").limit(100)
+    e.coalesce(1).write.mode("overwrite").parquet(os.path.join(src, "b1"))
+    q = stream_dedup(spark, src, "t_dedup")
+    try:
+        q.processAllAvailable()
+        # re-send the same 100 events as a new file batch
+        e.coalesce(1).write.mode("overwrite").parquet(os.path.join(src, "b2"))
+        q.processAllAvailable()
+        rows = _rows(spark, "t_dedup")
+    finally:
+        q.stop()
+    ids = [r["event_id"] for r in rows]
+    assert len(ids) == len(set(ids)) == 100
+
+
+def test_stream_static_join_equals_batch(spark, replay_dir):
+    customer = load_table(spark, SF, "customer")
+    q = stream_static_join_counts(spark, replay_dir, customer, "t_ssj")
+    try:
+        q.processAllAvailable()
+        got = {r["c_mktsegment"]: r["n"] for r in _rows(spark, "t_ssj")}
+    finally:
+        q.stop()
+    events = load_table(spark, SF, "events")
+    batch = {
+        r["c_mktsegment"]: r["n"]
+        for r in events.join(customer, events.user_id == customer.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == batch
+
+
+def test_stream_stateful_running_counts_equal_batch(spark, replay_dir):
+    q = stream_running_counts(spark, replay_dir, "t_run")
+    try:
+        q.processAllAvailable()
+        got = {r["user_id"]: r["n"] for r in _rows(spark, "t_run")}
+    finally:
+        q.stop()
+    batch = {
+        r["user_id"]: r["n"]
+        for r in load_table(spark, SF, "events").groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == batch
+
+
+def test_watermark_drops_late_event(spark, tmp_path):
+    """Append-mode windowed agg with a 10-min watermark: an event arriving
+    far below the watermark is dropped from state-finalized windows."""
+    src = str(tmp_path / "late_src")
+    base = dt.datetime(2024, 6, 1, 10, 0, 0)
+
+    def mk(rows, sub):
+        df = spark.createDataFrame(rows, schema=EVENTS_SCHEMA)
+        df.coalesce(1).write.mode("overwrite").parquet(os.path.join(src, sub))
+
+    # batch 1: two events 10:00-10:05 (window 10:00) + one 11:00 (advances
+    # the watermark to 10:50 on processing)
+    mk(
+        [
+            (1, base, 7, "click", 1.0, "{}"),
+            (2, base + dt.timedelta(minutes=5), 7, "click", 1.0, "{}"),
+            (3, base + dt.timedelta(hours=1), 7, "click", 1.0, "{}"),
+        ],
+        "b1",
+    )
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "10 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.unix_timestamp("w.start").alias("w_start"), "n")
+    )
+    q = agg.writeStream.outputMode("append").format("memory").queryName("t_late").start()
+    try:
+        q.processAllAvailable()
+        # batch 2: a LATE event for the already-finalized 10:00 window
+        mk([(4, base + dt.timedelta(minutes=1), 7, "click", 1.0, "{}")], "b2")
+        q.processAllAvailable()
+        # batch 3: advance watermark further so remaining windows finalize
+        mk([(5, base + dt.timedelta(hours=3), 7, "click", 1.0, "{}")], "b3")
+        q.processAllAvailable()
+        rows = {r["w_start"]: r["n"] for r in _rows(spark, "t_late")}
+    finally:
+        q.stop()
+    w0 = int(base.replace(tzinfo=dt.timezone.utc).timestamp())
+    # the 10:00 window was finalized with 2 events; the late event (id 4)
+    # must NOT be counted
+    assert rows[w0] == 2
+
+
+def test_foreachbatch_exactly_once_with_checkpoint_restart(spark, tmp_path):
+    """foreachBatch parquet sink + checkpoint: restarting the query over the
+    same source does not duplicate rows (exactly-once file sink)."""
+    src = str(tmp_path / "eos_src")
+    out = str(tmp_path / "eos_out")
+    chk = str(tmp_path / "eos_chk")
+    e = load_table(spark, SF, "events").limit(50)
+    e.coalesce(1).write.mode("overwrite").parquet(os.path.join(src, "b1"))
+
+    def writer(df, batch_id):
+        # idempotent per-batch write: partition dir keyed by batch_id
+        df.write.mode("overwrite").parquet(os.path.join(out, f"batch={batch_id}"))
+
+    def run():
+        stream = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+        )
+        q = (
+            stream.select("event_id", "user_id")
+            .writeStream.foreachBatch(writer)
+            .option("checkpointLocation", chk)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    run()
+    run()  # restart over same checkpoint: no reprocessing, no dup batch dirs
+    got = spark.read.option("recursiveFileLookup", "true").parquet(out).collect()
+    assert len(got) == 50
+    assert len({r["event_id"] for r in got}) == 50
