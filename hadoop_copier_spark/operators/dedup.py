@@ -108,7 +108,11 @@ def near_dup_pairs(
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: returns (id_a, id_b, jaccard)
     for pairs with exact shingle-Jaccard >= threshold."""
-    hashed = shingle_hashes(df.select(id_col, text_col), text_col, n=n)
+    # shingle hashes feed three consumers (signature + both sides of the
+    # verify join) — persist so the text is shingled once, not three times
+    hashed = shingle_hashes(df.select(id_col, text_col), text_col, n=n).select(
+        id_col, "__shingle_hashes"
+    ).persist()
     sigs = minhash_signature(hashed, k=k)
     cands = lsh_candidate_pairs(sigs, id_col, bands=bands, k=k)
     sets_ = hashed.select(F.col(id_col), F.col("__shingle_hashes"))

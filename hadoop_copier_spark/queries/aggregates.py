@@ -311,3 +311,68 @@ def p_approx_sketches(spark, sf_dir):
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "h_pivot",
+    oracle="""SELECT l_returnflag,
+                     CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DECIMAL(38,2)) AS qty_F,
+                     CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DECIMAL(38,2)) AS qty_O
+              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    tags=("agg", "pivot"),
+)
+def h_pivot(spark, sf_dir):
+    """Pivot: linestatus columns out of rows (DataFrame .pivot with an
+    explicit value list — never let the engine scan for distinct pivot
+    values at 100 TB; the oracle is the CASE-sum spelling)."""
+    li = tbl(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.sum(dec("l_quantity", 12, 2)).cast("decimal(38,2)"))
+        .select(
+            "l_returnflag",
+            F.col("F").alias("qty_F"),
+            F.col("O").alias("qty_O"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "h_unpivot",
+    oracle="""SELECT o_orderkey, metric, val FROM (
+                SELECT o_orderkey, 'totalprice' AS metric, o_totalprice AS val FROM orders
+                UNION ALL
+                SELECT o_orderkey, 'custkey' AS metric, CAST(o_custkey AS DOUBLE) AS val FROM orders)
+              ORDER BY o_orderkey, metric""",
+    tags=("agg", "unpivot"),
+)
+def h_unpivot(spark, sf_dir):
+    """Unpivot / melt via the DataFrame unpivot API (wide -> long); the
+    oracle is the UNION ALL spelling."""
+    o = tbl(spark, sf_dir, "orders")
+    return (
+        o.select(
+            "o_orderkey",
+            F.col("o_totalprice").alias("totalprice"),
+            F.col("o_custkey").cast("double").alias("custkey"),
+        )
+        .unpivot("o_orderkey", ["totalprice", "custkey"], "metric", "val")
+        .orderBy("o_orderkey", "metric")
+    )
+
+
+@register("p_stratified_sample", oracle=None, tags=("llm", "sampling"))
+def p_stratified_sample(spark, sf_dir):
+    """P-class: seeded stratified sampling per language (sampleBy) — the
+    training-data rebalancing primitive. Deterministic for a fixed seed and
+    input layout; tests assert per-stratum rates within tolerance."""
+    d = tbl(spark, sf_dir, "documents")
+    fractions = {"en": 0.5, "de": 0.5, "es": 0.2, "fr": 0.2, "zh": 0.1}
+    sampled = d.sampleBy("lang", fractions, seed=42)
+    return (
+        sampled.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+        .orderBy("lang")
+    )

@@ -1,0 +1,84 @@
+"""Physical-plan assertions (SURVEY §4.2): the scale discipline is graded
+on what Catalyst plans, so pin it. Each test reads the explain output of a
+declared query and asserts the plan feature that makes it survive 100x
+data, not just pass at sf0.01."""
+
+from pyspark.sql import functions as F
+
+from hadoop_copier_spark.plans import explain_str
+from hadoop_copier_spark.queries import REGISTRY
+
+
+def _explain(spark, sf_oracle, name):
+    return explain_str(REGISTRY[name].fn(spark, sf_oracle))
+
+
+def test_q07_filter_pushed_to_parquet_scan(spark, sf_oracle):
+    text = _explain(spark, sf_oracle, "q07")
+    assert "PushedFilters:" in text
+    # range predicate on l_shipdate and comparisons reach the scan
+    assert "l_shipdate" in text.split("PushedFilters:")[1].split("\n")[0]
+
+
+def test_q06_column_pruning(spark, sf_oracle):
+    text = _explain(spark, sf_oracle, "q06")
+    # only the 4 needed columns are read, not all 11
+    read_schema = text.split("ReadSchema:")[1].split("\n")[0]
+    assert "l_extendedprice" in read_schema and "l_discount" in read_schema
+    assert "l_returnflag" not in read_schema and "l_shipdate" not in read_schema
+
+
+def test_q13_broadcast_hash_join(spark, sf_oracle):
+    text = _explain(spark, sf_oracle, "q13")
+    assert "BroadcastHashJoin" in text
+    assert "SortMergeJoin" not in text  # fact side must not shuffle
+
+
+def test_q12_dims_broadcast_no_fact_shuffle_join(spark, sf_oracle):
+    text = _explain(spark, sf_oracle, "q12")
+    assert text.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in text
+
+
+def test_q42_take_ordered_not_global_sort(spark, sf_oracle):
+    text = _explain(spark, sf_oracle, "q42")
+    assert "TakeOrderedAndProject" in text
+
+
+def test_q24_partial_aggregation(spark, sf_oracle):
+    text = _explain(spark, sf_oracle, "q24")
+    # partial (map-side) + final HashAggregate pair: only aggregate state
+    # crosses the shuffle
+    assert "partial_" in text or text.count("HashAggregate") >= 2
+
+
+def test_q21_range_join_keeps_equi_component(spark, sf_oracle):
+    text = _explain(spark, sf_oracle, "q21")
+    # must plan as an equi join (hash or SMJ) with residual range condition,
+    # never a cartesian/BNLJ over events x events
+    assert "CartesianProduct" not in text
+    assert "BroadcastNestedLoopJoin" not in text
+
+
+def test_q59_queries_broadcast(spark, sf_oracle):
+    text = _explain(spark, sf_oracle, "q59")
+    assert "BroadcastNestedLoopJoin" in text or "BroadcastHashJoin" in text
+
+
+def test_whole_stage_codegen_on_hot_path(spark, sf_oracle):
+    # AQE hides codegen markers until the plan is final: execute, then
+    # inspect the executed plan.
+    df = REGISTRY["q24"].fn(spark, sf_oracle)
+    df.collect()
+    text = df._jdf.queryExecution().executedPlan().toString()
+    # '*(N)' prefixes mark operators fused into WholeStageCodegen stages
+    assert "*(1)" in text and "*(2)" in text, text[:500]
+
+
+def test_scan_count_star_reads_no_data_columns(spark, sf_oracle):
+    from hadoop_copier_spark.tables import load_table
+
+    df = load_table(spark, sf_oracle, "lineitem").agg(F.count(F.lit(1)))
+    text = explain_str(df)
+    read_schema = text.split("ReadSchema:")[1].split("\n")[0]
+    assert read_schema.strip().rstrip(">") in ("struct<", "struct"), read_schema
