@@ -179,6 +179,24 @@ class CopyJobEngine:
         self.checksum_enabled = checksum_enabled
         self.parallelism = parallelism
         self._tasks: dict[str, _Task] = {}
+        self._namespace_conf: dict[str, dict] = {}
+
+    # -- namespace configuration (R22 parity) ------------------------------
+
+    def configure_namespace(self, namespace: str, conf: dict) -> dict:
+        """Memoized per-namespace source configuration — the engine form of
+        the reference's per-namespace Hadoop Configuration cache
+        (m/service/HdfsFileSystemFactory.java:22-60, computeIfAbsent :30).
+
+        On a real cluster the dict holds Hadoop/Kerberos options
+        (fs.defaultFS, kerberos principal/keytab) applied via
+        ``spark.sparkContext.hadoopConfiguration`` or per-path
+        ``fs.*`` options; locally it's a path-prefix mapping. Like the
+        reference, the first configuration wins (cache identity)."""
+        return self._namespace_conf.setdefault(namespace, dict(conf))
+
+    def namespace_conf(self, namespace: str) -> Optional[dict]:
+        return self._namespace_conf.get(namespace)
 
     # -- lifecycle ---------------------------------------------------------
 

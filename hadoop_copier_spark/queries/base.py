@@ -10,11 +10,20 @@ from ..tables import load_table, register_views
 __all__ = ["tbl", "views", "dec", "money_sum", "dec_avg", "F"]
 
 
+def _pin_session(spark: SparkSession) -> None:
+    """Defensive: declared queries may run in the driver's own session —
+    pin the settings the oracle contract depends on (UTC timestamps) and
+    the nanos-parquet shim. Idempotent, runtime-settable confs only."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _pin_session(spark)
     return load_table(spark, sf_dir, name)
 
 
 def views(spark: SparkSession, sf_dir: str) -> None:
+    _pin_session(spark)
     register_views(spark, sf_dir)
 
 

@@ -286,3 +286,53 @@ def p_embedding_neardup(spark, sf_dir):
         .filter(F.col("cos") >= 0.9)
         .orderBy("id_a", "id_b")
     )
+
+
+@register(
+    "h_ngram_jaccard",
+    oracle="""WITH t AS (SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS toks
+                        FROM documents),
+              p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.toks AS ta, b.toks AS tb
+                    FROM t a JOIN t b ON b.doc_id = a.doc_id + 1 AND a.doc_id % 2 = 0)
+              SELECT id_a, id_b,
+                     CAST(CAST(len(list_intersect(ta, tb)) AS DOUBLE)
+                          / (len(ta) + len(tb) - len(list_intersect(ta, tb)))
+                          AS DECIMAL(18,6)) AS jaccard
+              FROM p ORDER BY id_a""",
+    tags=("llm", "dedup", "jaccard"),
+)
+def h_ngram_jaccard(spark, sf_dir):
+    """Exact token-set Jaccard similarity for consecutive doc pairs (the
+    verification primitive under MinHash; |A∩B| / |A∪B| as one division of
+    exact ints — engine-stable). Spark array_intersect <-> DuckDB
+    list_intersect."""
+    d = tbl(spark, sf_dir, "documents").select(
+        "doc_id", F.array_distinct(F.split(F.lower("text"), " ")).alias("toks")
+    )
+    a = d.alias("a")
+    b = d.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
+    union = F.size(F.col("a.toks")) + F.size(F.col("b.toks")) - inter
+    return (
+        a.join(
+            b,
+            (F.col("b.doc_id") == F.col("a.doc_id") + 1) & (F.col("a.doc_id") % 2 == 0),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            (inter.cast("double") / union).cast("decimal(18,6)").alias("jaccard"),
+        )
+        .orderBy("id_a")
+    )
+
+
+@register("p_ann_ivf", oracle=None, tags=("llm", "similarity", "approx"))
+def p_ann_ivf(spark, sf_dir):
+    """P-class: IVF approximate nearest neighbors — the second scale path
+    for similarity search (coarse k-means quantizer + probed clusters).
+    Property-checked against brute force in tests/test_llm_ops.py."""
+    from ..operators.similarity import ivf_ann_topk
+
+    e = tbl(spark, sf_dir, "embeddings")
+    return ivf_ann_topk(e, e.filter(F.col("vec_id") < 10), k=5).orderBy("query_id", "rank")

@@ -171,3 +171,16 @@ def test_overwrite_existing_destination(spark, tree, tmp_path):
     eng = CopyJobEngine(spark)
     eng.submit(CopyRequest("local", [CopyItem(str(src / "one.bin"), str(dst))]))
     assert dst.read_bytes() == b"x"
+
+
+def test_namespace_conf_cache_identity(spark):
+    """R22: per-namespace config memoized; first configuration wins
+    (HdfsFileSystemFactoryTest parity: same namespace -> same cached conf)."""
+    eng = CopyJobEngine(spark)
+    c1 = eng.configure_namespace("ns1", {"fs.defaultFS": "hdfs://nn1"})
+    c2 = eng.configure_namespace("ns1", {"fs.defaultFS": "hdfs://OTHER"})
+    assert c1 is c2
+    assert c2["fs.defaultFS"] == "hdfs://nn1"
+    assert eng.namespace_conf("ns2") is None
+    eng.configure_namespace("ns2", {"fs.defaultFS": "hdfs://nn2"})
+    assert eng.namespace_conf("ns2")["fs.defaultFS"] == "hdfs://nn2"

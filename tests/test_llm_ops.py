@@ -119,3 +119,17 @@ def test_text_analysis_outputs_valid(spark, sf_oracle):
     # determinism: second run identical
     again = REGISTRY["p_text_analysis"].fn(spark, sf_oracle).collect()
     assert rows == again
+
+
+def test_ann_ivf_recall_vs_brute_force(spark, sf_oracle):
+    brute = REGISTRY["q59"].fn(spark, sf_oracle).collect()
+    approx = REGISTRY["p_ann_ivf"].fn(spark, sf_oracle).collect()
+    top_b, top_a = {}, {}
+    for r in brute:
+        top_b.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for r in approx:
+        top_a.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [len(top_b[q] & top_a.get(q, set())) / len(top_b[q]) for q in top_b]
+    # 4-probe of 16 clusters scans ~25% of vectors; near-neighbors
+    # concentrate in probed clusters so recall should beat that baseline
+    assert sum(recalls) / len(recalls) >= 0.3, recalls
