@@ -238,3 +238,82 @@ def q55(spark, sf_dir):
         s.getField("id").alias("id_from_struct"),
         s.getField("lang").alias("lang_from_struct"),
     ).orderBy("doc_id")
+
+
+@register(
+    "h_date_series",
+    oracle="""WITH months AS (
+                SELECT CAST(unnest(generate_series(TIMESTAMP '1995-01-01',
+                                                   TIMESTAMP '1998-12-01',
+                                                   INTERVAL 1 MONTH)) AS DATE) AS month
+              ),
+              per AS (
+                SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+                       COUNT(*) AS n
+                FROM orders GROUP BY 1)
+              SELECT m.month, COALESCE(p.n, 0) AS n_orders
+              FROM months m LEFT JOIN per p USING (month)
+              ORDER BY m.month""",
+    tags=("scalar", "series"),
+)
+def h_date_series(spark, sf_dir):
+    """Calendar-series generation (sequence/explode <-> generate_series):
+    month spine left-joined to per-month order counts — the standard
+    'dense time axis' pattern for reporting over sparse facts."""
+    o = tbl(spark, sf_dir, "orders")
+    months = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("1995-01-01").cast("date"),
+                F.lit("1998-12-01").cast("date"),
+                F.expr("INTERVAL 1 MONTH"),
+            )
+        ).alias("month")
+    )
+    per = (
+        o.groupBy(F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        months.join(per, "month", "left")
+        .select("month", F.coalesce(F.col("n"), F.lit(0)).alias("n_orders"))
+        .orderBy("month")
+    )
+
+
+@register(
+    "h_higher_order",
+    oracle="""SELECT vec_id,
+                     CAST(COALESCE((SELECT SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(20,10)))
+                                    FROM unnest(embedding) AS t(x) WHERE x > 0), 0)
+                          AS DECIMAL(20,10)) AS pos_sum,
+                     len(list_filter(embedding, x -> x > 0)) AS n_pos,
+                     len(list_filter(embedding, x -> x > 0.25)) > 0 AS has_big
+              FROM embeddings ORDER BY vec_id""",
+    tags=("scalar", "higherorder"),
+)
+def h_higher_order(spark, sf_dir):
+    """Higher-order array functions: filter -> aggregate (exact decimal
+    fold), size, exists — all JVM-side lambdas, no Python."""
+    e = tbl(spark, sf_dir, "embeddings")
+    pos = F.filter(F.col("embedding"), lambda x: x > 0)
+    pos_sum = F.aggregate(
+        F.transform(pos, lambda x: x.cast("double").cast("decimal(20,10)")),
+        F.lit(0).cast("decimal(20,10)"),
+        lambda acc, v: (acc + v).cast("decimal(20,10)"),
+    )
+    return e.select(
+        "vec_id",
+        pos_sum.alias("pos_sum"),
+        F.size(pos).alias("n_pos"),
+        F.exists(F.col("embedding"), lambda x: x > 0.25).alias("has_big"),
+    ).orderBy("vec_id")
+
+
+@register("p_uuid_keys", oracle=None, tags=("keygen",))
+def p_uuid_keys(spark, sf_dir):
+    """P-class (R10 parity): uuid() request-id generation per row —
+    nondeterministic by design, excluded from hashing (SURVEY §7.3);
+    tests assert uniqueness + RFC-4122 format."""
+    n = tbl(spark, sf_dir, "nation")
+    return n.select("n_nationkey", F.expr("uuid()").alias("request_id")).orderBy("n_nationkey")

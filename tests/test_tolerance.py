@@ -35,3 +35,14 @@ def test_approx_sketches_within_5pct(spark, sf_oracle):
     for k in exact:
         assert abs(apx[k]["apx_nd_part"] - exact[k]["nd_part"]) <= 0.05 * exact[k]["nd_part"]
         assert abs(float(apx[k]["apx_p50"]) - float(med[k]["p50"])) <= 0.05 * max(float(med[k]["p50"]), 1.0)
+
+
+def test_uuid_keys_unique_and_formatted(spark, sf_oracle):
+    import re
+
+    rows = REGISTRY["p_uuid_keys"].fn(spark, sf_oracle).collect()
+    ids = [r["request_id"] for r in rows]
+    assert len(ids) == len(set(ids))
+    pat = re.compile(r"^[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}$")
+    for u in ids:
+        assert pat.match(u), u
