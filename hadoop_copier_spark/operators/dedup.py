@@ -37,8 +37,14 @@ def _minhash_params(k: int, seed: int = 42):
 
 
 def shingle_hashes(df: DataFrame, text_col: str, n: int = 3) -> DataFrame:
-    """Add __shingle_hashes: distinct xxhash64 of word n-grams (JVM-side)."""
-    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    """Add __shingle_hashes: distinct xxhash64 of word n-grams (JVM-side).
+
+    The token array is materialized as a real column first: referencing an
+    inline split() expression from inside the transform lambda makes
+    Catalyst re-evaluate the split for every element_at — measured 10x+
+    slowdown on long documents."""
+    with_toks = df.withColumn("__toks", F.split(F.lower(F.col(text_col)), r"\s+"))
+    toks = F.col("__toks")
     grams = F.when(F.size(toks) < n, F.array(F.lower(F.col(text_col)))).otherwise(
         F.transform(
             F.sequence(F.lit(1), F.size(toks) - (n - 1)),
@@ -46,7 +52,7 @@ def shingle_hashes(df: DataFrame, text_col: str, n: int = 3) -> DataFrame:
         )
     )
     hashed = F.array_distinct(F.transform(grams, lambda g: F.xxhash64(g)))
-    return df.withColumn("__shingle_hashes", hashed)
+    return with_toks.withColumn("__shingle_hashes", hashed).drop("__toks")
 
 
 def minhash_signature(df: DataFrame, k: int = 32, seed: int = 42) -> DataFrame:

@@ -70,8 +70,10 @@ def q57(spark, sf_dir):
 def q58(spark, sf_dir):
     """Word-bigram counts via higher-order functions (no Python in the
     loop): transform over token indices -> explode -> count -> top-100."""
-    d = tbl(spark, sf_dir, "documents")
-    toks = F.split(F.lower("text"), " ")
+    # materialize tokens as a column: an inline split() referenced inside
+    # the lambda is re-evaluated per element_at (measured 10x slowdown)
+    d = tbl(spark, sf_dir, "documents").withColumn("__toks", F.split(F.lower("text"), " "))
+    toks = F.col("__toks")
     bigrams = F.when(F.size(toks) < 2, F.array()).otherwise(
         F.transform(
             F.sequence(F.lit(1), F.size(toks) - 1),
