@@ -186,3 +186,80 @@ def test_foreachbatch_exactly_once_with_checkpoint_restart(spark, tmp_path):
     got = spark.read.option("recursiveFileLookup", "true").parquet(out).collect()
     assert len(got) == 50
     assert len({r["event_id"] for r in got}) == 50
+
+
+def test_stream_sliding_window_equals_batch(spark, replay_dir):
+    """Q62 streaming form: sliding window counts over the replayed files
+    equal the batch result."""
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "2")
+        .option("recursiveFileLookup", "true")
+        .parquet(replay_dir)
+    )
+    agg = (
+        stream.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.unix_timestamp("w.start").alias("w_start_sec"), "n")
+    )
+    q = agg.writeStream.outputMode("complete").format("memory").queryName("t_slide").start()
+    try:
+        q.processAllAvailable()
+        got = {r["w_start_sec"]: r["n"] for r in _rows(spark, "t_slide")}
+    finally:
+        q.stop()
+    batch = {
+        r["w_start_sec"]: r["n"] for r in REGISTRY["q62"].fn(spark, SF).collect()
+    }
+    assert got == batch
+
+
+def test_stream_session_window_equals_batch(spark, tmp_path):
+    """Q63 streaming form (append mode + watermark): sessions finalized by
+    a far-future sentinel event match the batch session_window result."""
+    src = str(tmp_path / "sess_src")
+    e = load_table(spark, SF, "events").withColumn(
+        "ts", F.date_trunc("second", F.col("ts"))
+    )
+    e.coalesce(1).write.mode("overwrite").parquet(os.path.join(src, "b1"))
+    q = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+        .withWatermark("ts", "1 minute")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_timestamp("w.start").alias("session_start_sec"),
+            "n_events",
+        )
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_sess")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # sentinel far in the future pushes the watermark so every real
+        # session finalizes and is emitted in append mode
+        import datetime as dt
+
+        sentinel = spark.createDataFrame(
+            [(999999, dt.datetime(2030, 1, 1), 999999, "x", 0.0, "{}")],
+            schema=EVENTS_SCHEMA,
+        )
+        sentinel.coalesce(1).write.mode("overwrite").parquet(os.path.join(src, "b2"))
+        q.processAllAvailable()
+        got = {
+            (r["user_id"], r["session_start_sec"]): r["n_events"]
+            for r in _rows(spark, "t_sess")
+            if r["user_id"] != 999999
+        }
+    finally:
+        q.stop()
+    batch = {
+        (r["user_id"], r["session_start_sec"]): r["n_events"]
+        for r in REGISTRY["q63"].fn(spark, SF).collect()
+    }
+    assert got == batch
