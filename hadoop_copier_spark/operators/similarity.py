@@ -98,57 +98,75 @@ def lsh_ann_topk(
     """
     import random
 
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
     rng = random.Random(seed)
     tables = [
         [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(planes_per_table)]
         for _ in range(n_tables)
     ]
+    # all hyperplanes stacked: one numpy matmul computes every sign bit for
+    # a whole Arrow batch (32 per-row zip_with/aggregate expression dots
+    # were the measured bottleneck — each materializes a temp array)
+    pmat = np.asarray(
+        [p for planes in tables for p in planes], dtype=np.float64
+    )  # (L*r) x dim
 
-    def _dbl_dot(a: Column, p: list) -> Column:
-        # plain double dot for bucketing: fixed evaluation order => Spark-
-        # internally deterministic, and ~10x cheaper than the decimal path
-        # (bucket boundaries don't need cross-engine exactness).
-        prods = F.zip_with(a, F.array(*[F.lit(w) for w in p]), lambda x, y: x.cast("double") * y)
-        return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
+    @F.pandas_udf(T.ArrayType(T.StructType([
+        T.StructField("t", T.IntegerType()),
+        T.StructField("code", T.IntegerType()),
+    ])))
+    def bucket_keys_udf(vecs):
+        out = []
+        for v in vecs:
+            bits = (np.asarray(v, dtype=np.float64) @ pmat.T) >= 0  # (L*r,)
+            keys = []
+            for t in range(n_tables):
+                chunk = bits[t * planes_per_table:(t + 1) * planes_per_table]
+                code = int(sum(1 << i for i, b in enumerate(chunk) if b))
+                keys.append({"t": t, "code": code})
+            out.append(keys)
+        return pd.Series(out)
 
     def bucket_keys(vec: Column) -> Column:
-        """Array of L structs (table_id, bucket bit-pattern)."""
-        keys = []
-        for t, planes in enumerate(tables):
-            bits = [
-                F.when(_dbl_dot(vec, p) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
-                for i, p in enumerate(planes)
-            ]
-            code = bits[0]
-            for b in bits[1:]:
-                code = code + b
-            keys.append(F.struct(F.lit(t).alias("t"), code.alias("code")))
-        return F.array(*keys)
+        return bucket_keys_udf(vec)
 
     def _dbl_dot2(a: Column, b: Column) -> Column:
         prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
         return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
 
-    c = candidates.select(
+    # vectors+norms once per side; bucket keys on slim id-only frames so the
+    # collision join and the dedup distinct never carry 64-float arrays
+    # (distinct over the vectors measurably dominated the runtime).
+    c0 = candidates.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cvec"),
         _dbl_dot2(F.col(vec_col), F.col(vec_col)).alias("__cn2"),
-        F.explode(bucket_keys(F.col(vec_col))).alias("__bk"),
     )
-    q = queries.select(
+    q0 = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qvec"),
         _dbl_dot2(F.col(vec_col), F.col(vec_col)).alias("__qn2"),
+    )
+    ckeys = candidates.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.explode(bucket_keys(F.col(vec_col))).alias("__bk"),
+    )
+    qkeys = queries.select(
+        F.col(id_col).alias("query_id"),
         F.explode(bucket_keys(F.col(vec_col))).alias("__qbk"),
     )
-    pairs = (
-        c.join(
-            F.broadcast(q),
+    pair_ids = (
+        ckeys.join(
+            F.broadcast(qkeys),
             (F.col("__bk") == F.col("__qbk")) & (F.col("neighbor_id") != F.col("query_id")),
         )
-        .select("query_id", "neighbor_id", "__qvec", "__cvec", "__qn2", "__cn2")
-        .distinct()  # a pair may collide in several tables
+        .select("query_id", "neighbor_id")
+        .distinct()
     )
+    pairs = pair_ids.join(c0, "neighbor_id").join(F.broadcast(q0), "query_id")
     # double cosine: array-order evaluation => deterministic within Spark;
     # cross-engine exactness is not required for the approximate path.
     cos = _dbl_dot2(F.col("__qvec"), F.col("__cvec")) / F.sqrt(F.col("__qn2") * F.col("__cn2"))

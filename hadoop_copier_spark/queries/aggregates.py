@@ -376,3 +376,24 @@ def p_stratified_sample(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_sampled"))
         .orderBy("lang")
     )
+
+
+@register(
+    "h_string_agg",
+    oracle="""SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations_csv
+              FROM nation JOIN region ON n_regionkey = r_regionkey
+              GROUP BY r_name ORDER BY r_name""",
+    tags=("agg", "stringagg"),
+)
+def h_string_agg(spark, sf_dir):
+    """Ordered string aggregation (DuckDB string_agg ... ORDER BY <->
+    Spark sort_array(collect_list) + concat_ws — rule 4 canonicalization
+    makes the concatenation order explicit on both sides)."""
+    n = tbl(spark, sf_dir, "nation")
+    r = tbl(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.concat_ws(",", F.sort_array(F.collect_list("n_name"))).alias("nations_csv"))
+        .orderBy("r_name")
+    )

@@ -4,18 +4,28 @@ order key via bucketBy/saveAsTable, then asserts the join plan contains NO
 shuffle (Exchange) — the physical property that makes repeated fact-fact
 joins affordable at 100 TB."""
 
+import os
+
 import pytest
 
 
 @pytest.fixture(scope="module")
 def bucketed_tables(spark, sf_oracle):
     # warehouse dir is a static conf — use the session default (./spark-warehouse)
+    import shutil
+    from urllib.parse import urlparse
+
     from hadoop_copier_spark.tables import load_table
 
     li = load_table(spark, sf_oracle, "lineitem").select("l_orderkey", "l_quantity")
     o = load_table(spark, sf_oracle, "orders").select("o_orderkey", "o_totalprice")
     spark.sql("DROP TABLE IF EXISTS li_bucketed")
     spark.sql("DROP TABLE IF EXISTS o_bucketed")
+    # the in-memory catalog forgets tables across sessions but their
+    # locations persist — clear them or saveAsTable fails LOCATION_ALREADY_EXISTS
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for t in ("li_bucketed", "o_bucketed"):
+        shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
     (
         li.write.bucketBy(8, "l_orderkey")
         .sortBy("l_orderkey")

@@ -46,3 +46,18 @@ def test_uuid_keys_unique_and_formatted(spark, sf_oracle):
     pat = re.compile(r"^[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}$")
     for u in ids:
         assert pat.match(u), u
+
+
+def test_exact_dedup_idempotent(spark, sf_oracle):
+    """SURVEY §5.2 item 4: dedup applied to its own output is a no-op."""
+    from hadoop_copier_spark.queries.base import tbl
+    from pyspark.sql import functions as F
+
+    d = tbl(spark, sf_oracle, "documents")
+    once = d.dropDuplicates(["text"]).select("text")
+    twice = once.dropDuplicates(["text"])
+    assert once.count() == twice.count()
+    # and the keep-min-id formulation is stable too
+    q56 = REGISTRY["q56"].fn(spark, sf_oracle)
+    again = REGISTRY["q56"].fn(spark, sf_oracle)
+    assert sorted(map(tuple, q56.collect())) == sorted(map(tuple, again.collect()))
