@@ -248,3 +248,47 @@ def q11(spark, sf_dir):
         F.col("l_shipdate").cast("date").alias("ship_date"),
         F.col("l_orderkey").cast("string").cast("bigint").alias("ok_roundtrip"),
     ).orderBy("l_orderkey", "l_linenumber")
+
+
+_MERGE_CHANGES_SQL = """
+    SELECT c_custkey, c_name,
+           c_nationkey, c_acctbal + 100.0 AS c_acctbal, c_mktsegment
+    FROM customer WHERE c_custkey % 10 = 0
+    UNION ALL
+    SELECT c_custkey + 1000000 AS c_custkey, concat('NEW_', c_name) AS c_name,
+           c_nationkey, c_acctbal, c_mktsegment
+    FROM customer WHERE c_custkey < 5
+"""
+
+
+@register(
+    "h_merge_upsert",
+    oracle=f"""WITH changes AS ({_MERGE_CHANGES_SQL})
+               SELECT * FROM (
+                 SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+                 FROM customer
+                 WHERE c_custkey NOT IN (SELECT c_custkey FROM changes)
+                 UNION ALL
+                 SELECT * FROM changes)
+               ORDER BY c_custkey""",
+    tags=("merge", "upsert"),
+)
+def h_merge_upsert(spark, sf_dir):
+    """MERGE INTO emulation (operators/merge.py): apply an update+insert
+    change set to the customer table — updated rows replaced, inserts
+    appended (the copy-on-write upsert every CDC pipeline needs; with
+    Delta/Iceberg the same call becomes a native MERGE)."""
+    from ..operators.merge import merge_upsert
+
+    c = tbl(spark, sf_dir, "customer")
+    updates = (
+        c.filter(F.col("c_custkey") % 10 == 0)
+        .withColumn("c_acctbal", F.col("c_acctbal") + 100.0)
+    )
+    inserts = (
+        c.filter(F.col("c_custkey") < 5)
+        .withColumn("c_custkey", F.col("c_custkey") + 1000000)
+        .withColumn("c_name", F.concat(F.lit("NEW_"), F.col("c_name")))
+    )
+    changes = updates.unionByName(inserts)
+    return merge_upsert(c, changes, "c_custkey").orderBy("c_custkey")
