@@ -31,9 +31,20 @@ maps to per-source hadoopConfiguration options on the session.
 
 At 100 TB: listing parallelizes per top-level item; the work-list is
 repartitioned so each executor copies a disjoint file set; no data ever
-flows through the driver; skew (one giant file) is bounded by file
-granularity — the natural next step (not needed for parity) is byte-range
-splitting of files > partition target size.
+flows through the driver; skew (one giant file) is bounded by BYTE-RANGE
+SPLITTING: files larger than ``split_threshold_bytes`` are planned as
+multiple (offset, length) chunk rows, so a 1 TB file becomes ~8192 tasks of
+128 MiB instead of one 1 TB task. Chunk copies seek/write disjoint ranges
+of the destination (safe on POSIX / object-store ranged PUT; on HDFS —
+append-only — the same plan writes chunk part-files and stitches them with
+FileSystem.concat, exactly the DistCp strategy). Verification of split
+files is per-range (source range hashed in the read loop, destination
+range re-read and compared) — the S3-multipart-ETag model: the same
+guarantee as whole-file MD5, but embarrassingly parallel. Files under the
+threshold keep the reference's single-stream whole-file MD5 path.
+Bandwidth-capped items are never split: the reference's throttle is
+per-item-stream (m/service/HdfsCopyService.java:177-183), and splitting
+would multiply the effective rate by the chunk count.
 """
 
 from __future__ import annotations
@@ -49,6 +60,13 @@ from pyspark.sql import SparkSession
 from pyspark.sql import types as T
 
 BUFFER_SIZE = 64 * 1024  # matches the reference's copy buffer (R6)
+
+# Byte-range splitting defaults: split when a file exceeds the threshold,
+# into chunks of the target size. 128 MiB matches the usual HDFS block /
+# Spark partition target, so chunk tasks are the same granularity as scan
+# tasks elsewhere in the engine.
+DEFAULT_SPLIT_THRESHOLD = 256 * 1024 * 1024
+DEFAULT_SPLIT_CHUNK = 128 * 1024 * 1024
 
 RESULT_SCHEMA = T.StructType(
     [
@@ -140,6 +158,54 @@ def _copy_one_file(src: str, dst: str, max_bytes_per_sec: Optional[int], checksu
     return total, True
 
 
+def _copy_one_range(src: str, dst: str, offset: int, length: int, checksum: bool):
+    """Byte-range chunk copy for split files: read [offset, offset+length)
+    from the source, write it at the same offset of the destination, then
+    (if checksum) re-read the destination range and compare digests — the
+    per-range verification model of S3 multipart ETags. Disjoint-range
+    concurrent writes to one file are safe on POSIX local/NFS and map to
+    ranged multipart PUT on object stores; for append-only HDFS the same
+    plan targets chunk part-files + FileSystem.concat (DistCp strategy).
+    Returns (bytes, md5_ok)."""
+    os.makedirs(os.path.dirname(dst) or ".", exist_ok=True)
+    src_digest = hashlib.md5() if checksum else None
+    total = 0
+    # O_CREAT without O_TRUNC: concurrent chunk tasks must not clobber each
+    # other's ranges. Planner handles stale-overwrite by pre-truncating.
+    fd = os.open(dst, os.O_RDWR | os.O_CREAT, 0o644)
+    try:
+        with open(src, "rb") as fin:
+            fin.seek(offset)
+            os.lseek(fd, offset, os.SEEK_SET)
+            remaining = length
+            while remaining > 0:
+                chunk = fin.read(min(BUFFER_SIZE, remaining))
+                if not chunk:
+                    raise IOError(f"Short read at offset {offset + total} of {src}")
+                if src_digest is not None:
+                    src_digest.update(chunk)
+                os.write(fd, chunk)
+                total += len(chunk)
+                remaining -= len(chunk)
+        if not checksum:
+            return total, False
+        os.fsync(fd)
+        dst_digest = hashlib.md5()
+        os.lseek(fd, offset, os.SEEK_SET)
+        remaining = length
+        while remaining > 0:
+            chunk = os.read(fd, min(BUFFER_SIZE, remaining))
+            if not chunk:
+                raise IOError(f"Short verify read at offset {offset} of {dst}")
+            dst_digest.update(chunk)
+            remaining -= len(chunk)
+        if dst_digest.digest() != src_digest.digest():
+            raise IOError(f"Checksum mismatch for {dst} range [{offset}, {offset + length})")
+        return total, True
+    finally:
+        os.close(fd)
+
+
 def _make_partition_copier(bandwidth_mb: Optional[int], checksum: bool):
     max_bps = bandwidth_mb * 1024 * 1024 if bandwidth_mb else None
 
@@ -149,7 +215,14 @@ def _make_partition_copier(bandwidth_mb: Optional[int], checksum: bool):
             try:
                 if not os.path.exists(row.src_file):
                     raise IOError(f"Source path does not exist: {row.src_file}")
-                nbytes, verified = _copy_one_file(row.src_file, row.dst_file, max_bps, checksum)
+                if row.length >= 0:  # byte-range chunk of a split file
+                    nbytes, verified = _copy_one_range(
+                        row.src_file, row.dst_file, row.offset, row.length, checksum
+                    )
+                else:  # whole file, single stream (reference-parity path)
+                    nbytes, verified = _copy_one_file(
+                        row.src_file, row.dst_file, max_bps, checksum
+                    )
                 yield (
                     row.item_idx, row.src_file, row.dst_file, "COMPLETED",
                     nbytes, int((time.monotonic() - t0) * 1000), None, verified,
@@ -174,10 +247,19 @@ def _speed(bytes_copied: int, duration_ms: int) -> str:
 class CopyJobEngine:
     """submit()/status() surface replacing the reference's REST API (R20)."""
 
-    def __init__(self, spark: SparkSession, checksum_enabled: bool = True, parallelism: int = 8):
+    def __init__(
+        self,
+        spark: SparkSession,
+        checksum_enabled: bool = True,
+        parallelism: int = 8,
+        split_threshold_bytes: int = DEFAULT_SPLIT_THRESHOLD,
+        split_chunk_bytes: int = DEFAULT_SPLIT_CHUNK,
+    ):
         self.spark = spark
         self.checksum_enabled = checksum_enabled
         self.parallelism = parallelism
+        self.split_threshold_bytes = split_threshold_bytes
+        self.split_chunk_bytes = max(1, split_chunk_bytes)
         self._tasks: dict[str, _Task] = {}
         self._namespace_conf: dict[str, dict] = {}
 
@@ -219,9 +301,12 @@ class CopyJobEngine:
         # (driver holds only the listing, never file contents)
         work: list[tuple] = []
         item_meta = []
+        # Throttled items are never split — the reference throttle is a cap
+        # per item *stream*; N parallel chunks would copy at N*bandwidth.
+        may_split = request.bandwidth is None and self.split_threshold_bytes > 0
         for idx, item in enumerate(request.items):
             src, dst = item.hdfs_path, item.local_path
-            files: list[tuple] = []
+            pairs: list[tuple] = []
             missing = not os.path.exists(src)
             empty_dir = False
             if not missing:
@@ -231,19 +316,34 @@ class CopyJobEngine:
                         for name in names:
                             s = os.path.join(root, name)
                             rel = os.path.relpath(s, src)
-                            entries.append((idx, s, os.path.join(dst, rel)))
-                    files = sorted(entries)
-                    empty_dir = not files
+                            entries.append((s, os.path.join(dst, rel)))
+                    pairs = sorted(entries)
+                    empty_dir = not pairs
                     os.makedirs(dst, exist_ok=True)
                 else:
-                    files = [(idx, src, dst)]
-            item_meta.append({"missing": missing, "empty_dir": empty_dir, "n_files": len(files)})
-            work.extend(files)
+                    pairs = [(src, dst)]
+            n_files = len(pairs)
+            for s, d in pairs:
+                size = os.path.getsize(s)
+                if may_split and size > self.split_threshold_bytes:
+                    # Plan (offset, length) chunk rows. Pre-size the
+                    # destination (a driver-side metadata op, like the
+                    # listing itself) so concurrent chunk writes land in a
+                    # file with no stale bytes past the new EOF.
+                    os.makedirs(os.path.dirname(d) or ".", exist_ok=True)
+                    with open(d, "wb") as f:
+                        f.truncate(size)
+                    for off in range(0, size, self.split_chunk_bytes):
+                        work.append((idx, s, d, off, min(self.split_chunk_bytes, size - off)))
+                else:
+                    work.append((idx, s, d, 0, -1))  # whole-file stream path
+            item_meta.append({"missing": missing, "empty_dir": empty_dir, "n_files": n_files})
 
         results: list = []
         if work:
             wdf = self.spark.createDataFrame(
-                work, schema="item_idx int, src_file string, dst_file string"
+                work,
+                schema="item_idx int, src_file string, dst_file string, offset long, length long",
             ).repartition(min(self.parallelism, max(1, len(work))))
             copier = _make_partition_copier(request.bandwidth, self.checksum_enabled)
             results = (

@@ -122,6 +122,40 @@ def q67(spark, sf_dir):
 
 
 @register(
+    "h_znorm_window",
+    oracle="""SELECT event_id, user_id,
+                     CAST((value - AVG(value) OVER w) / STDDEV_SAMP(value) OVER w
+                          AS DECIMAL(18,6)) AS znorm
+              FROM events
+              WINDOW w AS (PARTITION BY user_id)
+              ORDER BY event_id""",
+    tags=("window", "udf-free-variant"),
+)
+def h_znorm_window(spark, sf_dir):
+    """q67's semantics with NO Python in the plan: per-user z-normalization
+    as built-in window aggregates (avg/stddev_samp OVER user_id). This is
+    the production path — whole-stage-codegen'd, no Arrow transfer, no
+    per-group pandas materialization; q67 remains as the grouped-map
+    applyInPandas surface demo. At 100 TB the two shuffle identically
+    (one exchange on user_id) but this variant keeps the hot loop JVM-side
+    (SURVEY 'UDFs are the slow path')."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id")
+    e = tbl(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    return (
+        e.select(
+            "event_id",
+            "user_id",
+            ((F.col("value") - F.avg("value").over(w)) / F.stddev_samp("value").over(w))
+            .cast("decimal(18,6)")
+            .alias("znorm"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@register(
     "h_udtf_generate",
     oracle="""SELECT r_regionkey, unnest(generate_series(1, CAST(r_regionkey AS BIGINT) + 1)) AS i
               FROM region ORDER BY r_regionkey, i""",

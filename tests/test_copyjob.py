@@ -173,6 +173,84 @@ def test_overwrite_existing_destination(spark, tree, tmp_path):
     assert dst.read_bytes() == b"x"
 
 
+def test_split_large_file_chunked_copy(spark, tmp_path):
+    """Byte-range splitting: a file over the threshold is copied as
+    multiple (offset, length) chunk tasks writing disjoint ranges, with
+    per-range verification; the result is byte-identical and reported
+    verified. Sizes straddle chunk boundaries (not a multiple of chunk)."""
+    src = tmp_path / "huge.bin"
+    data = os.urandom(5 * 1024 * 1024 + 123)  # 5 MiB + oddment
+    src.write_bytes(data)
+    eng = CopyJobEngine(
+        spark, parallelism=4, split_threshold_bytes=1024 * 1024, split_chunk_bytes=1024 * 1024
+    )
+    dst = tmp_path / "huge_out.bin"
+    rid = eng.submit(CopyRequest("local", [CopyItem(str(src), str(dst))]))
+    st = eng.status(rid)
+    assert st["status"] == "COMPLETED"
+    item = st["items"][0]
+    assert item["checksumVerified"] is True
+    assert item["bytesCopied"] == len(data)
+    assert dst.read_bytes() == data
+
+
+def test_split_overwrites_larger_stale_destination(spark, tmp_path):
+    """Pre-truncation: chunk writes into an existing LARGER destination
+    must not leave stale bytes past the new EOF (R5 overwrite semantics)."""
+    src = tmp_path / "s.bin"
+    data = os.urandom(2 * 1024 * 1024 + 7)
+    src.write_bytes(data)
+    dst = tmp_path / "d.bin"
+    dst.write_bytes(b"Z" * (4 * 1024 * 1024))  # stale, larger
+    eng = CopyJobEngine(spark, split_threshold_bytes=1024 * 1024, split_chunk_bytes=1024 * 1024)
+    eng.submit(CopyRequest("local", [CopyItem(str(src), str(dst))]))
+    assert dst.stat().st_size == len(data)
+    assert dst.read_bytes() == data
+
+
+def test_split_mixed_tree_small_files_unsplit(spark, tmp_path):
+    """A tree mixing one big file and small ones: big file splits, small
+    files take the whole-file stream path; rollup sums bytes across both."""
+    src = tmp_path / "mix"
+    src.mkdir()
+    big = os.urandom(3 * 1024 * 1024)
+    (src / "big.bin").write_bytes(big)
+    (src / "small.txt").write_bytes(b"tiny")
+    dst = tmp_path / "mix_out"
+    eng = CopyJobEngine(spark, split_threshold_bytes=1024 * 1024, split_chunk_bytes=1024 * 1024)
+    rid = eng.submit(CopyRequest("local", [CopyItem(str(src), str(dst))]))
+    st = eng.status(rid)
+    item = st["items"][0]
+    assert item["status"] == "COMPLETED"
+    assert item["checksumVerified"] is True
+    assert item["bytesCopied"] == len(big) + 4
+    assert (dst / "big.bin").read_bytes() == big
+    assert (dst / "small.txt").read_bytes() == b"tiny"
+
+
+def test_throttled_item_never_split(spark, tmp_path):
+    """Bandwidth cap is per item stream (reference R7): splitting a
+    throttled file would multiply the effective rate, so it must not split.
+    2 MiB at 1 MB/s must take >= ~1.6 s; if it had split into 2 parallel
+    chunks it would finish in about half that."""
+    src = tmp_path / "cap.bin"
+    src.write_bytes(os.urandom(2 * 1024 * 1024))
+    eng = CopyJobEngine(
+        spark,
+        checksum_enabled=False,
+        parallelism=4,
+        split_threshold_bytes=1024 * 1024,
+        split_chunk_bytes=1024 * 1024,
+    )
+    t0 = time.monotonic()
+    rid = eng.submit(
+        CopyRequest("local", [CopyItem(str(src), str(tmp_path / "cap_out.bin"))], bandwidth=1)
+    )
+    elapsed = time.monotonic() - t0
+    assert eng.status(rid)["status"] == "COMPLETED"
+    assert elapsed >= 1.5, elapsed
+
+
 def test_namespace_conf_cache_identity(spark):
     """R22: per-namespace config memoized; first configuration wins
     (HdfsFileSystemFactoryTest parity: same namespace -> same cached conf)."""
