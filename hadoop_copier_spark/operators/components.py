@@ -1,0 +1,103 @@
+"""Connected components over a pair/edge DataFrame — the clustering step a
+near-dup pipeline needs after LSH verification: candidate pairs form a
+graph; each connected component is one duplicate cluster, and the minimum
+doc id in the component is the canonical representative.
+
+Algorithm: Hash-Min label propagation with pointer jumping (path
+compression). Each round does
+  (1) neighbor step   comp[u] <- min(comp[u], min_{v in N(u)} comp[v])
+  (2) jumping step    comp[u] <- min(comp[u], comp[comp[u]])
+Pointer jumping halves label-chain depth per round, so convergence is
+O(log diameter) rounds instead of O(diameter) for plain propagation — the
+difference between ~40 and ~2^40 for a pathological chain. This is the
+MapReduce-CC family of Kiveris et al., "Connected Components in MapReduce
+and Beyond" (SoCC'14), expressed as DataFrame joins.
+
+At 100 TB: labels and edges are both shuffled on their join keys each
+round; edge count, not node count, dominates. State per round is one
+(node, comp) table — localCheckpoint truncates the growing lineage so the
+plan stays flat (without it, round k replays rounds 1..k-1). The driver
+only ever sees a 1-row convergence probe per round, never data.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    nodes: Optional[DataFrame] = None,
+    max_iter: int = 50,
+) -> DataFrame:
+    """Return (node, component) where component = MIN node id reachable
+    from `node` over the undirected edge set. `nodes` (optional, single
+    column named like `src`) adds isolated vertices, which label
+    themselves."""
+    sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    # materialize once: every round joins against sym, and without this the
+    # whole upstream edge derivation (e.g. tokenize + Jaccard verify) would
+    # re-execute per round
+    sym = (
+        sym.union(sym.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .localCheckpoint()
+    )
+    lab = sym.select("u")
+    if nodes is not None:
+        lab = lab.union(nodes.select(F.col(nodes.columns[0]).alias("u")))
+    labels = (
+        lab.distinct().select(F.col("u").alias("node"), F.col("u").alias("comp"))
+    ).localCheckpoint()
+
+    for _ in range(max_iter):
+        # (1) neighbor step: pull the min label across incoming edges
+        nbr = (
+            sym.join(labels, sym.v == labels.node)
+            .groupBy("u")
+            .agg(F.min("comp").alias("nmin"))
+        )
+        stepped = (
+            labels.join(nbr, labels.node == nbr.u, "left")
+            .select(
+                "node",
+                F.least(F.col("comp"), F.coalesce(F.col("nmin"), F.col("comp"))).alias("comp"),
+            )
+        )
+        # (2) pointer jumping: follow the label chain (comp <- comp[comp]),
+        # applied twice per round — label-chain depth shrinks ~4x per round
+        # for one extra tiny self-join, fewer rounds = fewer Spark jobs
+        jumped = stepped
+        for _ in range(2):
+            hop = jumped.select(F.col("node").alias("cnode"), F.col("comp").alias("ccomp"))
+            jumped = jumped.join(hop, jumped.comp == hop.cnode, "left").select(
+                "node",
+                F.least(F.col("comp"), F.coalesce(F.col("ccomp"), F.col("comp"))).alias("comp"),
+            )
+        jumped = jumped.localCheckpoint()
+        changed = (
+            jumped.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
+                   nodes: Optional[DataFrame] = None) -> DataFrame:
+    """Cluster near-dup pairs: (doc_id, cluster_id) with cluster_id the
+    minimum doc id of the duplicate cluster (the canonical doc to keep).
+    Feed it the output of near_dup_pairs(); singleton docs (no pair) keep
+    themselves when `nodes` supplies the full id set."""
+    cc = connected_components(pairs, src=id_a, dst=id_b, nodes=nodes)
+    return cc.select(F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id"))

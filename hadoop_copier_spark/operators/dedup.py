@@ -136,6 +136,34 @@ def near_dup_pairs(
     )
 
 
+def window_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    offsets: tuple = (1, 2),
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Deterministic candidate pairs: exact token-set Jaccard >= threshold
+    between doc i and docs i+offset. The OR-of-offsets condition is
+    expressed as explode(offsets) + single equi-join so Catalyst plans a
+    hash join — writing `b.id = a.id+1 OR b.id = a.id+2` directly degrades
+    to a BroadcastNestedLoopJoin (all-pairs scan) at any scale."""
+    d = df.select(
+        F.col(id_col), F.array_distinct(F.split(F.lower(F.col(text_col)), " ")).alias("toks")
+    )
+    a = d.select(
+        id_col, "toks", F.explode(F.array(*[F.lit(o) for o in offsets])).alias("off")
+    ).alias("a")
+    b = d.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
+    union_ = F.size(F.col("a.toks")) + F.size(F.col("b.toks")) - inter
+    return (
+        a.join(b, F.col(f"b.{id_col}") == F.col(f"a.{id_col}") + F.col("a.off"))
+        .filter((inter.cast("double") / union_) >= threshold)
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+    )
+
+
 def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """64-bit SimHash over word tokens (vectorized pandas UDF): identical
     texts -> identical hash; near-identical -> small Hamming distance."""

@@ -329,6 +329,46 @@ def h_ngram_jaccard(spark, sf_dir):
     )
 
 
+@register(
+    "p_dedup_clusters",
+    oracle="""WITH RECURSIVE
+              t AS MATERIALIZED (SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS toks
+                    FROM documents),
+              p AS MATERIALIZED (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                    FROM t a JOIN t b ON b.doc_id IN (a.doc_id + 1, a.doc_id + 2)
+                    WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                          / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
+                          >= 0.7),
+              edges AS MATERIALIZED (SELECT id_a AS u, id_b AS v FROM p
+                        UNION SELECT id_b, id_a FROM p),
+              reach(u, v) AS (
+                SELECT doc_id, doc_id FROM t
+                UNION
+                SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v
+              )
+              SELECT u AS doc_id, MIN(v) AS cluster_id
+              FROM reach GROUP BY u ORDER BY doc_id""",
+    tags=("llm", "dedup", "components"),
+)
+def p_dedup_clusters(spark, sf_dir):
+    """Near-dup clustering: pairs (token-Jaccard >= 0.7 over a deterministic
+    +-1/+-2 doc-id candidate window) form a graph; every doc gets the MIN
+    doc_id of its connected component as cluster_id — the canonical-doc
+    assignment step that follows LSH verification in a dedup pipeline.
+
+    Spark side: distributed Hash-Min + pointer-jumping label propagation
+    (operators/components.py, O(log diameter) rounds). Oracle: DuckDB
+    recursive CTE computing min-reachable over the same edge set. The
+    candidate window is expressed as an explode(offsets) equi-join so the
+    pair scan stays a hash join (no BNLJ from an OR-of-equalities)."""
+    from ..operators.components import dedup_clusters
+    from ..operators.dedup import window_jaccard_pairs
+
+    d = tbl(spark, sf_dir, "documents")
+    pairs = window_jaccard_pairs(d, "doc_id", "text", offsets=(1, 2), threshold=0.7)
+    return dedup_clusters(pairs, nodes=d.select("doc_id")).orderBy("doc_id")
+
+
 @register("p_ann_ivf", oracle=None, tags=("llm", "similarity", "approx"))
 def p_ann_ivf(spark, sf_dir):
     """P-class: IVF approximate nearest neighbors — the second scale path

@@ -11,4 +11,5 @@ from .jobs import (  # noqa: F401
     stream_dedup,
     stream_static_join_counts,
     stream_running_counts,
+    stream_stream_join,
 )

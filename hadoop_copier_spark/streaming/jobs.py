@@ -76,6 +76,48 @@ def stream_static_join_counts(spark: SparkSession, src_dir: str, customer: DataF
     )
 
 
+def stream_stream_join(spark: SparkSession, src_dir: str, queryName: str):
+    """Stream-stream inner join with event-time range condition: each click
+    joined to same-user purchases within [click_ts, click_ts + 30 min].
+
+    Both sides carry a 1-hour watermark, and the join has a time-range
+    constraint, so the state store holds only ~watermark+range worth of
+    rows per side — bounded state at any scale (unbounded-state stream
+    joins are rejected by Spark's UnsupportedOperationChecker). Inner join
+    emits eagerly as matches arrive, so after processAllAvailable the memory
+    sink equals the batch self-join. At 100 TB both sides shuffle once on
+    user_id; skewed hot users are bounded by the time-range predicate."""
+    events = _read_stream(spark, src_dir)
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "inner",
+    ).select("click_id", "purchase_id", F.col("c_user").alias("user_id"))
+    return (
+        joined.writeStream.outputMode("append").format("memory").queryName(queryName).start()
+    )
+
+
 def stream_running_counts(spark: SparkSession, src_dir: str, queryName: str):
     """Stateful per-key aggregation (update mode): running event count per
     user; at end-of-stream the latest value per user equals the batch count."""

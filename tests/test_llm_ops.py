@@ -133,3 +133,59 @@ def test_ann_ivf_recall_vs_brute_force(spark, sf_oracle):
     # 4-probe of 16 clusters scans ~25% of vectors; near-neighbors
     # concentrate in probed clusters so recall should beat that baseline
     assert sum(recalls) / len(recalls) >= 0.3, recalls
+
+
+def test_connected_components_hand_graph(spark):
+    """Chain (needs multi-hop propagation), separate triangle, isolated
+    node: labels must be the exact component minima."""
+    from hadoop_copier_spark.operators.components import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6),  # chain 1..6
+         (10, 11), (11, 12), (10, 12)],           # triangle
+        "src long, dst long",
+    )
+    nodes = spark.createDataFrame([(99,), (1,)], "id long").select("id")
+    got = {
+        r["node"]: r["comp"]
+        for r in connected_components(edges, nodes=nodes).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1,
+                   10: 10, 11: 10, 12: 10, 99: 99}
+
+
+def test_dedup_clusters_match_union_find(spark, sf_oracle):
+    """p_dedup_clusters vs a driver-side union-find over the same pair set
+    (independent of both the Spark propagation and the SQL oracle)."""
+    rows = REGISTRY["p_dedup_clusters"].fn(spark, sf_oracle).collect()
+    got = {r["doc_id"]: r["cluster_id"] for r in rows}
+
+    # recompute the query's own pair set exactly (window +-1/+-2, j >= 0.7)
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_oracle}/documents.parquet')"
+    )
+    pairs = con.execute(
+        """WITH t AS (SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS toks
+                      FROM documents)
+           SELECT a.doc_id, b.doc_id FROM t a
+           JOIN t b ON b.doc_id IN (a.doc_id + 1, a.doc_id + 2)
+           WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                 / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.7"""
+    ).fetchall()
+    parent = {d: d for d in got}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in pairs:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    expected = {d: find(d) for d in parent}
+    assert got == expected

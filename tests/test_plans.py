@@ -82,3 +82,16 @@ def test_scan_count_star_reads_no_data_columns(spark, sf_oracle):
     text = explain_str(df)
     read_schema = text.split("ReadSchema:")[1].split("\n")[0]
     assert read_schema.strip().rstrip(">") in ("struct<", "struct"), read_schema
+
+
+def test_window_jaccard_pairs_hash_join_not_bnlj(spark, sf_oracle):
+    """The +-k candidate window must plan as explode + equi hash join; an
+    OR-of-equalities spelling degrades to BroadcastNestedLoopJoin (all
+    pairs compared) which does not survive scale."""
+    from hadoop_copier_spark.operators.dedup import window_jaccard_pairs
+    from hadoop_copier_spark.tables import load_table
+
+    d = load_table(spark, sf_oracle, "documents")
+    text = explain_str(window_jaccard_pairs(d, "doc_id", "text"))
+    assert "BroadcastNestedLoopJoin" not in text
+    assert "CartesianProduct" not in text

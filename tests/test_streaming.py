@@ -21,6 +21,7 @@ from hadoop_copier_spark.streaming import (
     stream_dedup,
     stream_running_counts,
     stream_static_join_counts,
+    stream_stream_join,
     stream_tumbling_counts,
 )
 from hadoop_copier_spark.tables import load_table
@@ -101,6 +102,38 @@ def test_stream_stateful_running_counts_equal_batch(spark, replay_dir):
         for r in load_table(spark, SF, "events").groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert got == batch
+
+
+def test_stream_stream_join_equals_batch(spark, replay_dir):
+    """Stream-stream inner join (watermarked both sides, time-range
+    condition) over the replayed chunks equals the batch self-join."""
+    q = stream_stream_join(spark, replay_dir, "t_ssj")
+    try:
+        q.processAllAvailable()
+        got = {(r["click_id"], r["purchase_id"]) for r in _rows(spark, "t_ssj")}
+    finally:
+        q.stop()
+    e = load_table(spark, SF, "events")
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("click_ts")
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    batch = {
+        (r["click_id"], r["purchase_id"])
+        for r in c.join(
+            p,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("purchase_ts") >= F.col("click_ts"))
+            & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
+            "inner",
+        ).collect()
+    }
+    assert got == batch
+    assert batch, "fixture produced no click->purchase pairs; test is vacuous"
 
 
 def test_watermark_drops_late_event(spark, tmp_path):
