@@ -1,0 +1,62 @@
+"""Layout-maintenance checks: small-file compaction and clustered rewrite
+(operators/layout.py). The scale claim under test: compaction reduces a
+fragmented directory to ceil(bytes/target) files, and the clustered
+rewrite yields disjoint per-file key ranges (the property that makes
+row-group min/max pruning selective)."""
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from hadoop_copier_spark.operators.layout import compact_parquet
+from hadoop_copier_spark.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _fragment(spark, dst, n_files):
+    e = load_table(spark, SF, "events")
+    e.repartition(n_files).write.mode("overwrite").parquet(dst)
+    return e.count()
+
+
+def test_compaction_reduces_file_count_preserves_rows(spark, tmp_path):
+    src = str(tmp_path / "frag")
+    dst = str(tmp_path / "compact")
+    rows = _fragment(spark, src, 40)
+    assert len(glob.glob(os.path.join(src, "part-*"))) == 40
+    total = sum(os.path.getsize(p) for p in glob.glob(os.path.join(src, "part-*")))
+    target = total // 3  # expect ~3-4 output files
+    m = compact_parquet(spark, src, dst, target_file_bytes=target)
+    assert m["rows"] == rows
+    assert m["files_before"] == 40
+    assert m["files_after"] <= 5
+    # content equality, order-independent
+    a = spark.read.parquet(src).orderBy("event_id").collect()
+    b = spark.read.parquet(dst).orderBy("event_id").collect()
+    assert a == b
+
+
+def test_clustered_rewrite_disjoint_key_ranges(spark, tmp_path):
+    src = str(tmp_path / "frag2")
+    dst = str(tmp_path / "clustered")
+    _fragment(spark, src, 20)
+    total = sum(os.path.getsize(p) for p in glob.glob(os.path.join(src, "part-*")))
+    m = compact_parquet(
+        spark, src, dst, target_file_bytes=max(1, total // 4), sort_cols=("ts",)
+    )
+    assert m["files_after"] >= 2
+    # per-file [min_ts, max_ts] must not overlap across files
+    ranges = []
+    for p in sorted(glob.glob(os.path.join(dst, "part-*.parquet"))):
+        r = (
+            spark.read.parquet(p)
+            .agg(F.min("ts").alias("lo"), F.max("ts").alias("hi"))
+            .collect()[0]
+        )
+        if r["lo"] is not None:
+            ranges.append((r["lo"], r["hi"]))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, (hi1, lo2)
