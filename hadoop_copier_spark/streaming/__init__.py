@@ -9,6 +9,7 @@ from .replay import replay_events_chunks, EVENTS_SCHEMA  # noqa: F401
 from .jobs import (  # noqa: F401
     stream_tumbling_counts,
     stream_dedup,
+    stream_dedup_within_watermark,
     stream_static_join_counts,
     stream_running_counts,
     stream_stream_join,

@@ -76,6 +76,25 @@ def stream_static_join_counts(spark: SparkSession, src_dir: str, customer: DataF
     )
 
 
+def stream_dedup_within_watermark(spark: SparkSession, src_dir: str, queryName: str):
+    """dropDuplicatesWithinWatermark: like stream_dedup but state for an id
+    expires once the watermark passes its event time — the production form
+    for unbounded streams, where plain dropDuplicates' state would grow
+    with every distinct id ever seen. Duplicates are only suppressed while
+    their first occurrence is within the watermark delay, which is exactly
+    the dedup contract ingest pipelines want (late replays beyond the
+    window are a reprocessing concern, not a state concern)."""
+    events = _read_stream(spark, src_dir)
+    deduped = events.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(["event_id"])
+    return (
+        deduped.select("event_id", "user_id", "event_type")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(queryName)
+        .start()
+    )
+
+
 def stream_stream_join(spark: SparkSession, src_dir: str, queryName: str):
     """Stream-stream inner join with event-time range condition: each click
     joined to same-user purchases within [click_ts, click_ts + 30 min].

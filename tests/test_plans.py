@@ -95,3 +95,24 @@ def test_window_jaccard_pairs_hash_join_not_bnlj(spark, sf_oracle):
     text = explain_str(window_jaccard_pairs(d, "doc_id", "text"))
     assert "BroadcastNestedLoopJoin" not in text
     assert "CartesianProduct" not in text
+
+
+def test_partition_pruning_on_partitioned_layout(spark, sf_oracle, tmp_path):
+    """q05's partitioned layout must actually prune: a filter on the
+    partition column appears under PartitionFilters in the scan (directory
+    skip), not as a data filter over all files."""
+    from hadoop_copier_spark.tables import load_table
+
+    out = str(tmp_path / "orders_by_status")
+    load_table(spark, sf_oracle, "orders").write.mode("overwrite").partitionBy(
+        "o_orderstatus"
+    ).parquet(out)
+    df = (
+        spark.read.parquet(out)
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    text = explain_str(df)
+    assert "PartitionFilters" in text
+    after = text.split("PartitionFilters", 1)[1][:250]
+    assert "o_orderstatus" in after, after

@@ -19,6 +19,7 @@ from hadoop_copier_spark.streaming import (
     EVENTS_SCHEMA,
     replay_events_chunks,
     stream_dedup,
+    stream_dedup_within_watermark,
     stream_running_counts,
     stream_static_join_counts,
     stream_stream_join,
@@ -65,6 +66,25 @@ def test_stream_dedup_resent_events_once(spark, tmp_path):
         e.coalesce(1).write.mode("overwrite").parquet(os.path.join(src, "b2"))
         q.processAllAvailable()
         rows = _rows(spark, "t_dedup")
+    finally:
+        q.stop()
+    ids = [r["event_id"] for r in rows]
+    assert len(ids) == len(set(ids)) == 100
+
+
+def test_stream_dedup_within_watermark_resent_once(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: duplicates re-sent while still inside
+    the watermark delay are suppressed; state expires with the watermark
+    instead of growing forever (the unbounded-stream dedup contract)."""
+    src = str(tmp_path / "dedup_wm_src")
+    e = load_table(spark, SF, "events").limit(100)
+    e.coalesce(1).write.mode("overwrite").parquet(os.path.join(src, "b1"))
+    q = stream_dedup_within_watermark(spark, src, "t_dedup_wm")
+    try:
+        q.processAllAvailable()
+        e.coalesce(1).write.mode("overwrite").parquet(os.path.join(src, "b2"))
+        q.processAllAvailable()
+        rows = _rows(spark, "t_dedup_wm")
     finally:
         q.stop()
     ids = [r["event_id"] for r in rows]
