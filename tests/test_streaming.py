@@ -316,3 +316,47 @@ def test_stream_session_window_equals_batch(spark, tmp_path):
         for r in REGISTRY["q63"].fn(spark, SF).collect()
     }
     assert got == batch
+
+
+def test_max_bytes_per_trigger_bounds_batch_ingest(spark, tmp_path):
+    """Rate control, bytes form (reference R7 parity alongside
+    maxFilesPerTrigger): capping bytes per micro-batch splits a 4-file
+    backlog into multiple batches; an uncapped reader drains it in one."""
+    base = str(tmp_path / "mbt_src")
+    e = load_table(spark, SF, "events").limit(200)
+    sizes = []
+    for i in range(4):
+        p = os.path.join(base, f"b{i}")
+        e.coalesce(1).write.mode("overwrite").parquet(p)
+        sizes += [
+            os.path.getsize(os.path.join(p, n))
+            for n in os.listdir(p)
+            if n.endswith(".parquet")
+        ]
+
+    def run(opts, name):
+        r = spark.readStream.schema(EVENTS_SCHEMA)
+        for k, v in opts.items():
+            r = r.option(k, v)
+        stream = r.option("recursiveFileLookup", "true").parquet(base)
+        q = (
+            stream.groupBy()
+            .count()
+            .writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            n_batches = len(q.recentProgress)
+            total = spark.sql(f"SELECT * FROM {name}").collect()[0]["count"]
+        finally:
+            q.stop()
+        return n_batches, total
+
+    capped_batches, capped_total = run({"maxBytesPerTrigger": str(max(sizes) + 10)}, "t_mbt")
+    uncapped_batches, uncapped_total = run({}, "t_mbt_un")
+    assert capped_total == uncapped_total == 800
+    assert uncapped_batches == 1
+    assert capped_batches >= 3, capped_batches
