@@ -262,3 +262,33 @@ def test_namespace_conf_cache_identity(spark):
     assert eng.namespace_conf("ns2") is None
     eng.configure_namespace("ns2", {"fs.defaultFS": "hdfs://nn2"})
     assert eng.namespace_conf("ns2")["fs.defaultFS"] == "hdfs://nn2"
+
+
+from hypothesis import given, settings, strategies as st
+
+from hadoop_copier_spark.copyjob import _copy_one_range
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    data=st.binary(min_size=0, max_size=300_000),
+    chunk=st.integers(min_value=1, max_value=70_000),
+)
+def test_range_copy_reassembles_any_file(tmp_path_factory, data, chunk):
+    """Property: for ANY content and ANY chunk size, copying every
+    (offset, length) range reproduces the file byte-for-byte and every
+    range verifies (the byte-range splitting kernel, minus Spark)."""
+    base = tmp_path_factory.mktemp("prop")
+    src, dst = str(base / "s.bin"), str(base / "d.bin")
+    with open(src, "wb") as f:
+        f.write(data)
+    with open(dst, "wb") as f:
+        f.truncate(len(data))  # planner pre-sizing
+    total = 0
+    for off in range(0, len(data), chunk):
+        n, ok = _copy_one_range(src, dst, off, min(chunk, len(data) - off), checksum=True)
+        assert ok
+        total += n
+    assert total == len(data)
+    with open(dst, "rb") as f:
+        assert f.read() == data

@@ -189,3 +189,38 @@ def test_dedup_clusters_match_union_find(spark, sf_oracle):
             parent[max(ru, rv)] = min(ru, rv)
     expected = {d: find(d) for d in parent}
     assert got == expected
+
+
+def test_connected_components_random_graphs_match_union_find(spark):
+    """Seeded random graphs (self-loops, duplicate edges, singletons,
+    multi-component) — distributed labels must equal union-find exactly."""
+    import random
+
+    from hadoop_copier_spark.operators.components import connected_components
+
+    rng = random.Random(7)
+    for trial in range(4):
+        n = rng.randint(5, 40)
+        m = rng.randint(1, 60)
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+        edges += [(e, e) for e in (0, n - 1)]  # explicit self-loops
+        edf = spark.createDataFrame(edges, "src long, dst long")
+        ndf = spark.createDataFrame([(i,) for i in range(n)], "id long")
+        got = {
+            r["node"]: r["comp"]
+            for r in connected_components(edf, nodes=ndf).collect()
+        }
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for u, v in edges:
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                parent[max(ru, rv)] = min(ru, rv)
+        expected = {i: find(i) for i in range(n)}
+        assert got == expected, f"trial {trial}"
