@@ -48,6 +48,72 @@ def _total_input_bytes(df: DataFrame) -> int:
     return total
 
 
+def _interleave_bits(cols, bits: int = 16):
+    """Bit-interleave k bucketized int columns (each 0..2^bits-1) into one
+    Z-order key: bit i of column j lands at position i*k + j. Pure Column
+    expressions — shift/and/or stay inside whole-stage codegen, no UDF."""
+    from pyspark.sql.functions import lit, shiftleft, shiftright
+
+    k = len(cols)
+    z = lit(0)
+    for i in range(bits):
+        for j, c in enumerate(cols):
+            z = z.bitwiseOR(shiftleft(shiftright(c, i).bitwiseAND(lit(1)), i * k + j))
+    return z
+
+
+def zorder_rewrite(
+    spark: SparkSession,
+    src_dir: str,
+    dst_dir: str,
+    cols: tuple,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    bits: int = 16,
+) -> dict:
+    """Multi-dimension clustered rewrite (the OPTIMIZE ZORDER pattern):
+    bucketize each cluster column to 2^bits levels, bit-interleave into a
+    Z-order key, then range-partition + sort on that key. Files then cover
+    small hyper-rectangles of the key space instead of slabs of one
+    column, so min/max row-group pruning is selective on EVERY clustered
+    column at once — single-column sort helps queries on that column only.
+
+    Bucketization here is equal-width from global min/max (one metadata
+    aggregate; stays JVM-side). Under heavy value skew, production would
+    swap in equal-depth bounds from approxQuantile — the interleave and
+    write path are unchanged. One shuffle (range exchange), like
+    compact_parquet."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(src_dir)
+    total = _total_input_bytes(df)
+    n = max(1, math.ceil(total / target_file_bytes))
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"__lo_{c}"), F.max(c).alias(f"__hi_{c}")]
+    b = df.agg(*aggs).collect()[0]
+    bucketized = [
+        (
+            F.width_bucket(
+                F.col(c).cast("double"),
+                F.lit(float(b[f"__lo_{c}"])),
+                F.lit(float(b[f"__hi_{c}"])),
+                F.lit(2**bits - 1),
+            )
+            - 1
+        ).cast("long")
+        for c in cols
+    ]
+    out = (
+        df.withColumn("__z", _interleave_bits(bucketized, bits=bits))
+        .repartitionByRange(n, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    )
+    out.write.mode("overwrite").parquet(dst_dir)
+    after = spark.read.parquet(dst_dir)
+    return {"files_after": len(after.inputFiles()), "bytes": total, "rows": after.count()}
+
+
 def compact_parquet(
     spark: SparkSession,
     src_dir: str,

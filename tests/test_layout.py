@@ -60,3 +60,41 @@ def test_clustered_rewrite_disjoint_key_ranges(spark, tmp_path):
     ranges.sort()
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2, (hi1, lo2)
+
+
+def test_zorder_rewrite_clusters_both_dimensions(spark, tmp_path):
+    """Z-order on (user_id, value): every output file must cover a small
+    rectangle of the 2-D key space. A single-column sort slabs one
+    dimension and leaves the other spanning ~the full range; Z-order
+    bounds BOTH, which is what makes min/max pruning selective for
+    filters on either column."""
+    from hadoop_copier_spark.operators.layout import zorder_rewrite
+
+    src = str(tmp_path / "zsrc")
+    dst = str(tmp_path / "zdst")
+    rows = _fragment(spark, src, 20)
+    total = sum(os.path.getsize(p) for p in glob.glob(os.path.join(src, "part-*")))
+    m = zorder_rewrite(spark, src, dst, cols=("user_id", "value"),
+                       target_file_bytes=max(1, total // 8))
+    assert m["rows"] == rows
+    assert m["files_after"] >= 4
+    g = (
+        spark.read.parquet(dst)
+        .agg(F.min("user_id"), F.max("user_id"), F.min("value"), F.max("value"))
+        .collect()[0]
+    )
+    gu = (g[1] - g[0]) or 1
+    gv = (g[3] - g[2]) or 1.0
+    areas = []
+    for p in sorted(glob.glob(os.path.join(dst, "part-*.parquet"))):
+        r = (
+            spark.read.parquet(p)
+            .agg(F.min("user_id"), F.max("user_id"), F.min("value"), F.max("value"))
+            .collect()[0]
+        )
+        if r[0] is None:
+            continue
+        areas.append(((r[1] - r[0]) / gu) * ((r[3] - r[2]) / gv))
+    # random placement gives each file ~the full unit rectangle (area ~1);
+    # z-order files must average well under half of it
+    assert areas and sum(areas) / len(areas) < 0.5, areas
