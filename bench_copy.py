@@ -62,6 +62,30 @@ def main() -> None:
     dt2 = time.perf_counter() - t0
     mbps_throttled = 64.0 / dt2
 
+    # Split-vs-unsplit: ONE 1 GiB file — the skew case file-granular
+    # parallelism can't touch. Unsplit = single stream; split = 8 parallel
+    # 128 MiB byte-range chunks with per-range verification.
+    huge = os.path.join(base, "huge.bin")
+    payload = os.urandom(1024 * 1024)
+    with open(huge, "wb") as f:
+        for _ in range(1024):
+            f.write(payload)
+    eng_nosplit = CopyJobEngine(
+        spark, checksum_enabled=True, parallelism=8, split_threshold_bytes=0
+    )
+    t0 = time.perf_counter()
+    eng_nosplit.submit(
+        CopyRequest("local", [CopyItem(huge, os.path.join(base, "huge_nosplit.bin"))])
+    )
+    mbps_nosplit = 1024.0 / (time.perf_counter() - t0)
+    eng_split = CopyJobEngine(spark, checksum_enabled=True, parallelism=8)
+    t0 = time.perf_counter()
+    rid3 = eng_split.submit(
+        CopyRequest("local", [CopyItem(huge, os.path.join(base, "huge_split.bin"))])
+    )
+    mbps_split = 1024.0 / (time.perf_counter() - t0)
+    st3 = eng_split.status(rid3)
+
     print(
         json.dumps(
             {
@@ -72,6 +96,9 @@ def main() -> None:
                 "bench5_cap_MBps": 10,
                 "bench5_measured_MBps": round(mbps_throttled, 2),
                 "bench5_within_bounds": bool(8.0 <= mbps_throttled <= 12.0),
+                "single_1GiB_file_unsplit_MBps": round(mbps_nosplit, 2),
+                "single_1GiB_file_split_MBps": round(mbps_split, 2),
+                "split_verified": st3["items"][0]["checksumVerified"],
                 "tree_bytes": total,
             }
         )

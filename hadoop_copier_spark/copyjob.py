@@ -189,7 +189,9 @@ def _copy_one_range(src: str, dst: str, offset: int, length: int, checksum: bool
                 remaining -= len(chunk)
         if not checksum:
             return total, False
-        os.fsync(fd)
+        # no fsync: verification needs read-your-writes (page-cache
+        # guaranteed through the same fd), not durability; fsync per chunk
+        # measured ~25% off the whole split-copy throughput
         dst_digest = hashlib.md5()
         os.lseek(fd, offset, os.SEEK_SET)
         remaining = length

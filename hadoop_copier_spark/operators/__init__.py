@@ -2,3 +2,13 @@
 (SURVEY §4.2 'needs custom work')."""
 
 from .asof import asof_join  # noqa: F401
+from .components import connected_components, dedup_clusters  # noqa: F401
+from .dedup import (  # noqa: F401
+    near_dup_pairs,
+    simhash64,
+    window_jaccard_pairs,
+)
+from .layout import compact_parquet, zorder_rewrite  # noqa: F401
+from .merge import merge_upsert  # noqa: F401
+from .similarity import cosine_topk, ivf_ann_topk, lsh_ann_topk  # noqa: F401
+from .skew import salted_join  # noqa: F401

@@ -115,3 +115,39 @@ def p_multimodal_features(spark, sf_dir):
         .select("sample_id", "modality", "n_bytes", "sha1")
         .orderBy("sample_id")
     )
+
+
+@register("p_layout_maintenance", oracle=None, tags=("parity", "layout"))
+def p_layout_maintenance(spark, sf_dir):
+    """P-class: layout maintenance end-to-end — fragment the events table
+    into 24 small files, then (a) compact to ~4 target-sized files and
+    (b) Z-order rewrite on (user_id, value). Returns one metrics row per
+    op; row counts must survive both rewrites (operators/layout.py; no SQL
+    oracle — file-layout side effects aren't expressible in DuckDB, so the
+    driver records the rows-only check)."""
+    import glob
+
+    from ..operators.layout import compact_parquet, zorder_rewrite
+
+    e = tbl(spark, sf_dir, "events")
+    base = tempfile.mkdtemp(prefix="hcs_layout_")
+    frag = os.path.join(base, "frag")
+    e.repartition(24).write.mode("overwrite").parquet(frag)
+    total = sum(
+        os.path.getsize(p) for p in glob.glob(os.path.join(frag, "part-*"))
+    )
+    target = max(1, total // 4)
+    c = compact_parquet(spark, frag, os.path.join(base, "compact"), target_file_bytes=target)
+    z = zorder_rewrite(
+        spark, frag, os.path.join(base, "zorder"), cols=("user_id", "value"),
+        target_file_bytes=target,
+    )
+    n = e.count()
+    rows = [
+        ("compact", c["files_before"], c["files_after"], c["rows"], c["rows"] == n),
+        ("zorder", 24, z["files_after"], z["rows"], z["rows"] == n),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "op string, files_before int, files_after int, rows long, rows_preserved boolean",
+    ).orderBy("op")
