@@ -360,3 +360,110 @@ def test_max_bytes_per_trigger_bounds_batch_ingest(spark, tmp_path):
     assert capped_total == uncapped_total == 800
     assert uncapped_batches == 1
     assert capped_batches >= 3, capped_batches
+
+
+def test_streaming_ingest_then_compaction_pipeline(spark, tmp_path):
+    """The real small-files lifecycle end-to-end: per-micro-batch
+    foreachBatch appends land one file per batch (the fragmentation
+    streaming ingest actually produces); offline compaction then rewrites
+    the sink to ~target-size files with identical content."""
+    import glob
+
+    from hadoop_copier_spark.operators.layout import compact_parquet
+    from hadoop_copier_spark.streaming import replay_events_chunks
+
+    src = str(tmp_path / "ingest_src")
+    sink = str(tmp_path / "ingest_sink")
+    compacted = str(tmp_path / "ingest_compacted")
+    replay_events_chunks(spark, SF, src, n_chunks=8)
+
+    def append_batch(df, batch_id):
+        df.coalesce(1).write.mode("append").parquet(sink)
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    q = stream.writeStream.foreachBatch(append_batch).option(
+        "checkpointLocation", str(tmp_path / "ckpt")
+    ).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    frag_files = glob.glob(os.path.join(sink, "part-*"))
+    assert len(frag_files) == 8  # one per micro-batch: the problem
+    total = sum(os.path.getsize(p) for p in frag_files)
+    m = compact_parquet(spark, sink, compacted, target_file_bytes=max(1, total // 2))
+    assert m["files_after"] < len(frag_files)
+    batch_rows = load_table(spark, SF, "events").count()
+    assert m["rows"] == batch_rows
+    a = spark.read.parquet(sink).orderBy("event_id").collect()
+    b = spark.read.parquet(compacted).orderBy("event_id").collect()
+    assert a == b
+
+
+def test_streaming_cdc_upsert_foreachbatch(spark, tmp_path):
+    """CDC-apply loop: each micro-batch reduces to latest-row-per-user and
+    is merge_upsert'ed into a copy-on-write parquet table (new generation
+    per batch — never read-and-overwrite the same path in one job). Final
+    table must equal the batch-wide latest-per-user; with Delta/Iceberg on
+    the classpath the same call site becomes MERGE INTO."""
+    from hadoop_copier_spark.operators.merge import merge_upsert
+    from hadoop_copier_spark.streaming import replay_events_chunks
+
+    src = str(tmp_path / "cdc_src")
+    replay_events_chunks(spark, SF, src, n_chunks=6)
+
+    def latest_per_user(df):
+        s = F.max_by(
+            F.struct("ts", "event_id", "value"), F.struct("ts", "event_id")
+        ).alias("s")
+        return (
+            df.groupBy("user_id")
+            .agg(s)
+            .select(
+                "user_id",
+                F.col("s.ts").alias("ts"),
+                F.col("s.event_id").alias("event_id"),
+                F.col("s.value").alias("value"),
+            )
+        )
+
+    state = {"dir": None}
+
+    def apply_cdc(df, batch_id):
+        upd = latest_per_user(df)
+        new_dir = str(tmp_path / f"cdc_gen_{batch_id}")
+        if state["dir"] is None:
+            upd.write.mode("overwrite").parquet(new_dir)
+        else:
+            base = spark.read.parquet(state["dir"])
+            merge_upsert(base, upd, "user_id").write.mode("overwrite").parquet(new_dir)
+        state["dir"] = new_dir
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    q = stream.writeStream.foreachBatch(apply_cdc).option(
+        "checkpointLocation", str(tmp_path / "cdc_ckpt")
+    ).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        r["user_id"]: (r["ts"], r["event_id"], r["value"])
+        for r in spark.read.parquet(state["dir"]).collect()
+    }
+    expected = {
+        r["user_id"]: (r["ts"], r["event_id"], r["value"])
+        for r in latest_per_user(load_table(spark, SF, "events")).collect()
+    }
+    assert got == expected
