@@ -77,7 +77,7 @@ def q62(spark, sf_dir):
                 SELECT *, lag(e) OVER (PARTITION BY user_id ORDER BY e, event_id) AS prev
                 FROM x),
               z AS (
-                SELECT *, SUM(CASE WHEN prev IS NULL OR e - prev >= 1800 THEN 1 ELSE 0 END)
+                SELECT *, SUM(CASE WHEN prev IS NULL OR e - prev > 1800 THEN 1 ELSE 0 END)
                           OVER (PARTITION BY user_id ORDER BY e, event_id
                                 ROWS UNBOUNDED PRECEDING) AS sid
                 FROM y)
@@ -91,9 +91,14 @@ def q62(spark, sf_dir):
 )
 def q63(spark, sf_dir):
     """Session windows (30-minute gap) in batch via session_window(); the
-    oracle is the gaps-and-islands formulation. Gap semantics: an event at
-    exactly prev_ts + 30min starts a NEW session (session end exclusive).
-    ts second-truncated on both sides (rule 3)."""
+    oracle is the gaps-and-islands formulation. Gap semantics (verified
+    empirically against session_window): an event at EXACTLY prev_ts +
+    30min still MERGES into the session (Spark's session end is
+    inclusive for the merge test) — so the island break is e - prev >
+    1800, not >=. The >= spelling passed at sf0.01 (no exact-gap pair
+    exists there) and broke at sf0.1: boundary semantics need a fixture
+    that actually contains the boundary. ts second-truncated on both
+    sides (rule 3)."""
     e = tbl(spark, sf_dir, "events").withColumn("ts_s", F.date_trunc("second", F.col("ts")))
     return (
         e.groupBy(F.session_window("ts_s", "30 minutes").alias("w"), "user_id")
