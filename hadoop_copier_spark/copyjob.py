@@ -86,6 +86,60 @@ class ValidationError(ValueError):
     pass
 
 
+class InvalidRequestBody(ValidationError):
+    """R21 — structurally malformed input, normalized to the reference's
+    'Invalid request body' 400 (m/controller/GlobalExceptionHandler.java:16-20
+    maps HttpMessageNotReadableException before any semantic validation)."""
+
+    def __init__(self):
+        super().__init__("Invalid request body")
+
+
+def normalize_request(body) -> "CopyRequest":
+    """Parse a loosely-typed request body (dict / CopyRequest) into a
+    CopyRequest, raising ``InvalidRequestBody`` for structural problems —
+    the engine analog of Spring's message-deserialization failure. Semantic
+    checks (empty namespace, empty items, bad bandwidth) stay in
+    ``_validate`` with their own verbatim messages, exactly like the
+    reference's two-layer 400 handling."""
+    if isinstance(body, CopyRequest):
+        req = body
+    elif isinstance(body, dict):
+        # unknown keys are ignored (Jackson/Spring default); missing
+        # required fields are a structural failure
+        if "namespace" not in body or "items" not in body:
+            raise InvalidRequestBody()
+        req = CopyRequest(
+            namespace=body["namespace"],
+            items=body["items"],
+            bandwidth=body.get("bandwidth"),
+        )
+    else:
+        raise InvalidRequestBody()
+    if not isinstance(req.namespace, str) or not isinstance(req.items, (list, tuple)):
+        raise InvalidRequestBody()
+    if req.bandwidth is not None and isinstance(req.bandwidth, bool):
+        raise InvalidRequestBody()
+    if req.bandwidth is not None and not isinstance(req.bandwidth, int):
+        raise InvalidRequestBody()
+    items = []
+    for it in req.items:
+        if isinstance(it, CopyItem):
+            pair = (it.hdfs_path, it.local_path)
+        elif isinstance(it, dict):
+            src = it.get("hdfsPath", it.get("hdfs_path"))
+            dst = it.get("localPath", it.get("local_path"))
+            pair = (src, dst)
+        elif isinstance(it, (list, tuple)) and len(it) == 2:
+            pair = tuple(it)
+        else:
+            raise InvalidRequestBody()
+        if not all(isinstance(p, str) for p in pair):
+            raise InvalidRequestBody()
+        items.append(CopyItem(hdfs_path=pair[0], local_path=pair[1]))
+    return CopyRequest(namespace=req.namespace, items=items, bandwidth=req.bandwidth)
+
+
 @dataclass
 class CopyItem:
     hdfs_path: str
@@ -219,7 +273,7 @@ def _make_partition_copier(bandwidth_mb: Optional[int], checksum: bool):
                     raise IOError(f"Source path does not exist: {row.src_file}")
                 if row.length >= 0:  # byte-range chunk of a split file
                     nbytes, verified = _copy_one_range(
-                        row.src_file, row.dst_file, row.offset, row.length, checksum
+                        row.src_file, row.write_path, row.offset, row.length, checksum
                     )
                 else:  # whole file, single stream (reference-parity path)
                     nbytes, verified = _copy_one_file(
@@ -256,6 +310,7 @@ class CopyJobEngine:
         parallelism: int = 8,
         split_threshold_bytes: int = DEFAULT_SPLIT_THRESHOLD,
         split_chunk_bytes: int = DEFAULT_SPLIT_CHUNK,
+        login_fn=None,
     ):
         self.spark = spark
         self.checksum_enabled = checksum_enabled
@@ -264,20 +319,49 @@ class CopyJobEngine:
         self.split_chunk_bytes = max(1, split_chunk_bytes)
         self._tasks: dict[str, _Task] = {}
         self._namespace_conf: dict[str, dict] = {}
+        # Kerberos login seam (m/service/HdfsFileSystemFactory.java:42-56,
+        # UserGroupInformation.loginUserFromKeytab): injectable so tests can
+        # observe/deny logins without a KDC; the default records the call.
+        self.login_fn = login_fn if login_fn is not None else self._default_login
+        self.logins: list[tuple] = []  # (namespace, principal, keytab) audit
 
     # -- namespace configuration (R22 parity) ------------------------------
+
+    _HADOOP_KEY_PREFIXES = ("fs.", "dfs.", "hadoop.", "ha.")
+
+    def _default_login(self, namespace: str, principal: str, keytab: str) -> None:
+        """Record-only login stub. On a secured cluster replace with a
+        ``UserGroupInformation.loginUserFromKeytab`` bridge via the JVM
+        gateway; the sandbox has no KDC so the default only audits."""
+        self.logins.append((namespace, principal, keytab))
 
     def configure_namespace(self, namespace: str, conf: dict) -> dict:
         """Memoized per-namespace source configuration — the engine form of
         the reference's per-namespace Hadoop Configuration cache
         (m/service/HdfsFileSystemFactory.java:22-60, computeIfAbsent :30).
 
-        On a real cluster the dict holds Hadoop/Kerberos options
-        (fs.defaultFS, kerberos principal/keytab) applied via
-        ``spark.sparkContext.hadoopConfiguration`` or per-path
-        ``fs.*`` options; locally it's a path-prefix mapping. Like the
-        reference, the first configuration wins (cache identity)."""
-        return self._namespace_conf.setdefault(namespace, dict(conf))
+        First configuration wins (cache identity), and ONLY the first
+        configuration has side effects, exactly like computeIfAbsent:
+        - every ``fs.*``/``dfs.*``/``hadoop.*``/``ha.*`` key is applied to
+          ``spark.sparkContext.hadoopConfiguration`` (the engine's analog of
+          the per-namespace Configuration object — Spark's Hadoop FS layer
+          reads these for any path it opens);
+        - if ``kerberos.principal`` + ``kerberos.keytab`` are present,
+          ``login_fn(namespace, principal, keytab)`` is invoked
+          (HdfsFileSystemFactory.java:42-56 parity, mockable seam)."""
+        if namespace in self._namespace_conf:
+            return self._namespace_conf[namespace]
+        applied = dict(conf)
+        hconf = self.spark.sparkContext._jsc.hadoopConfiguration()
+        for key, value in conf.items():
+            if isinstance(key, str) and key.startswith(self._HADOOP_KEY_PREFIXES):
+                hconf.set(key, str(value))
+        principal = conf.get("kerberos.principal")
+        keytab = conf.get("kerberos.keytab")
+        if principal and keytab:
+            self.login_fn(namespace, principal, keytab)
+        self._namespace_conf[namespace] = applied
+        return applied
 
     def namespace_conf(self, namespace: str) -> Optional[dict]:
         return self._namespace_conf.get(namespace)
@@ -288,7 +372,8 @@ class CopyJobEngine:
         """Validate, plan (driver-side listing -> work-list), execute on the
         cluster, roll up status. Synchronous: Spark's action is the barrier
         the reference built with a CountDownLatch (R12)."""
-        _validate(request)
+        request = normalize_request(request)  # R21: structural 400 first
+        _validate(request)  # then semantic 400s, messages verbatim
         request_id = str(uuid.uuid4())  # R10
         task = _Task(
             request_id=request_id,
@@ -303,6 +388,7 @@ class CopyJobEngine:
         # (driver holds only the listing, never file contents)
         work: list[tuple] = []
         item_meta = []
+        split_tmp: dict[str, str] = {}  # final dst -> temp chunk target
         # Throttled items are never split — the reference throttle is a cap
         # per item *stream*; N parallel chunks would copy at N*bandwidth.
         may_split = request.bandwidth is None and self.split_threshold_bytes > 0
@@ -328,29 +414,59 @@ class CopyJobEngine:
             for s, d in pairs:
                 size = os.path.getsize(s)
                 if may_split and size > self.split_threshold_bytes:
-                    # Plan (offset, length) chunk rows. Pre-size the
-                    # destination (a driver-side metadata op, like the
-                    # listing itself) so concurrent chunk writes land in a
-                    # file with no stale bytes past the new EOF.
+                    # Plan (offset, length) chunk rows against a TEMP
+                    # destination, pre-sized (driver-side metadata op) so
+                    # concurrent chunk writes land in a file with no stale
+                    # bytes past the new EOF. The temp is renamed over the
+                    # real destination only when EVERY chunk succeeds —
+                    # a failed split item must not leave a full-size file
+                    # of garbage ranges (whole-file-path / reference
+                    # failure semantics: at most a partial file).
+                    tmp = d + ".__hcs_tmp__"
                     os.makedirs(os.path.dirname(d) or ".", exist_ok=True)
-                    with open(d, "wb") as f:
+                    with open(tmp, "wb") as f:
                         f.truncate(size)
+                    split_tmp[d] = tmp
                     for off in range(0, size, self.split_chunk_bytes):
-                        work.append((idx, s, d, off, min(self.split_chunk_bytes, size - off)))
+                        work.append(
+                            (idx, s, d, off, min(self.split_chunk_bytes, size - off), tmp)
+                        )
                 else:
-                    work.append((idx, s, d, 0, -1))  # whole-file stream path
+                    work.append((idx, s, d, 0, -1, d))  # whole-file stream path
             item_meta.append({"missing": missing, "empty_dir": empty_dir, "n_files": n_files})
 
         results: list = []
         if work:
             wdf = self.spark.createDataFrame(
                 work,
-                schema="item_idx int, src_file string, dst_file string, offset long, length long",
+                schema="item_idx int, src_file string, dst_file string, "
+                "offset long, length long, write_path string",
             ).repartition(min(self.parallelism, max(1, len(work))))
             copier = _make_partition_copier(request.bandwidth, self.checksum_enabled)
             results = (
                 wdf.rdd.mapPartitions(copier).toDF(RESULT_SCHEMA).collect()
             )  # results are per-file metadata rows, not data
+
+        # Finalize split files: rename temp over destination only when every
+        # chunk landed; otherwise drop the temp (failure leaves no full-size
+        # garbage file — ADVICE round 1).
+        rename_errors: dict[str, str] = {}
+        for dst, tmp in split_tmp.items():
+            chunk_rows = [r for r in results if r["dst_file"] == dst]
+            if chunk_rows and all(r["status"] == "COMPLETED" for r in chunk_rows):
+                try:
+                    os.replace(tmp, dst)
+                except OSError as e:
+                    rename_errors[dst] = f"Finalize rename failed for {dst}: {e}"
+                    try:
+                        os.remove(tmp)
+                    except OSError:
+                        pass
+            else:
+                try:
+                    os.remove(tmp)
+                except OSError:
+                    pass
 
         by_item: dict[int, list] = {}
         for r in results:
@@ -366,13 +482,16 @@ class CopyJobEngine:
                 # empty directory: COMPLETED, 0 bytes, checksum false (R16)
                 status, err, nbytes, dur, verified = "COMPLETED", None, 0, 0, False
             else:
-                failed = [r for r in rows if r["status"] == "FAILED"]
+                fail_msgs = [r["error_message"] for r in rows if r["status"] == "FAILED"]
+                fail_msgs += sorted(
+                    {rename_errors[r["dst_file"]] for r in rows if r["dst_file"] in rename_errors}
+                )
                 nbytes = sum(r["bytes_copied"] for r in rows)
                 dur = max((r["duration_ms"] for r in rows), default=0)
-                if failed:
+                if fail_msgs:
                     # one bad file fails the whole item, like the exception
                     # propagating out of manualCopyDirectory (R13 edge)
-                    status, err, verified = "FAILED", failed[0]["error_message"], False
+                    status, err, verified = "FAILED", fail_msgs[0], False
                 else:
                     status, err = "COMPLETED", None
                     verified = all(r["checksum_verified"] for r in rows) and bool(rows)

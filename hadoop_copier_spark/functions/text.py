@@ -71,7 +71,7 @@ def quality_score(text: Column) -> Column:
     score = (
         0.4 * length_term + 0.2 * (1.0 - punct_ratio) + 0.2 * stop_ratio + 0.2 * word_len_term
     )
-    return score.cast("decimal(10,6)")
+    return score.cast("double")
 
 
 def doc_fingerprint(text: Column) -> Column:

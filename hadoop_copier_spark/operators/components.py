@@ -28,6 +28,19 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def release_local_checkpoint(df: DataFrame) -> None:
+    """Free the executor-storage blocks behind a localCheckpoint'ed
+    DataFrame. Without this, every iterative round (or repeated operator
+    invocation in one session) accumulates superseded checkpoint blocks
+    until the RDDs happen to be GC'd (ADVICE round 1). The analyzed plan of
+    a checkpointed frame is a LogicalRDD whose backing RDD holds the
+    blocks; unpersist is best-effort (blocking=False)."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:  # pragma: no cover - plan shape changed / already freed
+        pass
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
@@ -87,9 +100,12 @@ def connected_components(
             .limit(1)
             .count()
         )
+        superseded = labels
         labels = jumped
+        release_local_checkpoint(superseded)  # free last round's blocks now
         if changed == 0:
             break
+    release_local_checkpoint(sym)  # returned labels no longer need the edges
     return labels
 
 

@@ -128,12 +128,18 @@ def near_dup_pairs(
         F.size(F.array_intersect(F.col("__ha"), F.col("__hb"))).cast("double")
         / F.size(F.array_union(F.col("__ha"), F.col("__hb"))).cast("double")
     )
-    return (
+    pairs = (
         cands.join(ja, "id_a")
         .join(jb, "id_b")
-        .select("id_a", "id_b", jac.cast("decimal(18,6)").alias("jaccard"))
+        .select("id_a", "id_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+    # materialize the (small) pair set eagerly so the shingle cache can be
+    # released NOW instead of leaking until session end (ADVICE round 1);
+    # the checkpoint blocks are freed with the returned frame's RDD.
+    out = pairs.localCheckpoint(eager=True)
+    hashed.unpersist()
+    return out
 
 
 def window_jaccard_pairs(

@@ -91,18 +91,25 @@ def zorder_rewrite(
     for c in cols:
         aggs += [F.min(c).alias(f"__lo_{c}"), F.max(c).alias(f"__hi_{c}")]
     b = df.agg(*aggs).collect()[0]
-    bucketized = [
-        (
+    bucketized = []
+    for c in cols:
+        lo, hi = b[f"__lo_{c}"], b[f"__hi_{c}"]
+        if lo is None or hi is None or float(lo) == float(hi):
+            # degenerate column (all-NULL or constant): a single bucket —
+            # width_bucket would return NULL and silently break clustering
+            bucketized.append(F.lit(0).cast("long"))
+            continue
+        wb = (
             F.width_bucket(
                 F.col(c).cast("double"),
-                F.lit(float(b[f"__lo_{c}"])),
-                F.lit(float(b[f"__hi_{c}"])),
+                F.lit(float(lo)),
+                F.lit(float(hi)),
                 F.lit(2**bits - 1),
             )
             - 1
         ).cast("long")
-        for c in cols
-    ]
+        # NULL values sort into bucket 0 instead of nulling the whole __z key
+        bucketized.append(F.coalesce(wb, F.lit(0).cast("long")))
     out = (
         df.withColumn("__z", _interleave_bits(bucketized, bits=bits))
         .repartitionByRange(n, "__z")

@@ -11,9 +11,16 @@ Two paths:
   a fixed seed on the driver and broadcast as literals, so results are
   deterministic.
 
-Determinism: dot products and norms accumulate as DECIMAL(30,18) (exact,
-order-independent); the cosine itself is then a fixed sequence of IEEE ops,
-so scores are bit-identical across engines and partitionings.
+Determinism: each element is quantized to exact 1e-6 integer units with
+``FLOOR(x*1e6 + 0.5)`` (float->double widening is exact; multiply/add/floor
+are single IEEE ops — bit-identical in any engine or version), dot products
+and norms accumulate as exact BIGINT sums (order-independent), and the
+cosine itself is then a fixed sequence of IEEE ops — so scores are
+bit-identical across engines and partitionings. Round 1 accumulated
+DECIMAL(30,18) casts of double products instead; that double->decimal cast
+rounds differently per DuckDB version (driver hash failures), while the
+integer path has no rounding step at all. The ~1e-6 quantization is far
+below float32 input precision, so ranking quality is unaffected.
 """
 
 from __future__ import annotations
@@ -21,18 +28,23 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-_DEC = "decimal(30,18)"
+UNIT = 1e6  # quantization: integer units of 1e-6 per element
 
 
-def dec_dot(a: Column, b: Column) -> Column:
-    """Exact decimal dot product of two float-array columns."""
-    prods = F.zip_with(a, b, lambda x, y: (x.cast("double") * y.cast("double")).cast(_DEC))
-    return F.aggregate(prods, F.lit(0).cast(_DEC), lambda acc, v: (acc + v).cast(_DEC))
+def _units(x: Column) -> Column:
+    return F.floor(x.cast("double") * F.lit(UNIT) + F.lit(0.5)).cast("long")
 
 
-def dec_norm2(a: Column) -> Column:
-    """Exact decimal squared L2 norm of a float-array column."""
-    return dec_dot(a, a)
+def int_dot(a: Column, b: Column) -> Column:
+    """Exact integer-unit dot product of two float-array columns
+    (units^2 scale: divide by UNIT**2 to recover the raw dot)."""
+    prods = F.zip_with(a, b, lambda x, y: _units(x) * _units(y))
+    return F.aggregate(prods, F.lit(0).cast("long"), lambda acc, v: acc + v)
+
+
+def int_norm2(a: Column) -> Column:
+    """Exact integer-unit squared L2 norm of a float-array column."""
+    return int_dot(a, a)
 
 
 def cosine_topk(
@@ -44,21 +56,23 @@ def cosine_topk(
 ) -> DataFrame:
     """Top-k cosine neighbors per query vector (self-matches excluded).
 
-    Returns (query_id, neighbor_id, rank, score DECIMAL(18,6)).
+    Returns (query_id, neighbor_id, rank, score DOUBLE) — the score is a
+    deterministic IEEE op sequence over exact integer dots (bit-identical
+    to the DuckDB oracle's mirrored spelling).
     """
     c = candidates.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cvec"),
-        dec_norm2(F.col(vec_col)).alias("__cn2"),
+        int_norm2(F.col(vec_col)).alias("__cn2"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qvec"),
-        dec_norm2(F.col(vec_col)).alias("__qn2"),
+        int_norm2(F.col(vec_col)).alias("__qn2"),
     )
     pairs = c.crossJoin(F.broadcast(q)).filter(F.col("neighbor_id") != F.col("query_id"))
     cos = (
-        dec_dot(F.col("__qvec"), F.col("__cvec")).cast("double")
+        int_dot(F.col("__qvec"), F.col("__cvec")).cast("double")
         / F.sqrt(F.col("__qn2").cast("double") * F.col("__cn2").cast("double"))
     )
     scored = pairs.select("query_id", "neighbor_id", cos.alias("__cos"))
@@ -66,12 +80,7 @@ def cosine_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select(
-            "query_id",
-            "neighbor_id",
-            "rank",
-            F.col("__cos").cast("decimal(18,6)").alias("score"),
-        )
+        .select("query_id", "neighbor_id", "rank", F.col("__cos").alias("score"))
     )
 
 
@@ -175,7 +184,7 @@ def lsh_ann_topk(
         pairs.select("query_id", "neighbor_id", cos.alias("__cos"))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", F.col("__cos").cast("decimal(18,6)").alias("score"))
+        .select("query_id", "neighbor_id", "rank", F.col("__cos").alias("score"))
     )
 
 
@@ -282,5 +291,5 @@ def ivf_ann_topk(
         pairs.select("query_id", "neighbor_id", cos.alias("__cos"))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", F.col("__cos").cast("decimal(18,6)").alias("score"))
+        .select("query_id", "neighbor_id", "rank", F.col("__cos").alias("score"))
     )

@@ -28,12 +28,20 @@ def salted_join(
 ) -> DataFrame:
     """Equi-join big⋈small on ``key`` with the big side salted.
 
-    ``salt_source``: a big-side column whose hash spreads the hot key
-    (defaults to the key itself combined with all columns via
-    monotonically_increasing_id-free xxhash64 of the row's key col).
-    """
-    src = F.col(salt_source) if salt_source else F.spark_partition_id()
-    big_s = big.withColumn("__salt", F.pmod(F.xxhash64(src, F.lit(17)), F.lit(n_salts)))
+    ``salt_source``: a big-side column whose per-row hash spreads the hot
+    key — ideally a unique id. Default: xxhash64 over ALL big-side columns,
+    which is row-content-derived, so it is deterministic, retry-safe, and
+    independent of physical partitioning (a partition-id salt would give
+    every row of an input partition the same salt — a hot key concentrated
+    in few input partitions would still land on few reducers, and partition
+    ids shift under AQE/repartitioning)."""
+    if salt_source:
+        src_cols = [F.col(salt_source)]
+    else:
+        src_cols = [F.col(c) for c in big.columns]
+    big_s = big.withColumn(
+        "__salt", F.pmod(F.xxhash64(*src_cols, F.lit(17)), F.lit(n_salts))
+    )
     salts = F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("__salt")
     small_r = small.select("*", salts)
     out = big_s.join(small_r, [key, "__salt"], how)

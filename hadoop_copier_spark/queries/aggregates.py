@@ -10,17 +10,17 @@ the north-star extension, executed by Spark's partial+final hash aggregate
 
 from __future__ import annotations
 
-from .base import F, dec, dec_avg, money_sum, tbl, views
+from .base import F, dec, det_avg, money_sum, ocents, odec, odet_avg, omoney_sum, tbl, views
 from .registry import register
 
-_Q24_ORACLE = """
+_Q24_ORACLE = f"""
 SELECT l_returnflag, l_linestatus,
-  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_qty,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_base,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DECIMAL(38,4)) AS sum_disc_price,
-  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) AS DECIMAL(18,4))
-           * (1 + CAST(l_tax AS DECIMAL(12,2)))) AS DECIMAL(38,6)) AS sum_charge,
-  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(l_quantity) AS DECIMAL(18,6)) AS avg_qty,
+  {omoney_sum('l_quantity')} AS sum_qty,
+  {omoney_sum('l_extendedprice')} AS sum_base,
+  CAST(SUM({odec('l_extendedprice', 12, 2)} * (1 - {odec('l_discount', 12, 2)})) AS DECIMAL(38,4)) AS sum_disc_price,
+  CAST(SUM(CAST({odec('l_extendedprice', 12, 2)} * (1 - {odec('l_discount', 12, 2)}) AS DECIMAL(18,4))
+           * (1 + {odec('l_tax', 12, 2)})) AS DECIMAL(38,6)) AS sum_charge,
+  {odet_avg('l_quantity')} AS avg_qty,
   COUNT(*) AS n_rows
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -47,7 +47,7 @@ def q24(spark, sf_dir):
             F.sum(dec("l_extendedprice", 12, 2)).cast("decimal(38,2)").alias("sum_base"),
             F.sum(disc_price).cast("decimal(38,4)").alias("sum_disc_price"),
             F.sum(charge).cast("decimal(38,6)").alias("sum_charge"),
-            dec_avg("l_quantity", "avg_qty"),
+            det_avg("l_quantity", "avg_qty"),
             F.count(F.lit(1)).alias("n_rows"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -56,10 +56,10 @@ def q24(spark, sf_dir):
 
 @register(
     "q25",
-    oracle="""SELECT MIN(l_quantity) AS min_qty, MAX(l_extendedprice) AS max_price,
-                     CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_price,
+    oracle=f"""SELECT MIN(l_quantity) AS min_qty, MAX(l_extendedprice) AS max_price,
+                     {omoney_sum('l_extendedprice')} AS sum_price,
                      COUNT(*) AS n,
-                     CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(l_quantity) AS DECIMAL(18,6)) AS avg_qty
+                     {odet_avg('l_quantity')} AS avg_qty
               FROM lineitem""",
     tags=("agg",),
 )
@@ -72,7 +72,7 @@ def q25(spark, sf_dir):
         F.max("l_extendedprice").alias("max_price"),
         F.sum(dec("l_extendedprice", 12, 2)).cast("decimal(38,2)").alias("sum_price"),
         F.count(F.lit(1)).alias("n"),
-        dec_avg("l_quantity", "avg_qty"),
+        det_avg("l_quantity", "avg_qty"),
     )
 
 
@@ -102,14 +102,14 @@ def q26(spark, sf_dir):
 
 @register(
     "q27",
-    oracle="""SELECT n_name,
-                     CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS spend,
+    oracle=f"""SELECT n_name,
+                     {omoney_sum('o_totalprice')} AS spend,
                      COUNT(*) AS n_orders
               FROM customer
               JOIN nation ON c_nationkey = n_nationkey
               JOIN orders ON o_custkey = c_custkey
               GROUP BY n_name
-              HAVING SUM(CAST(o_totalprice AS DECIMAL(12,2))) > 1000000
+              HAVING SUM({odec('o_totalprice', 12, 2)}) > 1000000
               ORDER BY n_name""",
     tags=("agg", "having"),
 )
@@ -257,27 +257,31 @@ def q32(spark, sf_dir):
 
 @register(
     "q33",
-    oracle="""SELECT l_returnflag,
-                     CAST(quantile_cont(l_quantity, 0.5) AS DECIMAL(18,6)) AS p50,
-                     CAST(quantile_cont(l_quantity, 0.9) AS DECIMAL(18,6)) AS p90
+    oracle=f"""SELECT l_returnflag,
+                     quantile_cont({ocents('l_quantity')}, 0.5) / 100.0 AS p50,
+                     quantile_cont({ocents('l_quantity')}, 0.9) / 100.0 AS p90
               FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     tags=("agg", "percentile"),
 )
 def q33(spark, sf_dir):
     """Exact interpolated percentile (Spark percentile <-> DuckDB
-    quantile_cont), decimal-cast (tie-free) to absorb interpolation ulp."""
+    quantile_cont) computed over exact integer cents so both engines
+    interpolate between the same integers (``lo + (hi-lo)*frac`` on both
+    sides); the /100.0 is one IEEE division — bit-stable, emitted as
+    DOUBLE (no version-sensitive decimal cast, see base.py)."""
     li = tbl(spark, sf_dir, "lineitem")
+    qc = "CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)"
     return (
         li.groupBy("l_returnflag")
         .agg(
-            F.expr("CAST(percentile(l_quantity, 0.5) AS DECIMAL(18,6))").alias("p50"),
-            F.expr("CAST(percentile(l_quantity, 0.9) AS DECIMAL(18,6))").alias("p90"),
+            (F.expr(f"percentile({qc}, 0.5)") / F.lit(100.0)).alias("p50"),
+            (F.expr(f"percentile({qc}, 0.9)") / F.lit(100.0)).alias("p90"),
         )
         .orderBy("l_returnflag")
     )
 
 
-@register("t_stddev_corr", oracle=None, tags=("agg", "tolerance"))
+@register("xt_stddev_corr", oracle=None, tags=("agg", "tolerance"))
 def t_stddev_corr(spark, sf_dir):
     """T-class (tolerance-checked, not hash-checked): stddev_pop/stddev_samp
     of l_extendedprice and corr(l_quantity, l_extendedprice) per returnflag.
@@ -296,7 +300,7 @@ def t_stddev_corr(spark, sf_dir):
     )
 
 
-@register("p_approx_sketches", oracle=None, tags=("agg", "approx"))
+@register("xp_approx_sketches", oracle=None, tags=("agg", "approx"))
 def p_approx_sketches(spark, sf_dir):
     """P-class: approx_count_distinct (HLL) + approx percentile sketches —
     the 100 TB path for Q26/Q33-style questions (mergeable, single pass,
@@ -314,10 +318,10 @@ def p_approx_sketches(spark, sf_dir):
 
 
 @register(
-    "h_pivot",
-    oracle="""SELECT l_returnflag,
-                     CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DECIMAL(38,2)) AS qty_F,
-                     CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DECIMAL(38,2)) AS qty_O
+    "xh_pivot",
+    oracle=f"""SELECT l_returnflag,
+                     CAST(SUM(CASE WHEN l_linestatus = 'F' THEN {odec('l_quantity', 12, 2)} END) AS DECIMAL(38,2)) AS qty_F,
+                     CAST(SUM(CASE WHEN l_linestatus = 'O' THEN {odec('l_quantity', 12, 2)} END) AS DECIMAL(38,2)) AS qty_O
               FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     tags=("agg", "pivot"),
 )
@@ -340,7 +344,7 @@ def h_pivot(spark, sf_dir):
 
 
 @register(
-    "h_unpivot",
+    "xh_unpivot",
     oracle="""SELECT o_orderkey, metric, val FROM (
                 SELECT o_orderkey, 'totalprice' AS metric, o_totalprice AS val FROM orders
                 UNION ALL
@@ -363,7 +367,7 @@ def h_unpivot(spark, sf_dir):
     )
 
 
-@register("p_stratified_sample", oracle=None, tags=("llm", "sampling"))
+@register("xp_stratified_sample", oracle=None, tags=("llm", "sampling"))
 def p_stratified_sample(spark, sf_dir):
     """P-class: seeded stratified sampling per language (sampleBy) — the
     training-data rebalancing primitive. Deterministic for a fixed seed and
@@ -379,7 +383,7 @@ def p_stratified_sample(spark, sf_dir):
 
 
 @register(
-    "h_string_agg",
+    "xh_string_agg",
     oracle="""SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations_csv
               FROM nation JOIN region ON n_regionkey = r_regionkey
               GROUP BY r_name ORDER BY r_name""",

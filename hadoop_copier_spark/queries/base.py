@@ -1,13 +1,46 @@
-"""Shared helpers for declared queries."""
+"""Shared helpers for declared queries.
+
+DETERMINISM DISCIPLINE (round 2 — replaces the round-1 double->decimal rule)
+===========================================================================
+
+Round 1 showed that ``CAST(double AS DECIMAL(p,s))`` is ENGINE-VERSION
+DEPENDENT: Spark rounds the shortest decimal string HALF_UP, DuckDB rounds
+(or in some versions truncates) the binary value — so even an "exact" 2-dp
+money double (whose binary form is 1234.559999…) can cast to 1234.55 on one
+engine and 1234.56 on the other. Every driver-checked H query that cast a
+double to decimal hash-failed in round 1; every one that didn't, passed.
+
+The replacement rules, used by every H query:
+
+1. **Never emit a decimal produced by casting a double.** Exact-scale money
+   doubles are converted via ``FLOOR(x*10^s + 0.5)`` -> integer -> decimal:
+   multiply/add/floor are single IEEE-754 ops (bit-identical in any engine)
+   and int->decimal / decimal->decimal-widening casts are exact everywhere.
+2. **Computed ratios/averages are emitted as raw DOUBLE** from op trees
+   mirrored token-for-token in the oracle SQL. The driver serializes the
+   Python float from both engines, so identical bits <=> identical hash,
+   independent of engine formatting or version.
+3. Decimal arithmetic (sums, products of rule-1 decimals) stays exact and
+   order-independent; widen with a final cast for a stable schema but never
+   reduce scale after aggregation.
+
+Fixture money columns are verified exact at 2 dp (tests/test_determinism.py),
+so the FLOOR reconstruction is lossless.
+"""
 
 from __future__ import annotations
+
+from decimal import Decimal as _Dec
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..tables import load_table, register_views
 
-__all__ = ["tbl", "views", "dec", "money_sum", "dec_avg", "F"]
+__all__ = [
+    "tbl", "views", "cents", "dec", "money_sum", "det_avg", "F",
+    "ocents", "odec", "omoney_sum", "odet_avg",
+]
 
 
 def _pin_session(spark: SparkSession) -> None:
@@ -27,49 +60,72 @@ def views(spark: SparkSession, sf_dir: str) -> None:
     register_views(spark, sf_dir)
 
 
-def dec(c: Column | str, precision: int = 18, scale: int = 2) -> Column:
-    """DECIMAL cast used for oracle-deterministic money arithmetic."""
+def cents(c: Column | str, scale: int = 2) -> Column:
+    """Exact integer units (cents for scale 2) from an exact-scale double.
+
+    ``FLOOR(x*10^s + 0.5)`` — multiply, add, floor are each a single
+    correctly-rounded IEEE op, so the result is bit-identical across engines
+    and versions; for x an exact s-dp value the recovered integer is exact.
+    """
     c = F.col(c) if isinstance(c, str) else c
-    return c.cast(f"decimal({precision},{scale})")
+    return F.floor(c * F.lit(float(10 ** scale)) + F.lit(0.5)).cast("bigint")
+
+
+def dec(c: Column | str, precision: int = 18, scale: int = 2) -> Column:
+    """Version-proof DECIMAL(p,s) from an exact-s-dp double: integer
+    reconstruction (see `cents`) times an exact decimal unit — no
+    double->decimal cast anywhere in the tree."""
+    unit = (
+        F.lit(_Dec(1).scaleb(-scale)).cast(f"decimal({scale + 1},{scale})")
+        if scale > 0
+        else F.lit(_Dec(1)).cast("decimal(1,0)")
+    )
+    i = cents(c, scale).cast(f"decimal({max(precision - scale, 1)},0)")
+    return (i * unit).cast(f"decimal({precision},{scale})")
 
 
 def money_sum(c: Column | str, alias: str) -> Column:
-    """SUM over DECIMAL(12,2)-cast values, widened (scale-preserving) to
-    DECIMAL(38,2) for a stable schema.
-
-    Decimal addition is exact and order-independent, so the result is
-    bit-identical across Spark partitionings and the DuckDB oracle
-    (SURVEY §2b rule 2); a raw double sum would not be.
-
-    DETERMINISM RULES (validated empirically against DuckDB 1.0):
-    - Raw money columns are exact 2-dp values -> cast DECIMAL(12,2) is safe.
-    - Do arithmetic in the decimal domain (cast operands BEFORE multiply);
-      casting a computed double to decimal rounds differently per engine
-      (Spark: shortest-string HALF_UP; DuckDB: binary-value nearest).
-    - NEVER scale-reduce a decimal after aggregation: DuckDB truncates on
-      decimal->decimal scale reduction, Spark rounds HALF_UP.
-    - double->decimal casts are tie-free for scale>=1 (a double can never be
-      exactly k + 5*10^-(s+1)) so both engines round-to-nearest identically.
-    """
+    """SUM over DECIMAL(12,2)-reconstructed values, widened (scale-
+    preserving) to DECIMAL(38,2) for a stable schema. Exact and
+    order-independent in both engines (SURVEY §2b rule 2)."""
     return F.sum(dec(c, 12, 2)).cast("decimal(38,2)").alias(alias)
 
 
-def dec_avg(c: Column | str, alias: str, scale: int = 6) -> Column:
-    """Deterministic average: exact decimal sum -> double -> divide -> decimal.
-
-    The decimal sum is exact in both engines; double conversion and the
-    division are single IEEE ops, and the final double->decimal cast is
-    tie-free, so the result matches the oracle exactly.
-    """
-    c = F.col(c) if isinstance(c, str) else c
+def det_avg(c: Column | str, alias: str, scale: int = 2) -> Column:
+    """Deterministic average emitted as DOUBLE: exact integer-cents sum ->
+    double (exact conversion below 2^53) -> two IEEE divisions in a fixed
+    order, mirrored exactly by `odet_avg`. Replaces round-1 ``dec_avg``
+    whose final double->decimal cast was engine-version dependent."""
+    col = F.col(c) if isinstance(c, str) else c
     return (
-        (F.sum(dec(c, 12, 2)).cast("double") / F.count(c))
-        .cast(f"decimal(18,{scale})")
+        (F.sum(cents(col, scale)).cast("double") / F.lit(float(10 ** scale)) / F.count(col))
         .alias(alias)
     )
 
 
-# DuckDB-side spelling of the same two aggregation idioms (kept next to the
-# Spark forms so every query cites one definition of "deterministic money").
-ORACLE_MONEY_SUM = "CAST(SUM(CAST({x} AS DECIMAL(12,2))) AS DECIMAL(38,2))"
-ORACLE_DEC_AVG = "CAST(CAST(SUM(CAST({x} AS DECIMAL(12,2))) AS DOUBLE) / COUNT({x}) AS DECIMAL(18,{s}))"
+# ---------------------------------------------------------------------------
+# DuckDB-side spellings of the same idioms (kept next to the Spark forms so
+# every query cites one definition of "deterministic money").
+# ---------------------------------------------------------------------------
+
+def ocents(x: str, scale: int = 2) -> str:
+    return f"CAST(FLOOR(({x}) * {10 ** scale} + 0.5) AS BIGINT)"
+
+
+def odec(x: str, precision: int = 18, scale: int = 2) -> str:
+    unit = f"CAST({_Dec(1).scaleb(-scale)} AS DECIMAL({scale + 1},{scale}))" if scale > 0 else "CAST(1 AS DECIMAL(1,0))"
+    pi = max(precision - scale, 1)
+    return (
+        f"CAST(CAST(FLOOR(({x}) * {10 ** scale} + 0.5) AS DECIMAL({pi},0))"
+        f" * {unit} AS DECIMAL({precision},{scale}))"
+    )
+
+
+def omoney_sum(x: str) -> str:
+    return f"CAST(SUM({odec(x, 12, 2)}) AS DECIMAL(38,2))"
+
+
+def odet_avg(x: str, scale: int = 2) -> str:
+    return (
+        f"CAST(SUM({ocents(x, scale)}) AS DOUBLE) / {float(10 ** scale)} / COUNT({x})"
+    )

@@ -119,18 +119,22 @@ def q50(spark, sf_dir):
                      l_orderkey % 7 AS md,
                      power(l_quantity, 2) AS pw,
                      sqrt(l_quantity) AS sq,
-                     CAST(ln(l_quantity) AS DECIMAL(18,8)) AS ln_q,
-                     CAST(log10(l_quantity) AS DECIMAL(18,8)) AS log_q,
-                     CAST(exp(l_discount) AS DECIMAL(18,8)) AS ex
+                     CAST(FLOOR(ln(l_quantity) * 100000000 + 0.5) AS BIGINT) AS ln_q8,
+                     CAST(FLOOR(log10(l_quantity) * 100000000 + 0.5) AS BIGINT) AS log_q8,
+                     CAST(FLOOR(exp(l_discount) * 100000000 + 0.5) AS BIGINT) AS ex8
               FROM lineitem WHERE l_orderkey < 2000
               ORDER BY l_orderkey, l_linenumber""",
     tags=("scalar", "math"),
 )
 def q51(spark, sf_dir):
     """Math suite. floor/ceil/abs/sign/mod/power/sqrt are IEEE-exact (raw
-    doubles compare bit-identically); ln/log10/exp go through a tie-free
-    decimal cast to absorb libm last-ulp differences."""
+    doubles compare bit-identically); ln/log10/exp are libm calls that may
+    differ by 1 ulp between JVM and C — emitted as FLOOR-scaled 1e-8 units
+    (a 1-ulp input difference flips the integer only within ~1e-16 of a
+    boundary; no double->decimal cast, see base.py discipline)."""
     li = tbl(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 2000)
+    u8 = F.lit(1e8)
+    half = F.lit(0.5)
     return li.select(
         "l_orderkey",
         "l_linenumber",
@@ -141,9 +145,9 @@ def q51(spark, sf_dir):
         (F.col("l_orderkey") % 7).alias("md"),
         F.pow("l_quantity", F.lit(2)).alias("pw"),
         F.sqrt("l_quantity").alias("sq"),
-        F.log(F.col("l_quantity")).cast("decimal(18,8)").alias("ln_q"),
-        F.log10(F.col("l_quantity")).cast("decimal(18,8)").alias("log_q"),
-        F.exp(F.col("l_discount")).cast("decimal(18,8)").alias("ex"),
+        F.floor(F.log(F.col("l_quantity")) * u8 + half).cast("bigint").alias("ln_q8"),
+        F.floor(F.log10(F.col("l_quantity")) * u8 + half).cast("bigint").alias("log_q8"),
+        F.floor(F.exp(F.col("l_discount")) * u8 + half).cast("bigint").alias("ex8"),
     ).orderBy("l_orderkey", "l_linenumber")
 
 
@@ -153,24 +157,27 @@ def q51(spark, sf_dir):
                      len(embedding) AS dim,
                      embedding[1] AS e1,
                      list_sort(list_transform(embedding[1:8],
-                               x -> CAST(CAST(x AS DOUBLE) AS DECIMAL(10,6)))) AS head_sorted,
+                               x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))) AS head_sorted,
                      list_contains([label, 99], 3) AS has3
               FROM embeddings ORDER BY vec_id""",
     tags=("scalar", "array"),
 )
 def q52(spark, sf_dir):
     """Array suite on the embedding column (size/element_at/slice/transform/
-    sort_array/array_contains; floats canonicalized via tie-free decimal
-    cast, lists sorted per rule 4)."""
+    sort_array/array_contains; floats canonicalized to FLOOR-scaled 1e-6
+    integer units — float->double widening is exact and the scale ops are
+    single IEEE instructions, so both engines produce identical integers;
+    lists sorted per rule 4)."""
     e = tbl(spark, sf_dir, "embeddings")
     return e.select(
         "vec_id",
         F.size("embedding").alias("dim"),
         F.element_at("embedding", 1).alias("e1"),
-        # float32 -> double -> decimal: a float's shortest repr often ends in
-        # '5' (a real rounding tie); the double detour is tie-free.
         F.sort_array(
-            F.transform(F.slice("embedding", 1, 8), lambda x: x.cast("double").cast("decimal(10,6)"))
+            F.transform(
+                F.slice("embedding", 1, 8),
+                lambda x: F.floor(x.cast("double") * F.lit(1e6) + F.lit(0.5)).cast("bigint"),
+            )
         ).alias("head_sorted"),
         F.array_contains(F.array(F.col("label"), F.lit(99)), 3).alias("has3"),
     ).orderBy("vec_id")
@@ -241,7 +248,7 @@ def q55(spark, sf_dir):
 
 
 @register(
-    "h_date_series",
+    "xh_date_series",
     oracle="""WITH months AS (
                 SELECT CAST(unnest(generate_series(TIMESTAMP '1995-01-01',
                                                    TIMESTAMP '1998-12-01',
@@ -282,35 +289,38 @@ def h_date_series(spark, sf_dir):
 
 
 @register(
-    "h_higher_order",
+    "xh_higher_order",
     oracle="""SELECT vec_id,
-                     CAST(COALESCE((SELECT SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(20,10)))
+                     CAST(COALESCE((SELECT SUM(CAST(FLOOR(CAST(x AS DOUBLE) * 10000000 + 0.5) AS BIGINT))
                                     FROM unnest(embedding) AS t(x) WHERE x > 0), 0)
-                          AS DECIMAL(20,10)) AS pos_sum,
+                          AS BIGINT) AS pos_sum_e7,
                      len(list_filter(embedding, x -> x > 0)) AS n_pos,
                      len(list_filter(embedding, x -> x > 0.25)) > 0 AS has_big
               FROM embeddings ORDER BY vec_id""",
     tags=("scalar", "higherorder"),
 )
 def h_higher_order(spark, sf_dir):
-    """Higher-order array functions: filter -> aggregate (exact decimal
-    fold), size, exists — all JVM-side lambdas, no Python."""
+    """Higher-order array functions: filter -> aggregate (exact integer
+    fold over FLOOR-scaled 1e-7 units — float->double is exact, the scaling
+    is single IEEE ops, the sum is exact int), size, exists — all JVM-side
+    lambdas, no Python. Round 1 used a decimal(20,10) fold whose
+    double->decimal cast was engine-version dependent (driver hash fail)."""
     e = tbl(spark, sf_dir, "embeddings")
     pos = F.filter(F.col("embedding"), lambda x: x > 0)
     pos_sum = F.aggregate(
-        F.transform(pos, lambda x: x.cast("double").cast("decimal(20,10)")),
-        F.lit(0).cast("decimal(20,10)"),
-        lambda acc, v: (acc + v).cast("decimal(20,10)"),
+        F.transform(pos, lambda x: F.floor(x.cast("double") * F.lit(1e7) + F.lit(0.5)).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
     )
     return e.select(
         "vec_id",
-        pos_sum.alias("pos_sum"),
+        pos_sum.alias("pos_sum_e7"),
         F.size(pos).alias("n_pos"),
         F.exists(F.col("embedding"), lambda x: x > 0.25).alias("has_big"),
     ).orderBy("vec_id")
 
 
-@register("p_uuid_keys", oracle=None, tags=("keygen",))
+@register("xp_uuid_keys", oracle=None, tags=("keygen",))
 def p_uuid_keys(spark, sf_dir):
     """P-class (R10 parity): uuid() request-id generation per row —
     nondeterministic by design, excluded from hashing (SURVEY §7.3);

@@ -89,16 +89,19 @@ def q58(spark, sf_dir):
     )
 
 
-_Q59_ORACLE = """
+# mirror of operators/similarity.py UNIT quantization: exact 1e-6 integer
+# units per element, exact BIGINT dot sums, then one IEEE op sequence.
+_OU = "CAST(FLOOR(CAST({x} AS DOUBLE) * 1000000 + 0.5) AS BIGINT)"
+_Q59_ORACLE = f"""
 WITH e AS (
   SELECT vec_id, embedding,
-         (SELECT SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(30,18)))
+         (SELECT CAST(SUM({_OU.format(x='t.x')} * {_OU.format(x='t.x')}) AS BIGINT)
           FROM unnest(embedding) AS t(x)) AS norm2
   FROM embeddings
 ),
 pairs AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         CAST((SELECT SUM(CAST(CAST(p.l1 AS DOUBLE) * CAST(p.l2 AS DOUBLE) AS DECIMAL(30,18)))
+         CAST((SELECT CAST(SUM({_OU.format(x='p.l1')} * {_OU.format(x='p.l2')}) AS BIGINT)
                FROM (SELECT unnest(list_zip(q.embedding, c.embedding), recursive := true)) AS p(l1, l2))
               AS DOUBLE)
          / sqrt(CAST(q.norm2 AS DOUBLE) * CAST(c.norm2 AS DOUBLE)) AS cos
@@ -108,7 +111,7 @@ pairs AS (
 ranked AS (
   SELECT query_id, neighbor_id,
          row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank,
-         CAST(cos AS DECIMAL(18,6)) AS score
+         cos AS score
   FROM pairs
 )
 SELECT query_id, neighbor_id, rank, score FROM ranked
@@ -119,8 +122,8 @@ WHERE rank <= 5 ORDER BY query_id, rank
 @register("q59", oracle=_Q59_ORACLE, tags=("llm", "similarity"))
 def q59(spark, sf_dir):
     """Brute-force cosine top-5 for query vectors (vec_id < 10) over all
-    embeddings, via the engine's cosine_topk operator: decimal-exact dot
-    products (order-independent) + IEEE cosine, queries broadcast, one
+    embeddings, via the engine's cosine_topk operator: exact integer-unit
+    dot products (order-independent) + IEEE cosine, queries broadcast, one
     window for top-k. The LSH variant (p_ann_lsh) is the scale path."""
     e = tbl(spark, sf_dir, "embeddings")
     return (
@@ -131,34 +134,32 @@ def q59(spark, sf_dir):
 
 @register(
     "q60",
-    oracle="""SELECT lang, source,
+    oracle=f"""SELECT lang, source,
                      COUNT(*) AS n_docs,
                      SUM(n_chars) AS total_chars,
-                     CAST(CAST(SUM(CAST(n_chars AS DECIMAL(12,2))) AS DOUBLE) / COUNT(n_chars)
-                          AS DECIMAL(18,6)) AS avg_chars,
+                     CAST(SUM(n_chars) AS DOUBLE) / COUNT(n_chars) AS avg_chars,
                      COUNT(DISTINCT doc_id) AS nd_docs
               FROM documents GROUP BY lang, source
               ORDER BY lang, source""",
     tags=("llm", "profile"),
 )
 def q60(spark, sf_dir):
-    """Language/source corpus profile (multi-dim text stats)."""
-    from .base import dec_avg
-
+    """Language/source corpus profile (multi-dim text stats). avg is an
+    exact integer sum -> one IEEE division, emitted as DOUBLE."""
     d = tbl(spark, sf_dir, "documents")
     return (
         d.groupBy("lang", "source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_chars").alias("total_chars"),
-            dec_avg("n_chars", "avg_chars"),
+            (F.sum("n_chars").cast("double") / F.count("n_chars")).alias("avg_chars"),
             F.countDistinct("doc_id").alias("nd_docs"),
         )
         .orderBy("lang", "source")
     )
 
 
-@register("p_ann_lsh", oracle=None, tags=("llm", "similarity", "approx"))
+@register("xp_ann_lsh", oracle=None, tags=("llm", "similarity", "approx"))
 def p_ann_lsh(spark, sf_dir):
     """P-class: sign-LSH approximate nearest neighbors (the 100 TB
     similarity path — same-bucket pairs only). Property-checked against
@@ -171,7 +172,7 @@ def p_ann_lsh(spark, sf_dir):
 
 
 @register(
-    "h_token_stats",
+    "xh_token_stats",
     oracle="""SELECT doc_id,
                      len(string_split_regex(lower(text), '\\s+')) AS ws_tokens,
                      length(text) AS chars,
@@ -193,7 +194,7 @@ def h_token_stats(spark, sf_dir):
     ).orderBy("doc_id")
 
 
-@register("p_minhash_neardup", oracle=None, tags=("llm", "dedup", "minhash"))
+@register("xp_minhash_neardup", oracle=None, tags=("llm", "dedup", "minhash"))
 def p_minhash_neardup(spark, sf_dir):
     """P-class: MinHash+LSH near-duplicate pairs (Jaccard >= 0.7 verified
     exactly on shingle sets). Property test: recall ⊇ planted exact dups."""
@@ -203,7 +204,7 @@ def p_minhash_neardup(spark, sf_dir):
     return near_dup_pairs(d, "doc_id", "text", threshold=0.7).orderBy("id_a", "id_b")
 
 
-@register("p_simhash", oracle=None, tags=("llm", "dedup", "simhash"))
+@register("xp_simhash", oracle=None, tags=("llm", "dedup", "simhash"))
 def p_simhash(spark, sf_dir):
     """P-class: 64-bit SimHash per document (FNV-1a token hashes, majority
     bit vote — deterministic). Exact duplicates share a hash."""
@@ -213,7 +214,7 @@ def p_simhash(spark, sf_dir):
     return simhash64(d, "doc_id", "text").orderBy("doc_id")
 
 
-@register("p_text_analysis", oracle=None, tags=("llm", "text"))
+@register("xp_text_analysis", oracle=None, tags=("llm", "text"))
 def p_text_analysis(spark, sf_dir):
     """P-class: language-ID guess, quality score, BPE-ish token count and
     rolling fingerprint — all pure Column expressions (JVM-side)."""
@@ -235,7 +236,7 @@ def p_text_analysis(spark, sf_dir):
     ).orderBy("doc_id")
 
 
-@register("p_tfidf", oracle=None, tags=("llm", "text", "tfidf"))
+@register("xp_tfidf", oracle=None, tags=("llm", "text", "tfidf"))
 def p_tfidf(spark, sf_dir):
     """P-class: SQL-built TF-IDF, top-3 terms per document (sampled docs).
     tf = in-doc count, idf = ln((N+1)/(df+1)) + 1; one shuffle for the
@@ -254,7 +255,7 @@ def p_tfidf(spark, sf_dir):
     )
     scored = (
         tf.join(F.broadcast(idf), "token")
-        .withColumn("tfidf", (F.col("tf") * F.col("idf")).cast("decimal(18,6)"))
+        .withColumn("tfidf", F.col("tf") * F.col("idf"))
         .filter(F.col("doc_id") % 20 == 0)
     )
     w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("token"))
@@ -266,48 +267,71 @@ def p_tfidf(spark, sf_dir):
     )
 
 
-@register("p_embedding_neardup", oracle=None, tags=("llm", "similarity", "dedup"))
+PLANT_OFFSET = 1_000_000  # planted near-dup ids = original vec_id + offset
+N_PLANTED = 8
+
+
+def _with_planted_neardups(e):
+    """Append deterministic near-duplicate copies of the first N_PLANTED
+    embeddings (each element scaled by 1.001 — cosine-invariant up to float
+    rounding, so every planted pair scores ~1.0). Random embeddings in
+    64-dim are near-orthogonal, so without planting a cos>=0.9 check finds
+    nothing and a broken operator is indistinguishable from a working one
+    (round-1 driver run returned 0 rows); the planted pairs make the check
+    self-validating — tests assert every planted pair is recovered."""
+    planted = e.filter(F.col("vec_id") < N_PLANTED).select(
+        (F.col("vec_id") + F.lit(PLANT_OFFSET)).alias("vec_id"),
+        F.transform("embedding", lambda x: (x.cast("double") * F.lit(1.001)).cast("float"))
+        .alias("embedding"),
+    )
+    return e.select("vec_id", "embedding").unionByName(planted)
+
+
+@register("xp_embedding_neardup", oracle=None, tags=("llm", "similarity", "dedup"))
 def p_embedding_neardup(spark, sf_dir):
     """P-class: embedding-cosine near-duplicate pairs (cos >= 0.9) over a
-    bounded sample — brute force; the LSH-bucketed variant (p_ann_lsh) is
-    the 100 TB path."""
-    from ..operators.similarity import dec_dot, dec_norm2
+    bounded sample with planted near-dups (self-validating: result always
+    contains the N_PLANTED planted pairs, asserted in tests/test_llm_ops.py)
+    — brute force; the LSH-bucketed variant (p_ann_lsh) is the 100 TB
+    path."""
+    from ..operators.similarity import int_dot, int_norm2
 
-    e = tbl(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    e = _with_planted_neardups(
+        tbl(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    )
     a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"),
-                 dec_norm2(F.col("embedding")).alias("na"))
+                 int_norm2(F.col("embedding")).alias("na"))
     b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"),
-                 dec_norm2(F.col("embedding")).alias("nb"))
-    cos = dec_dot(F.col("va"), F.col("vb")).cast("double") / F.sqrt(
+                 int_norm2(F.col("embedding")).alias("nb"))
+    cos = int_dot(F.col("va"), F.col("vb")).cast("double") / F.sqrt(
         F.col("na").cast("double") * F.col("nb").cast("double")
     )
     return (
         a.crossJoin(b)
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cos.cast("decimal(18,6)").alias("cos"))
+        .select("id_a", "id_b", cos.alias("cos"))
         .filter(F.col("cos") >= 0.9)
         .orderBy("id_a", "id_b")
     )
 
 
 @register(
-    "h_ngram_jaccard",
+    "xh_ngram_jaccard",
     oracle="""WITH t AS (SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS toks
                         FROM documents),
               p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.toks AS ta, b.toks AS tb
                     FROM t a JOIN t b ON b.doc_id = a.doc_id + 1 AND a.doc_id % 2 = 0)
               SELECT id_a, id_b,
-                     CAST(CAST(len(list_intersect(ta, tb)) AS DOUBLE)
-                          / (len(ta) + len(tb) - len(list_intersect(ta, tb)))
-                          AS DECIMAL(18,6)) AS jaccard
+                     CAST(len(list_intersect(ta, tb)) AS DOUBLE)
+                          / (len(ta) + len(tb) - len(list_intersect(ta, tb))) AS jaccard
               FROM p ORDER BY id_a""",
     tags=("llm", "dedup", "jaccard"),
 )
 def h_ngram_jaccard(spark, sf_dir):
     """Exact token-set Jaccard similarity for consecutive doc pairs (the
     verification primitive under MinHash; |A∩B| / |A∪B| as one division of
-    exact ints — engine-stable). Spark array_intersect <-> DuckDB
-    list_intersect."""
+    exact ints — one IEEE division, bit-stable, emitted as raw DOUBLE).
+    Spark array_intersect <-> DuckDB list_intersect."""
     d = tbl(spark, sf_dir, "documents").select(
         "doc_id", F.array_distinct(F.split(F.lower("text"), " ")).alias("toks")
     )
@@ -323,14 +347,14 @@ def h_ngram_jaccard(spark, sf_dir):
         .select(
             F.col("a.doc_id").alias("id_a"),
             F.col("b.doc_id").alias("id_b"),
-            (inter.cast("double") / union).cast("decimal(18,6)").alias("jaccard"),
+            (inter.cast("double") / union).alias("jaccard"),
         )
         .orderBy("id_a")
     )
 
 
 @register(
-    "p_dedup_clusters",
+    "xp_dedup_clusters",
     oracle="""WITH RECURSIVE
               t AS MATERIALIZED (SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS toks
                     FROM documents),
@@ -369,7 +393,7 @@ def p_dedup_clusters(spark, sf_dir):
     return dedup_clusters(pairs, nodes=d.select("doc_id")).orderBy("doc_id")
 
 
-@register("p_ann_ivf", oracle=None, tags=("llm", "similarity", "approx"))
+@register("xp_ann_ivf", oracle=None, tags=("llm", "similarity", "approx"))
 def p_ann_ivf(spark, sf_dir):
     """P-class: IVF approximate nearest neighbors — the second scale path
     for similarity search (coarse k-means quantizer + probed clusters).

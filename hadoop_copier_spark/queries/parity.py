@@ -26,7 +26,7 @@ def _mk_tree(base: str) -> dict:
     return out
 
 
-@register("p_copyjob", oracle=None, tags=("parity", "copy"))
+@register("xp_copyjob", oracle=None, tags=("parity", "copy"))
 def p_copyjob(spark, sf_dir):
     """P-class: the reference-parity copy job (R1-R22) end-to-end — copies
     a generated tree plus one missing path, returns the per-item status
@@ -65,7 +65,7 @@ def p_copyjob(spark, sf_dir):
     ).orderBy("item")
 
 
-@register("p_binary_source", oracle=None, tags=("parity", "binary"))
+@register("xp_binary_source", oracle=None, tags=("parity", "binary"))
 def p_binary_source(spark, sf_dir):
     """P-class: binaryFile scan of a generated tree — (name, length,
     md5(content)) rows; recursive lookup covers the reference's DFS
@@ -82,7 +82,7 @@ def p_binary_source(spark, sf_dir):
     ).orderBy("name")
 
 
-@register("p_multimodal_roundtrip", oracle=None, tags=("parity", "multimodal"))
+@register("xp_multimodal_roundtrip", oracle=None, tags=("parity", "multimodal"))
 def p_multimodal_roundtrip(spark, sf_dir):
     """P-class: multimodal rows (binary + typed metadata struct) written to
     parquet and read back — BinaryType and nested struct survive the round
@@ -103,7 +103,7 @@ def p_multimodal_roundtrip(spark, sf_dir):
     ).orderBy("sample_id")
 
 
-@register("p_multimodal_features", oracle=None, tags=("parity", "multimodal"))
+@register("xp_multimodal_features", oracle=None, tags=("parity", "multimodal"))
 def p_multimodal_features(spark, sf_dir):
     """P-class: mapInPandas decode/feature-extract over multimodal rows
     (Arrow batches; deterministic stub decoder — see sources/multimodal)."""
@@ -117,7 +117,7 @@ def p_multimodal_features(spark, sf_dir):
     )
 
 
-@register("p_layout_maintenance", oracle=None, tags=("parity", "layout"))
+@register("xp_layout_maintenance", oracle=None, tags=("parity", "layout"))
 def p_layout_maintenance(spark, sf_dir):
     """P-class: layout maintenance end-to-end — fragment the events table
     into 24 small files, then (a) compact to ~4 target-sized files and

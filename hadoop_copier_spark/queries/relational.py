@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import tempfile
 
-from .base import F, dec, tbl
+from .base import F, dec, odec, tbl
 from .registry import register
 
 
@@ -113,19 +113,22 @@ def q05(spark, sf_dir):
 
 @register(
     "q06",
-    oracle="""SELECT l_orderkey, l_linenumber,
-                     CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) AS net
+    oracle=f"""SELECT l_orderkey, l_linenumber,
+                     CAST({odec('l_extendedprice', 12, 2)} * (1 - {odec('l_discount', 12, 2)}) AS DECIMAL(18,4)) AS net
               FROM lineitem ORDER BY l_orderkey, l_linenumber""",
     tags=("projection",),
 )
 def q06(spark, sf_dir):
     """Projection + decimal arithmetic (column pruning: only 4 of 11 cols
-    leave the scan)."""
+    leave the scan). Decimals via integer reconstruction — no double->decimal
+    cast (round-1 driver hash failure, see base.py discipline)."""
     li = tbl(spark, sf_dir, "lineitem")
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        (dec("l_extendedprice", 12, 2) * (1 - dec("l_discount", 12, 2))).alias("net"),
+        (dec("l_extendedprice", 12, 2) * (1 - dec("l_discount", 12, 2)))
+        .cast("decimal(18,4)")
+        .alias("net"),
     ).orderBy("l_orderkey", "l_linenumber")
 
 
@@ -221,10 +224,10 @@ def q10(spark, sf_dir):
 
 @register(
     "q11",
-    oracle="""SELECT l_orderkey, l_linenumber,
+    oracle=f"""SELECT l_orderkey, l_linenumber,
                      CAST(l_orderkey AS VARCHAR) AS ok_str,
                      CAST(trunc(l_quantity) AS INTEGER) AS qty_int,
-                     CAST(l_extendedprice AS DECIMAL(12,2)) AS price_dec,
+                     {odec('l_extendedprice', 12, 2)} AS price_dec,
                      CAST(l_linenumber AS DOUBLE) AS ln_double,
                      CAST(l_shipdate AS DATE) AS ship_date,
                      CAST(CAST(l_orderkey AS VARCHAR) AS BIGINT) AS ok_roundtrip
@@ -262,7 +265,7 @@ _MERGE_CHANGES_SQL = """
 
 
 @register(
-    "h_merge_upsert",
+    "xh_merge_upsert",
     oracle=f"""WITH changes AS ({_MERGE_CHANGES_SQL})
                SELECT * FROM (
                  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment

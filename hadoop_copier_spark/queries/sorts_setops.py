@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import Window as W
 
-from .base import F, dec, tbl
+from .base import F, dec, odec, tbl
 from .registry import register
 
 
@@ -31,8 +31,8 @@ def q41(spark, sf_dir):
 
 @register(
     "q42",
-    oracle="""SELECT l_orderkey, l_linenumber,
-                     CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) AS net
+    oracle=f"""SELECT l_orderkey, l_linenumber,
+                     CAST({odec('l_extendedprice', 12, 2)} * (1 - {odec('l_discount', 12, 2)}) AS DECIMAL(18,4)) AS net
               FROM lineitem
               ORDER BY net DESC, l_orderkey, l_linenumber
               LIMIT 100""",
@@ -42,7 +42,11 @@ def q42(spark, sf_dir):
     """Global top-100 after total order -> TakeOrderedAndProject (no full
     sort shuffle at any scale)."""
     li = tbl(spark, sf_dir, "lineitem")
-    net = (dec("l_extendedprice", 12, 2) * (1 - dec("l_discount", 12, 2))).alias("net")
+    net = (
+        (dec("l_extendedprice", 12, 2) * (1 - dec("l_discount", 12, 2)))
+        .cast("decimal(18,4)")
+        .alias("net")
+    )
     return (
         li.select("l_orderkey", "l_linenumber", net)
         .orderBy(F.col("net").desc(), "l_orderkey", "l_linenumber")

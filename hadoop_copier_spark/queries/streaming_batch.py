@@ -11,15 +11,15 @@ timezone-rendering differences entirely.
 
 from __future__ import annotations
 
-from .base import F, dec, tbl
+from .base import F, dec, odec, tbl
 from .registry import register
 
 
 @register(
     "q61",
-    oracle="""SELECT CAST(floor(epoch(ts) / 600) AS BIGINT) * 600 AS w_start_sec,
+    oracle=f"""SELECT CAST(floor(epoch(ts) / 600) AS BIGINT) * 600 AS w_start_sec,
                      event_type, COUNT(*) AS n,
-                     CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_val
+                     CAST(SUM({odec('value', 12, 2)}) AS DECIMAL(38,2)) AS sum_val
               FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
     tags=("streaming", "window"),
 )
@@ -45,9 +45,9 @@ def q61(spark, sf_dir):
 
 @register(
     "q62",
-    oracle="""SELECT CAST(floor(epoch(ts) / 300) AS BIGINT) * 300 - u.k AS w_start_sec,
+    oracle=f"""SELECT CAST(floor(epoch(ts) / 300) AS BIGINT) * 300 - u.k AS w_start_sec,
                      COUNT(*) AS n,
-                     CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_val
+                     CAST(SUM({odec('value', 12, 2)}) AS DECIMAL(38,2)) AS sum_val
               FROM events, (SELECT unnest([0, 300]) AS k) u
               GROUP BY 1 ORDER BY 1""",
     tags=("streaming", "window"),

@@ -10,20 +10,20 @@ from .registry import register
 
 
 @register(
-    "h_correlated_scalar_subquery",
+    "xh_correlated_scalar_subquery",
     oracle="""SELECT o.o_orderkey, o.o_custkey
               FROM orders o
               WHERE o.o_totalprice >
-                    (SELECT CAST(CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
-                                 / COUNT(*) AS DOUBLE)
+                    (SELECT CAST(SUM(CAST(FLOOR(o2.o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+                                 / 100.0 / COUNT(*)
                      FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
               ORDER BY o.o_orderkey""",
     tags=("subquery",),
 )
 def h_correlated_scalar_subquery(spark, sf_dir):
     """Correlated scalar subquery: orders above their customer's average
-    price (avg via the exact-decimal-sum/count discipline so both engines
-    compute the identical double). Catalyst decorrelates this into an
+    price (avg via the exact floor-cents integer sum -> fixed IEEE division
+    sequence, so both engines compute the identical double). Catalyst decorrelates this into an
     aggregate + join — verified by it finishing in one pass."""
     views(spark, sf_dir)
     return spark.sql(
@@ -31,8 +31,8 @@ def h_correlated_scalar_subquery(spark, sf_dir):
         SELECT o.o_orderkey, o.o_custkey
         FROM orders o
         WHERE o.o_totalprice >
-              (SELECT CAST(CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
-                           / COUNT(*) AS DOUBLE)
+              (SELECT CAST(SUM(CAST(FLOOR(o2.o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+                           / 100.0 / COUNT(*)
                FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
         ORDER BY o.o_orderkey
         """
@@ -40,11 +40,11 @@ def h_correlated_scalar_subquery(spark, sf_dir):
 
 
 @register(
-    "h_scalar_and_in_subquery",
+    "xh_scalar_and_in_subquery",
     oracle="""SELECT c_custkey, c_name
               FROM customer
-              WHERE c_acctbal > (SELECT CAST(CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
-                                             / COUNT(*) AS DOUBLE)
+              WHERE c_acctbal > (SELECT CAST(SUM(CAST(FLOOR(c2.c_acctbal * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+                                             / 100.0 / COUNT(*)
                                  FROM customer c2)
                 AND c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey <= 2)
               ORDER BY c_custkey""",
@@ -58,8 +58,8 @@ def h_scalar_and_in_subquery(spark, sf_dir):
         """
         SELECT c_custkey, c_name
         FROM customer
-        WHERE c_acctbal > (SELECT CAST(CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
-                                       / COUNT(*) AS DOUBLE)
+        WHERE c_acctbal > (SELECT CAST(SUM(CAST(FLOOR(c2.c_acctbal * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+                                       / 100.0 / COUNT(*)
                            FROM customer c2)
           AND c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey <= 2)
         ORDER BY c_custkey
@@ -68,7 +68,7 @@ def h_scalar_and_in_subquery(spark, sf_dir):
 
 
 @register(
-    "h_exists_subquery_sql",
+    "xh_exists_subquery_sql",
     oracle="""SELECT s_suppkey, s_name
               FROM supplier s
               WHERE EXISTS (SELECT 1 FROM lineitem l

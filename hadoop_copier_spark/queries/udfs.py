@@ -13,8 +13,31 @@ import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .base import dec, tbl
+from .base import tbl
 from .registry import register
+
+# Shared by q67 (pandas path) and h_znorm_window (JVM path): per-user
+# z-normalization over exact int64 cents. Mean/variance come from exact
+# integer window sums and a fixed IEEE op sequence — every implementation
+# (DuckDB, Spark window, numpy) mirrors this tree token-for-token, so the
+# emitted doubles are bit-identical (no version-sensitive decimal casts).
+_ZNORM_ORACLE = """
+WITH b AS (
+  SELECT event_id, user_id, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS vc FROM events
+),
+w AS (
+  SELECT event_id, user_id, vc,
+         CAST(SUM(vc) OVER pw AS DOUBLE) AS s,
+         CAST(SUM(vc * vc) OVER pw AS DOUBLE) AS q,
+         COUNT(vc) OVER pw AS n
+  FROM b WINDOW pw AS (PARTITION BY user_id)
+)
+SELECT event_id, user_id,
+       CASE WHEN n > 1 AND (q - s * s / n) / (n - 1) > 0
+            THEN (CAST(vc AS DOUBLE) - s / n) / sqrt((q - s * s / n) / (n - 1))
+            ELSE NULL END AS znorm
+FROM w ORDER BY event_id
+"""
 
 
 @register(
@@ -56,107 +79,119 @@ def q65(spark, sf_dir):
 @register(
     "q66",
     oracle="""SELECT l_returnflag,
-                     CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
-                          / CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
-                          AS DECIMAL(18,6)) AS wavg_price
+                     CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+                              * CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+                          / CAST(SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+                          / 100.0 AS wavg_price
               FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     tags=("udf", "udaf"),
 )
 def q66(spark, sf_dir):
     """Grouped-agg pandas UDF (UDAF): quantity-weighted average price.
 
-    Exactness argument: price (2dp) x quantity (2dp) products and their
-    group sums stay below 2^53 when scaled, so the float64 arithmetic in
-    numpy is EXACT (no rounding anywhere) and order-independent — it equals
-    the oracle's decimal-sum-then-divide to the last bit.
+    Exactness argument: prices and quantities are exact 2-dp values, so
+    FLOOR(x*100+0.5) recovers exact int64 cents (the same single IEEE ops
+    numpy applies elementwise); cent products and their group sums stay
+    below 2^63, so the integer arithmetic is EXACT and order-independent —
+    the two final divisions mirror the oracle's op tree bit-for-bit.
     """
+    import numpy as np
 
     @F.pandas_udf(T.DoubleType())
     def wavg(p: pd.Series, q: pd.Series) -> float:
-        num = float((p * q).sum())
-        den = float(q.sum())
-        return num / den
+        pc = np.floor(p.to_numpy(dtype="float64") * 100 + 0.5).astype("int64")
+        qc = np.floor(q.to_numpy(dtype="float64") * 100 + 0.5).astype("int64")
+        return float(int((pc * qc).sum())) / float(int(qc.sum())) / 100.0
 
     li = tbl(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_returnflag")
-        .agg(wavg(F.col("l_extendedprice"), F.col("l_quantity")).alias("wavg_raw"))
-        .select("l_returnflag", F.col("wavg_raw").cast("decimal(18,6)").alias("wavg_price"))
+        .agg(wavg(F.col("l_extendedprice"), F.col("l_quantity")).alias("wavg_price"))
         .orderBy("l_returnflag")
     )
 
 
 @register(
     "q67",
-    oracle="""SELECT event_id, user_id,
-                     CAST((value - AVG(value) OVER w) / STDDEV_SAMP(value) OVER w
-                          AS DECIMAL(18,6)) AS znorm
-              FROM events
-              WINDOW w AS (PARTITION BY user_id)
-              ORDER BY event_id""",
+    oracle=_ZNORM_ORACLE,
     tags=("udf", "groupedmap"),
 )
 def q67(spark, sf_dir):
     """Grouped-map applyInPandas: per-user z-normalization of event values.
 
-    The UDF sorts each group by event_id before computing mean/std so the
-    float summation order is deterministic; results are 6dp-rounded, which
-    absorbs the sub-ulp difference vs the oracle's window aggregate.
+    Bit-exact vs the oracle: values quantized to exact int64 cents (same
+    FLOOR op), mean/variance derived from exact integer sums with the
+    identical IEEE op sequence the oracle spells out — no rounding casts.
     """
+    import math
+
+    import numpy as np
+
     e = tbl(spark, sf_dir, "events").select("event_id", "user_id", "value")
 
     def znorm(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("event_id")
-        mu = pdf["value"].mean()
-        sd = pdf["value"].std(ddof=1)
-        pdf["znorm_raw"] = (pdf["value"] - mu) / sd
-        return pdf[["event_id", "user_id", "znorm_raw"]]
+        vc = np.floor(pdf["value"].to_numpy(dtype="float64") * 100 + 0.5).astype("int64")
+        n = len(vc)
+        s = int(vc.sum())
+        qq = int((vc * vc).sum())
+        # mirror _ZNORM_ORACLE exactly: mean = S/n; var = (Q - S*S/n)/(n-1)
+        var = (float(qq) - float(s) * float(s) / n) / (n - 1) if n > 1 else 0.0
+        if n > 1 and var > 0:
+            mean = float(s) / n
+            sd = math.sqrt(var)
+            vals = (vc.astype("float64") - mean) / sd
+            znorm_col = pd.array(vals, dtype="Float64")
+        else:
+            znorm_col = pd.array([None] * n, dtype="Float64")
+        return pd.DataFrame(
+            {"event_id": pdf["event_id"], "user_id": pdf["user_id"], "znorm": znorm_col}
+        )
 
     out = e.groupBy("user_id").applyInPandas(
-        znorm, schema="event_id long, user_id long, znorm_raw double"
+        znorm, schema="event_id long, user_id long, znorm double"
     )
-    return (
-        out.select("event_id", "user_id", F.col("znorm_raw").cast("decimal(18,6)").alias("znorm"))
-        .orderBy("event_id")
-    )
+    return out.select("event_id", "user_id", "znorm").orderBy("event_id")
 
 
 @register(
-    "h_znorm_window",
-    oracle="""SELECT event_id, user_id,
-                     CAST((value - AVG(value) OVER w) / STDDEV_SAMP(value) OVER w
-                          AS DECIMAL(18,6)) AS znorm
-              FROM events
-              WINDOW w AS (PARTITION BY user_id)
-              ORDER BY event_id""",
+    "xh_znorm_window",
+    oracle=_ZNORM_ORACLE,
     tags=("window", "udf-free-variant"),
 )
 def h_znorm_window(spark, sf_dir):
     """q67's semantics with NO Python in the plan: per-user z-normalization
-    as built-in window aggregates (avg/stddev_samp OVER user_id). This is
-    the production path — whole-stage-codegen'd, no Arrow transfer, no
-    per-group pandas materialization; q67 remains as the grouped-map
-    applyInPandas surface demo. At 100 TB the two shuffle identically
-    (one exchange on user_id) but this variant keeps the hot loop JVM-side
-    (SURVEY 'UDFs are the slow path')."""
+    as built-in window aggregates over exact integer cents (sum, sum of
+    squares, count — then the fixed IEEE mean/variance op sequence of
+    _ZNORM_ORACLE). This is the production path — whole-stage-codegen'd, no
+    Arrow transfer, no per-group pandas materialization; q67 remains as the
+    grouped-map applyInPandas surface demo. At 100 TB the two shuffle
+    identically (one exchange on user_id) but this variant keeps the hot
+    loop JVM-side (SURVEY 'UDFs are the slow path')."""
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("user_id")
-    e = tbl(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    e = tbl(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("long").alias("vc"),
+    )
+    s = F.sum("vc").over(w).cast("double")
+    qq = F.sum(F.col("vc") * F.col("vc")).over(w).cast("double")
+    n = F.count("vc").over(w)
+    var = (qq - s * s / n) / (n - 1)
+    z = (F.col("vc").cast("double") - s / n) / F.sqrt(var)
     return (
         e.select(
             "event_id",
             "user_id",
-            ((F.col("value") - F.avg("value").over(w)) / F.stddev_samp("value").over(w))
-            .cast("decimal(18,6)")
-            .alias("znorm"),
+            F.when((n > 1) & (var > 0), z).otherwise(F.lit(None).cast("double")).alias("znorm"),
         )
         .orderBy("event_id")
     )
 
 
 @register(
-    "h_udtf_generate",
+    "xh_udtf_generate",
     oracle="""SELECT r_regionkey, unnest(generate_series(1, CAST(r_regionkey AS BIGINT) + 1)) AS i
               FROM region ORDER BY r_regionkey, i""",
     tags=("udf", "udtf"),

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import Window as W
 
-from .base import F, dec, tbl
+from .base import F, dec, odec, tbl
 from .registry import register
 
 
@@ -46,8 +46,8 @@ def q34(spark, sf_dir):
     "q35",
     oracle="""SELECT o_orderkey,
                      ntile(10)      OVER w AS tile,
-                     CAST(percent_rank() OVER w AS DECIMAL(18,9)) AS prk,
-                     CAST(cume_dist()    OVER w AS DECIMAL(18,9)) AS cd
+                     percent_rank() OVER w AS prk,
+                     cume_dist()    OVER w AS cd
               FROM orders
               WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
               ORDER BY o_orderkey""",
@@ -55,17 +55,105 @@ def q34(spark, sf_dir):
 )
 def q35(spark, sf_dir):
     """ntile / percent_rank / cume_dist with a unique tiebreak. The ratio
-    functions are single IEEE divisions of exact integers -> decimal-cast
-    is engine-stable."""
+    functions are single IEEE divisions of exact integers -> bit-identical
+    doubles in both engines, emitted raw (no decimal cast, see base.py)."""
     o = tbl(spark, sf_dir, "orders")
     w = W.orderBy(F.col("o_totalprice"), F.col("o_orderkey"))
     return (
         o.select(
             "o_orderkey",
             F.ntile(10).over(w).alias("tile"),
-            F.percent_rank().over(w).cast("decimal(18,9)").alias("prk"),
-            F.cume_dist().over(w).cast("decimal(18,9)").alias("cd"),
+            F.percent_rank().over(w).alias("prk"),
+            F.cume_dist().over(w).alias("cd"),
         )
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "xh_ntile_scalable",
+    oracle="""SELECT o_orderkey,
+                     ntile(10)      OVER w AS tile,
+                     percent_rank() OVER w AS prk,
+                     cume_dist()    OVER w AS cd
+              FROM orders
+              WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
+              ORDER BY o_orderkey""",
+    tags=("window", "scale-variant"),
+)
+def xh_ntile_scalable(spark, sf_dir):
+    """q35's semantics WITHOUT the single-partition window (the one genuine
+    scale-killer shape in the suite — an empty PARTITION BY puts the whole
+    table in one ordered partition).
+
+    Scale plan (SCALE.md 'global rank fix-up'):
+    1. range-repartition on the (unique) sort key + in-partition sort;
+    2. one Arrow `mapInPandas` pass stamps (partition_id, local_index) —
+       the frame is localCheckpoint'ed so the range boundaries (sampled,
+       RDD-id-seeded) are fixed once and both downstream jobs see the SAME
+       partitioning;
+    3. per-partition counts (<= P rows, driver metadata) -> cumulative
+       offsets -> global rank = offset[pid] + local_index + 1;
+    4. ntile/percent_rank/cume_dist become pure expressions of (rank, n) —
+       identical values to the window functions because the sort key is
+       unique (no ties anywhere).
+    Every step is a parallel exchange or a metadata aggregate; nothing ever
+    sorts in a single partition."""
+    import numpy as np
+
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    o = tbl(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    parted = o.repartitionByRange(n_parts, "o_totalprice", "o_orderkey").sortWithinPartitions(
+        "o_totalprice", "o_orderkey"
+    )
+
+    def add_idx(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        base = 0
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["pid"] = np.int32(pid)
+            pdf["lidx"] = np.arange(base, base + len(pdf), dtype="int64")
+            base += len(pdf)
+            yield pdf
+
+    idx = parted.mapInPandas(
+        add_idx, schema="o_orderkey long, o_totalprice double, pid int, lidx long"
+    ).localCheckpoint()  # pin the sampled range boundaries across jobs
+
+    counts = sorted(
+        (r["pid"], r["n"]) for r in idx.groupBy("pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    )  # <= n_parts rows: metadata, not data
+    n = sum(c for _, c in counts)
+    offsets, acc = {}, 0
+    for pid, c in counts:
+        offsets[pid] = acc
+        acc += c
+    off_expr = F.element_at(
+        F.create_map(*[F.lit(x) for pc in offsets.items() for x in pc]), F.col("pid")
+    )
+    rank = (off_expr + F.col("lidx") + 1).alias("rank")
+
+    # Spark/DuckDB ntile bucket layout: first n%k buckets get ceil(n/k) rows
+    k = 10
+    q, m = divmod(n, k)
+    r = F.col("rank")
+    if q == 0:
+        tile = r.cast("int")
+    else:
+        big = m * (q + 1)
+        tile = (
+            F.when(r <= big, (r + q) / (q + 1))
+            .otherwise(m + (r - big + q - 1) / q)
+            .cast("int")
+        )
+    prk = ((r - 1).cast("double") / F.lit(float(n - 1))).alias("prk") if n > 1 else F.lit(0.0).alias("prk")
+    cd = (r.cast("double") / F.lit(float(n))).alias("cd")
+    return (
+        idx.select("o_orderkey", rank)
+        .select("o_orderkey", tile.alias("tile"), prk, cd)
         .orderBy("o_orderkey")
     )
 
@@ -100,8 +188,8 @@ def q36(spark, sf_dir):
 
 @register(
     "q37",
-    oracle="""SELECT event_id, user_id,
-                     SUM(CAST(value AS DECIMAL(12,2))) OVER (
+    oracle=f"""SELECT event_id, user_id,
+                     SUM({odec('value', 12, 2)}) OVER (
                         PARTITION BY user_id ORDER BY ts, event_id
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_sum
               FROM events ORDER BY event_id""",
@@ -124,9 +212,9 @@ def q37(spark, sf_dir):
 
 @register(
     "q38",
-    oracle="""SELECT event_id, user_id,
-                     CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE)
-                          / COUNT(value) OVER w AS DECIMAL(18,6)) AS mavg3
+    oracle=f"""SELECT event_id, user_id,
+                     CAST(SUM({odec('value', 12, 2)}) OVER w AS DOUBLE)
+                          / COUNT(value) OVER w AS mavg3
               FROM events
               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
@@ -134,22 +222,22 @@ def q37(spark, sf_dir):
     tags=("window", "frame"),
 )
 def q38(spark, sf_dir):
-    """Sliding 3-row moving average (decimal-sum / count, engine-stable)."""
+    """Sliding 3-row moving average: exact decimal window sum -> double ->
+    one IEEE division, emitted as raw DOUBLE (bit-stable both engines)."""
     e = tbl(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-2, W.currentRow)
     return e.select(
         "event_id",
         "user_id",
         (F.sum(dec("value", 12, 2)).over(w).cast("double") / F.count("value").over(w))
-        .cast("decimal(18,6)")
         .alias("mavg3"),
     ).orderBy("event_id")
 
 
 @register(
     "q39",
-    oracle="""SELECT event_id, user_id,
-                     SUM(CAST(value AS DECIMAL(12,2))) OVER (
+    oracle=f"""SELECT event_id, user_id,
+                     SUM({odec('value', 12, 2)}) OVER (
                         PARTITION BY user_id ORDER BY CAST(epoch(date_trunc('second', ts)) AS BIGINT)
                         RANGE BETWEEN 600 PRECEDING AND CURRENT ROW) AS sum_10min
               FROM events ORDER BY event_id""",

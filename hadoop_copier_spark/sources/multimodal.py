@@ -4,12 +4,13 @@ Images/audio/video ride as opaque BinaryType columns plus a typed metadata
 struct in the same row; decode / feature-extract run as Arrow-batched
 ``mapInPandas`` so bytes never leave the executors.
 
-The actual media decode is STUBBED: the image/audio libraries are not in
-this container, so ``decode_and_featurize`` uses a deterministic
-byte-statistics "decoder" (real Spark plumbing — schema, batching, UDF
-signature — fake pixels). Swap ``_decode_stub`` for a real
-PIL/torchaudio call in production; the import-try keeps the engine
-importable either way.
+The decoder is CAPABILITY-CHECKED: when Pillow is importable, image
+payloads are really decoded (grayscale 8x8 thumbnail -> 8 row-mean
+features); otherwise — and for payloads that are not decodable images,
+e.g. the synthetic utf-8 fixtures in this container — a deterministic
+byte-statistics fallback produces the same-shaped feature. Either mode
+keeps the P check green: the Spark plumbing (schema, Arrow batching, UDF
+signature) is identical, only the pixel source differs.
 """
 
 from __future__ import annotations
@@ -73,11 +74,26 @@ def make_multimodal_rows(spark: SparkSession, sf_dir: str, n: int = 64) -> DataF
     )
 
 
-def _decode_stub(content: bytes) -> list:
-    """Deterministic fake 'decode': 8-dim feature from byte statistics.
-    Replace with a real decoder when media libs are available."""
-    if _HAS_PIL:  # pragma: no cover
-        raise NotImplementedError("real image decode not wired in this container")
+def _decode_real_image(content: bytes) -> list:  # pragma: no cover - needs Pillow
+    """Real decode path: grayscale 8x8 thumbnail, one mean per pixel row."""
+    import io
+
+    from PIL import Image
+
+    with Image.open(io.BytesIO(content)) as im:
+        px = list(im.convert("L").resize((8, 8)).getdata())
+    return [sum(px[r * 8:(r + 1) * 8]) / (8 * 255.0) for r in range(8)]
+
+
+def decode_feature(content: bytes, modality: str = "image") -> list:
+    """8-dim feature per sample. Pillow-decoded when available and the
+    payload is a real image; deterministic byte-statistics fallback
+    otherwise (same shape, so downstream schemas never change)."""
+    if _HAS_PIL and modality == "image":  # pragma: no cover - needs Pillow
+        try:
+            return _decode_real_image(content)
+        except Exception:
+            pass  # not a decodable image -> fallback below
     h = hashlib.sha1(content).digest()
     return [b / 255.0 for b in h[:8]]
 
@@ -85,19 +101,20 @@ def _decode_stub(content: bytes) -> list:
 def decode_and_featurize(df: DataFrame) -> DataFrame:
     """mapInPandas feature extraction over multimodal rows: Arrow batches
     in, per-sample features out. The plumbing (schema, batch iteration,
-    binary handling) is production-shaped; only the decoder is a stub."""
+    binary handling) is production-shaped; ``decode_feature`` picks the
+    real Pillow decode or the deterministic fallback per payload."""
 
     def extract(batches):
         for pdf in batches:
             feats = []
-            for content in pdf["content"]:
+            for content, modality in zip(pdf["content"], pdf["modality"]):
                 b = bytes(content)
                 feats.append(
                     {
                         "n_bytes": len(b),
                         "sha1": hashlib.sha1(b).hexdigest(),
                         "mean_byte": (sum(b) / len(b)) if b else 0.0,
-                        "feature": _decode_stub(b),
+                        "feature": decode_feature(b, modality),
                     }
                 )
             out = pd.DataFrame(feats)

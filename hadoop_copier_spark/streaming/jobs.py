@@ -35,7 +35,7 @@ def stream_tumbling_counts(spark: SparkSession, src_dir: str, queryName: str):
         events.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("value").cast("decimal(12,2)")).cast("decimal(38,2)").alias("sum_val"),
+            F.sum((F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("long")).cast("decimal(10,0)") * F.lit(__import__("decimal").Decimal("0.01")).cast("decimal(3,2)")).cast("decimal(38,2)").alias("sum_val"),
         )
         .select(
             F.unix_timestamp(F.col("w.start")).alias("w_start_sec"),

@@ -251,9 +251,11 @@ def test_throttled_item_never_split(spark, tmp_path):
     assert elapsed >= 1.5, elapsed
 
 
-def test_namespace_conf_cache_identity(spark):
+def test_namespace_conf_cache_identity(spark, restore_hadoop_conf):
     """R22: per-namespace config memoized; first configuration wins
-    (HdfsFileSystemFactoryTest parity: same namespace -> same cached conf)."""
+    (HdfsFileSystemFactoryTest parity: same namespace -> same cached conf).
+    Since round 2 configure_namespace really applies fs.* keys to the
+    session's hadoopConfiguration, so this test needs the restore fixture."""
     eng = CopyJobEngine(spark)
     c1 = eng.configure_namespace("ns1", {"fs.defaultFS": "hdfs://nn1"})
     c2 = eng.configure_namespace("ns1", {"fs.defaultFS": "hdfs://OTHER"})
@@ -292,3 +294,132 @@ def test_range_copy_reassembles_any_file(tmp_path_factory, data, chunk):
     assert total == len(data)
     with open(dst, "rb") as f:
         assert f.read() == data
+
+
+@pytest.fixture()
+def restore_hadoop_conf(spark):
+    """The Spark session is shared across the suite: snapshot/restore the
+    Hadoop keys these tests apply (production intentionally leaves them
+    applied; tests must not leak hdfs:// defaults into later parquet reads)."""
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    keys = ("fs.defaultFS", "dfs.replication")
+    saved = {k: hconf.get(k) for k in keys}
+    yield hconf
+    for k, v in saved.items():
+        if v is None:
+            hconf.unset(k)
+        else:
+            hconf.set(k, v)
+
+
+class TestNamespaceHadoopConf:
+    """HdfsFileSystemFactoryTest.java:41-81 parity: conf applied once,
+    cached by identity, login invoked only with principal+keytab."""
+
+    def test_fs_keys_applied_to_hadoop_configuration(self, spark, restore_hadoop_conf):
+        hconf = restore_hadoop_conf
+        eng = CopyJobEngine(spark)
+        eng.configure_namespace(
+            "prod", {"fs.defaultFS": "hdfs://nn1:8020", "dfs.replication": "2", "note": "x"}
+        )
+        assert hconf.get("fs.defaultFS") == "hdfs://nn1:8020"
+        assert hconf.get("dfs.replication") == "2"
+        assert hconf.get("note") is None  # non-Hadoop keys are not applied
+
+    def test_login_called_once_with_principal_and_keytab(self, spark, restore_hadoop_conf):
+        calls = []
+        eng = CopyJobEngine(spark, login_fn=lambda ns, p, k: calls.append((ns, p, k)))
+        conf = {
+            "fs.defaultFS": "hdfs://secure:8020",
+            "kerberos.principal": "svc@REALM",
+            "kerberos.keytab": "/etc/svc.keytab",
+        }
+        first = eng.configure_namespace("secure", conf)
+        again = eng.configure_namespace("secure", {"kerberos.principal": "other@REALM",
+                                                   "kerberos.keytab": "/tmp/x"})
+        assert calls == [("secure", "svc@REALM", "/etc/svc.keytab")]
+        assert again is first  # computeIfAbsent: first configuration wins
+
+    def test_no_login_without_principal(self, spark, restore_hadoop_conf):
+        eng = CopyJobEngine(spark)
+        eng.configure_namespace("open", {"fs.defaultFS": "hdfs://nn2:8020"})
+        assert eng.logins == []
+
+    def test_default_login_records(self, spark):
+        eng = CopyJobEngine(spark)
+        eng.configure_namespace(
+            "sec2", {"kerberos.principal": "a@R", "kerberos.keytab": "/k"}
+        )
+        assert eng.logins == [("sec2", "a@R", "/k")]
+
+
+class TestInvalidRequestBody:
+    """GlobalExceptionHandler.java:16-20 parity: structural failures
+    normalize to 'Invalid request body' before semantic validation."""
+
+    @pytest.mark.parametrize(
+        "body",
+        [
+            None,
+            42,
+            {"namespace": "ns"},  # items missing
+            {"items": []},  # namespace missing
+            {"namespace": "ns", "items": [("only-src",)]},
+            {"namespace": "ns", "items": [{"hdfsPath": "/a"}]},  # dst missing
+            {"namespace": "ns", "items": [("/a", 5)]},  # non-string path
+            {"namespace": "ns", "items": "not-a-list"},
+            {"namespace": "ns", "items": [], "bandwidth": "fast"},
+            {"namespace": 7, "items": []},
+        ],
+    )
+    def test_malformed_bodies_normalized(self, spark, body):
+        eng = CopyJobEngine(spark)
+        with pytest.raises(ValidationError, match="^Invalid request body$"):
+            eng.submit(body)
+
+    def test_dict_body_accepted(self, spark, tree, tmp_path):
+        src, files = tree
+        eng = CopyJobEngine(spark)
+        rid = eng.submit(
+            {"namespace": "local",
+             "items": [{"hdfsPath": str(src / "one.bin"), "localPath": str(tmp_path / "o.bin")}],
+             "ignored_extra": True}
+        )
+        assert eng.status(rid)["status"] == "COMPLETED"
+
+    def test_semantic_validation_still_verbatim(self, spark):
+        eng = CopyJobEngine(spark)
+        with pytest.raises(ValidationError, match="^namespace is required$"):
+            eng.submit({"namespace": "  ", "items": [("/a", "/b")]})
+
+
+def test_split_failure_leaves_no_garbage_destination(spark, tmp_path):
+    """ADVICE round 1: a FAILED split item must not leave a full-size
+    destination of zero/garbage ranges — chunks land in a temp file that is
+    renamed only on full success."""
+    src = tmp_path / "big.bin"
+    src.write_bytes(os.urandom(256 * 1024))
+    dst = tmp_path / "out" / "big.bin"
+    eng = CopyJobEngine(spark, split_threshold_bytes=64 * 1024, split_chunk_bytes=32 * 1024)
+
+    dst.parent.mkdir(parents=True)
+    rid = eng.submit(CopyRequest("local", [CopyItem(str(src), str(dst))]))
+    assert eng.status(rid)["status"] == "COMPLETED"
+    assert dst.read_bytes() == src.read_bytes()
+    assert not dst.with_name(dst.name + ".__hcs_tmp__").exists()
+
+    # force a deterministic chunk failure: oversize the planner's view of
+    # the source (monkeypatched getsize), so chunk tasks hit a short read
+    src2 = tmp_path / "big2.bin"
+    src2.write_bytes(os.urandom(256 * 1024))
+    dst2 = tmp_path / "out" / "big2.bin"
+    real_getsize = os.path.getsize
+    os.path.getsize = lambda p: real_getsize(p) * 2 if str(p) == str(src2) else real_getsize(p)
+    try:
+        rid2 = eng.submit(CopyRequest("local", [CopyItem(str(src2), str(dst2))]))
+    finally:
+        os.path.getsize = real_getsize
+    st = eng.status(rid2)
+    assert st["status"] == "FAILED"
+    assert not dst2.exists(), "failed split must not materialize a garbage destination"
+    assert not dst2.with_name(dst2.name + ".__hcs_tmp__").exists(), "temp must be cleaned up"

@@ -13,7 +13,7 @@ SF = "/root/testdata/sf0.001"
 
 # one per risk family: multi-stage decimal agg, window, session boundary,
 # iterative CC, set-op distinct, minhash banding
-CASES = ["q24", "q35", "q63", "p_dedup_clusters", "q45", "h_ngram_jaccard"]
+CASES = ["q24", "q35", "q63", "xp_dedup_clusters", "q45", "xh_ngram_jaccard"]
 
 
 @pytest.mark.parametrize("name", CASES)
@@ -30,3 +30,81 @@ def test_result_invariant_under_shuffle_partitioning(spark, name):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", orig)
     assert results[0] == results[1] == results[2]
+
+
+class TestSerializerDriverParity:
+    """The local harness must be exactly as strict as the driver's hash
+    (SURVEY §2b rule 5) — round 1's Decimal.normalize() masked scale
+    mismatches the driver would flag."""
+
+    def test_decimal_scale_mismatch_fails(self):
+        from decimal import Decimal
+
+        from hadoop_copier_spark.testing import _norm_value
+
+        assert _norm_value(Decimal("1.20")) != _norm_value(Decimal("1.2"))
+        assert _norm_value(Decimal("1.20")) == "1.20"
+
+    def test_float_serialization_is_bit_exact(self):
+        from hadoop_copier_spark.testing import _norm_value
+
+        assert _norm_value(0.1 + 0.2) != _norm_value(0.3)
+        assert _norm_value(1.0) == "1.0"
+
+    def test_null_and_hash(self):
+        from hadoop_copier_spark.testing import _norm_value, result_hash
+
+        assert _norm_value(None) == "\\N"
+        h1 = result_hash(["a", "b"], [(1, None), (2, "x")])
+        h2 = result_hash(["b", "a"], [(None, 1), ("x", 2)])  # column order free
+        assert h1 == h2
+        assert h1 != result_hash(["a", "b"], [(1, None)])
+
+
+class TestFloorCentsDiscipline:
+    """base.py's FLOOR(x*10^s+0.5) reconstruction must be exact for every
+    money column at every SF — the precondition for the version-proof
+    decimal rules (a raw double->decimal CAST is engine-version dependent;
+    the floor path has no rounding step)."""
+
+    COLS = [
+        ("lineitem", ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]),
+        ("orders", ["o_totalprice"]),
+        ("customer", ["c_acctbal"]),
+        ("supplier", ["s_acctbal"]),
+        ("part", ["p_retailprice"]),
+        ("events", ["value"]),
+    ]
+
+    def test_all_money_columns_exact_2dp(self, sf_oracle):
+        import duckdb
+
+        con = duckdb.connect()
+        for tab, cols in self.COLS:
+            for col in cols:
+                bad = con.execute(
+                    f"SELECT count(*) FROM read_parquet('{sf_oracle}/{tab}.parquet') "
+                    f"WHERE {col} IS NOT NULL AND "
+                    f"CAST(FLOOR({col} * 100 + 0.5) AS BIGINT) / 100.0 <> {col}"
+                ).fetchone()[0]
+                assert bad == 0, f"{tab}.{col}: {bad} values not exact 2dp"
+
+    def test_dec_reconstruction_matches_oracle_on_adversarial_values(self, spark):
+        """Values whose double sits just BELOW the true 2dp decimal (the
+        truncation trap: 1234.56 stores as 1234.55999...) must reconstruct
+        exactly, including negatives."""
+        from decimal import Decimal
+
+        import duckdb
+
+        from hadoop_copier_spark.queries.base import dec, odec
+
+        vals = [1234.56, 0.07, -1234.56, -0.07, 8.2, -8.2, 12345678.91, 0.0]
+        df = spark.createDataFrame([(v,) for v in vals], "x double")
+        got = [r[0] for r in df.select(dec("x", 12, 2).alias("d")).collect()]
+        assert got == [Decimal(f"{v:.2f}") for v in vals]
+        con = duckdb.connect()
+        duck = [
+            con.execute(f"SELECT {odec(str(v), 12, 2)}").fetchone()[0] for v in vals
+        ]
+        assert duck == got

@@ -37,7 +37,7 @@ def exact_dup_pairs(spark):
 
 def test_minhash_lsh_finds_all_exact_dups(spark, exact_dup_pairs):
     assert exact_dup_pairs, "fixture should contain planted exact duplicates"
-    rows = REGISTRY["p_minhash_neardup"].fn(spark, SF_DUPS).collect()
+    rows = REGISTRY["xp_minhash_neardup"].fn(spark, SF_DUPS).collect()
     found = {(r["id_a"], r["id_b"]) for r in rows}
     missing = exact_dup_pairs - found
     assert not missing, f"LSH missed {len(missing)} exact-dup pairs (of {len(exact_dup_pairs)})"
@@ -48,14 +48,14 @@ def test_minhash_lsh_finds_all_exact_dups(spark, exact_dup_pairs):
 
 
 def test_simhash_equal_for_exact_dups(spark, exact_dup_pairs):
-    sh = {r["doc_id"]: r["simhash"] for r in REGISTRY["p_simhash"].fn(spark, SF_DUPS).collect()}
+    sh = {r["doc_id"]: r["simhash"] for r in REGISTRY["xp_simhash"].fn(spark, SF_DUPS).collect()}
     for a, b in exact_dup_pairs:
         assert sh[a] == sh[b]
 
 
 def test_ann_lsh_recall_vs_brute_force(spark, sf_oracle):
     brute = REGISTRY["q59"].fn(spark, sf_oracle).collect()
-    approx = REGISTRY["p_ann_lsh"].fn(spark, sf_oracle).collect()
+    approx = REGISTRY["xp_ann_lsh"].fn(spark, sf_oracle).collect()
     top_b = {}
     for r in brute:
         top_b.setdefault(r["query_id"], set()).add(r["neighbor_id"])
@@ -69,7 +69,7 @@ def test_ann_lsh_recall_vs_brute_force(spark, sf_oracle):
 
 
 def test_tfidf_sane(spark, sf_oracle):
-    rows = REGISTRY["p_tfidf"].fn(spark, sf_oracle).collect()
+    rows = REGISTRY["xp_tfidf"].fn(spark, sf_oracle).collect()
     assert rows
     by_doc = {}
     for r in rows:
@@ -84,7 +84,12 @@ def test_tfidf_sane(spark, sf_oracle):
 
 
 def test_embedding_neardup_matches_numpy(spark, sf_oracle):
+    """Non-planted pairs must match a numpy brute-force oracle; every
+    planted near-dup pair must be recovered (the self-validation contract —
+    the round-1 driver run returned 0 rows, indistinguishable from a broken
+    operator)."""
     from hadoop_copier_spark.queries.base import tbl
+    from hadoop_copier_spark.queries.llm_ops import N_PLANTED, PLANT_OFFSET
 
     emb = {
         r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
@@ -99,17 +104,19 @@ def test_embedding_neardup_matches_numpy(spark, sf_oracle):
         for j in range(i + 1, len(ids)):
             if round(cos[i, j], 6) >= 0.9:
                 expected.add((ids[i], ids[j]))
-    got = {
-        (r["id_a"], r["id_b"])
-        for r in REGISTRY["p_embedding_neardup"].fn(spark, sf_oracle).collect()
-    }
-    # allow boundary disagreement exactly at the threshold (float vs decimal)
-    sym_diff = expected ^ got
-    assert len(sym_diff) <= max(2, len(expected) // 50), (len(expected), len(got), list(sym_diff)[:5])
+    rows = REGISTRY["xp_embedding_neardup"].fn(spark, sf_oracle).collect()
+    assert rows, "near-dup check must never return an empty frame"
+    got = {(r["id_a"], r["id_b"]) for r in rows}
+    planted = {(i, i + PLANT_OFFSET) for i in range(N_PLANTED)}
+    assert planted <= got, f"planted pairs missing: {sorted(planted - got)[:5]}"
+    # non-planted portion matches numpy, modulo threshold-boundary ties
+    got_real = {p for p in got if p[1] < PLANT_OFFSET and p[0] < PLANT_OFFSET}
+    sym_diff = expected ^ got_real
+    assert len(sym_diff) <= max(2, len(expected) // 50), (len(expected), len(got_real), list(sym_diff)[:5])
 
 
 def test_text_analysis_outputs_valid(spark, sf_oracle):
-    rows = REGISTRY["p_text_analysis"].fn(spark, sf_oracle).collect()
+    rows = REGISTRY["xp_text_analysis"].fn(spark, sf_oracle).collect()
     assert rows
     for r in rows[:200]:
         assert r["lang_guess"] in {"de", "en", "es", "fr", "zh", "und"}
@@ -117,13 +124,13 @@ def test_text_analysis_outputs_valid(spark, sf_oracle):
         assert r["bpe_tokens"] >= 1
         assert isinstance(r["fingerprint"], int)
     # determinism: second run identical
-    again = REGISTRY["p_text_analysis"].fn(spark, sf_oracle).collect()
+    again = REGISTRY["xp_text_analysis"].fn(spark, sf_oracle).collect()
     assert rows == again
 
 
 def test_ann_ivf_recall_vs_brute_force(spark, sf_oracle):
     brute = REGISTRY["q59"].fn(spark, sf_oracle).collect()
-    approx = REGISTRY["p_ann_ivf"].fn(spark, sf_oracle).collect()
+    approx = REGISTRY["xp_ann_ivf"].fn(spark, sf_oracle).collect()
     top_b, top_a = {}, {}
     for r in brute:
         top_b.setdefault(r["query_id"], set()).add(r["neighbor_id"])
@@ -157,7 +164,7 @@ def test_connected_components_hand_graph(spark):
 def test_dedup_clusters_match_union_find(spark, sf_oracle):
     """p_dedup_clusters vs a driver-side union-find over the same pair set
     (independent of both the Spark propagation and the SQL oracle)."""
-    rows = REGISTRY["p_dedup_clusters"].fn(spark, sf_oracle).collect()
+    rows = REGISTRY["xp_dedup_clusters"].fn(spark, sf_oracle).collect()
     got = {r["doc_id"]: r["cluster_id"] for r in rows}
 
     # recompute the query's own pair set exactly (window +-1/+-2, j >= 0.7)

@@ -116,3 +116,44 @@ def test_partition_pruning_on_partitioned_layout(spark, sf_oracle, tmp_path):
     assert "PartitionFilters" in text
     after = text.split("PartitionFilters", 1)[1][:250]
     assert "o_orderstatus" in after, after
+
+
+def test_xh_ntile_scalable_no_single_partition_exchange(spark, sf_oracle):
+    """The scalable global-rank variant must never funnel the table into
+    one ordered partition; q35 (the declared-window form) is the contrast
+    case — its empty PARTITION BY plans exactly that shape."""
+    text = _explain(spark, sf_oracle, "xh_ntile_scalable")
+    assert "Exchange SinglePartition" not in text, text[:800]
+    assert "Window" not in text  # rank comes from offsets, not a window
+    # contrast: q35 plans a global window (empty PARTITION BY). Depending on
+    # scan parallelism the single-partition constraint shows as an explicit
+    # Exchange SinglePartition or as a Sort over an already-1-partition scan,
+    # so assert the Window shape itself.
+    q35 = _explain(spark, sf_oracle, "q35")
+    assert "Window" in q35
+
+
+def test_correlated_scalar_subquery_decorrelated(spark, sf_oracle):
+    """Catalyst must rewrite the correlated scalar subquery into an
+    aggregate + join (one pass), never a per-row ScalarSubquery."""
+    text = _explain(spark, sf_oracle, "xh_correlated_scalar_subquery")
+    assert "Join" in text
+    assert "ScalarSubquery" not in text, text[:800]
+
+
+def test_q22_asof_no_window_sort(spark, sf_oracle):
+    """The as-of join resolves latest-at-or-before via max_by aggregation,
+    not a row_number window (which would add a per-key sort of every
+    candidate row at 100 TB)."""
+    text = _explain(spark, sf_oracle, "q22")
+    assert "Window" not in text, text[:800]
+
+
+def test_q59_candidates_never_shuffle(spark, sf_oracle):
+    """Brute-force cosine: queries broadcast; the candidate scan must
+    stream (no SortMergeJoin / hash exchange of the candidate side before
+    the join)."""
+    text = _explain(spark, sf_oracle, "q59")
+    assert "SortMergeJoin" not in text
+    pre_join = text.split("Join", 1)[0]
+    assert "Exchange hashpartitioning" not in pre_join, pre_join[-500:]

@@ -60,7 +60,7 @@ def test_multimodal_features_deterministic_and_correct(spark, sf_oracle):
 
 
 def test_p_copyjob_query_shape(spark, sf_oracle):
-    rows = REGISTRY["p_copyjob"].fn(spark, sf_oracle).collect()
+    rows = REGISTRY["xp_copyjob"].fn(spark, sf_oracle).collect()
     assert [r["task_status"] for r in rows] == ["PARTIALLY_FAILED"] * 2
     by_item = {r["item"]: r for r in rows}
     assert by_item["src"]["item_status"] == "COMPLETED"

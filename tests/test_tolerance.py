@@ -11,7 +11,7 @@ def _rows_by_key(rows, key_idx=0):
 
 
 def test_stddev_corr_tolerance(spark, sf_oracle, duck):
-    spark_rows = REGISTRY["t_stddev_corr"].fn(spark, sf_oracle).collect()
+    spark_rows = REGISTRY["xt_stddev_corr"].fn(spark, sf_oracle).collect()
     duck_rows = duck.execute(
         """SELECT l_returnflag,
                   stddev_pop(l_extendedprice) AS sd_pop,
@@ -29,7 +29,7 @@ def test_stddev_corr_tolerance(spark, sf_oracle, duck):
 
 
 def test_approx_sketches_within_5pct(spark, sf_oracle):
-    apx = {r["l_returnflag"]: r for r in REGISTRY["p_approx_sketches"].fn(spark, sf_oracle).collect()}
+    apx = {r["l_returnflag"]: r for r in REGISTRY["xp_approx_sketches"].fn(spark, sf_oracle).collect()}
     exact = {r["l_returnflag"]: r for r in REGISTRY["q26"].fn(spark, sf_oracle).collect()}
     med = {r["l_returnflag"]: r for r in REGISTRY["q33"].fn(spark, sf_oracle).collect()}
     for k in exact:
@@ -40,7 +40,7 @@ def test_approx_sketches_within_5pct(spark, sf_oracle):
 def test_uuid_keys_unique_and_formatted(spark, sf_oracle):
     import re
 
-    rows = REGISTRY["p_uuid_keys"].fn(spark, sf_oracle).collect()
+    rows = REGISTRY["xp_uuid_keys"].fn(spark, sf_oracle).collect()
     ids = [r["request_id"] for r in rows]
     assert len(ids) == len(set(ids))
     pat = re.compile(r"^[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}$")
