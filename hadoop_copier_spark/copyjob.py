@@ -451,8 +451,12 @@ class CopyJobEngine:
         # chunk landed; otherwise drop the temp (failure leaves no full-size
         # garbage file — ADVICE round 1).
         rename_errors: dict[str, str] = {}
+        rows_by_dst: dict[str, list] = {}
+        if split_tmp:
+            for r in results:
+                rows_by_dst.setdefault(r["dst_file"], []).append(r)
         for dst, tmp in split_tmp.items():
-            chunk_rows = [r for r in results if r["dst_file"] == dst]
+            chunk_rows = rows_by_dst.get(dst, [])
             if chunk_rows and all(r["status"] == "COMPLETED" for r in chunk_rows):
                 try:
                     os.replace(tmp, dst)

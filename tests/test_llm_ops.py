@@ -231,3 +231,26 @@ def test_connected_components_random_graphs_match_union_find(spark):
                 parent[max(ru, rv)] = min(ru, rv)
         expected = {i: find(i) for i in range(n)}
         assert got == expected, f"trial {trial}"
+
+
+def test_dedup_clusters_releases_checkpoint_storage(spark, sf_oracle):
+    """ADVICE round 1: repeated invocations must not accumulate executor
+    storage — superseded per-round label checkpoints and the shingle cache
+    are released eagerly; only the returned frame's own checkpoint may
+    remain until it is garbage collected."""
+    jsc = spark.sparkContext._jsc.sc()
+
+    def n_persistent():
+        return jsc.getPersistentRDDs().size()
+
+    base = n_persistent()
+    REGISTRY["xp_dedup_clusters"].fn(spark, sf_oracle).collect()
+    after_one = n_persistent()
+    REGISTRY["xp_dedup_clusters"].fn(spark, sf_oracle).collect()
+    after_two = n_persistent()
+    # allowance: the returned labels checkpoint (+ the operator's own edge
+    # materialization) from the most recent call may still be referenced,
+    # but round-over-round growth (the round-1 leak: ~6 blocks/run) must not
+    # compound across invocations.
+    assert after_two - after_one <= 2, (base, after_one, after_two)
+    assert after_one - base <= 3, (base, after_one, after_two)
