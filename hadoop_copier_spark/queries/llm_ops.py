@@ -402,3 +402,63 @@ def p_ann_ivf(spark, sf_dir):
 
     e = tbl(spark, sf_dir, "embeddings")
     return ivf_ann_topk(e, e.filter(F.col("vec_id") < 10), k=5).orderBy("query_id", "rank")
+
+
+@register("xp_training_pipeline", oracle=None, tags=("llm", "pipeline"))
+def xp_training_pipeline(spark, sf_dir):
+    """P-class: the full training-data curation pipeline, composed from the
+    engine's own operators in the order a 100 TB corpus run executes them:
+
+      1. language filter     (lang-ID heuristic, JVM expressions)
+      2. quality threshold   (length/punct/stopword composite score)
+      3. exact dedup         (md5 hash-groupBy, keep lowest doc_id)
+      4. near-dup removal    (Jaccard pairs -> connected components ->
+                              keep each cluster's minimum-id representative)
+      5. stratified sample   (seeded per-language rates)
+      6. corpus stats        (docs/tokens per language, deterministic)
+
+    Every stage is one of the registered primitives (q56, xp_minhash /
+    window-Jaccard, xp_dedup_clusters, xp_stratified_sample, q60), so the
+    shuffle budget is the sum of theirs: md5 groupBy (uniform), pair join
+    (equi, exploded offsets), O(log d) CC rounds, one final agg. The
+    driver check is rows-only; tests assert determinism and that each
+    stage only ever removes rows."""
+    from ..functions.text import lang_id_guess, quality_score, whitespace_token_count
+    from ..operators.components import dedup_clusters
+    from ..operators.dedup import window_jaccard_pairs
+
+    d = tbl(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+
+    # 1-2: language + quality gates (pure Column exprs, pushdown-friendly)
+    gated = d.filter(
+        lang_id_guess(F.col("text")).isin("en", "de", "es", "fr")
+        & (quality_score(F.col("text")) >= 0.35)
+    )
+
+    # 3: exact dedup — keep the lowest doc_id per md5(text)
+    keep_exact = gated.groupBy(F.md5("text").alias("__h")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    exact = gated.join(keep_exact.select("doc_id"), "doc_id")
+
+    # 4: near-dup removal — deterministic candidate window, Jaccard >= 0.7,
+    # connected components, keep each cluster's min-id representative
+    pairs = window_jaccard_pairs(exact, "doc_id", "text", offsets=(1, 2), threshold=0.7)
+    clusters = dedup_clusters(pairs, nodes=exact.select("doc_id"))
+    reps = clusters.filter(F.col("doc_id") == F.col("cluster_id")).select("doc_id")
+    curated = exact.join(reps, "doc_id")
+
+    # 5: stratified sample (seeded => deterministic for a fixed layout)
+    fractions = {"en": 0.8, "de": 0.8, "es": 0.5, "fr": 0.5}
+    sampled = curated.sampleBy("lang", fractions, seed=7)
+
+    # 6: per-language corpus stats
+    return (
+        sampled.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(whitespace_token_count(F.col("text"))).alias("n_tokens"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+        .orderBy("lang")
+    )

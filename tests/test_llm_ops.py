@@ -254,3 +254,23 @@ def test_dedup_clusters_releases_checkpoint_storage(spark, sf_oracle):
     # compound across invocations.
     assert after_two - after_one <= 2, (base, after_one, after_two)
     assert after_one - base <= 3, (base, after_one, after_two)
+
+
+def test_training_pipeline_deterministic_and_contracting(spark, sf_oracle):
+    """The composed curation pipeline must be deterministic (seeded sample,
+    deterministic dedup representatives) and each stage only removes rows:
+    the sampled token total cannot exceed the raw corpus total."""
+    from hadoop_copier_spark.queries.base import tbl
+    from hadoop_copier_spark.functions.text import whitespace_token_count
+    from pyspark.sql import functions as F
+
+    run1 = [tuple(r) for r in REGISTRY["xp_training_pipeline"].fn(spark, sf_oracle).collect()]
+    run2 = [tuple(r) for r in REGISTRY["xp_training_pipeline"].fn(spark, sf_oracle).collect()]
+    assert run1 == run2
+    assert run1, "pipeline must keep a non-empty curated corpus"
+    d = tbl(spark, sf_oracle, "documents")
+    total_docs = d.count()
+    total_tokens = d.select(F.sum(whitespace_token_count(F.col("text"))).alias("t")).collect()[0]["t"]
+    assert sum(r[1] for r in run1) <= total_docs
+    assert sum(r[2] for r in run1) <= total_tokens
+    assert {r[0] for r in run1} <= {"en", "de", "es", "fr"}
