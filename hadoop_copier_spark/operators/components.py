@@ -92,12 +92,17 @@ def connected_components(
                 "node",
                 F.least(F.col("comp"), F.coalesce(F.col("ccomp"), F.col("comp"))).alias("comp"),
             )
-        jumped = jumped.localCheckpoint()
+        # Lazy checkpoint: the convergence probe below is the round's ONE
+        # Spark job — it fully materializes the checkpoint as a side effect
+        # (a full count, not limit(1): an incremental limit scan could
+        # persist only some partitions and leave the lineage live). Eager
+        # checkpoint + separate probe was 2 jobs/round; per-round job count
+        # is what dominates wall time on small graphs.
+        jumped = jumped.localCheckpoint(eager=False)
         changed = (
             jumped.alias("n")
             .join(labels.alias("o"), "node")
             .filter(F.col("n.comp") != F.col("o.comp"))
-            .limit(1)
             .count()
         )
         superseded = labels

@@ -439,7 +439,13 @@ def xp_training_pipeline(spark, sf_dir):
     keep_exact = gated.groupBy(F.md5("text").alias("__h")).agg(
         F.min("doc_id").alias("doc_id")
     )
-    exact = gated.join(keep_exact.select("doc_id"), "doc_id")
+    # The deduped corpus feeds four consumers (both sides of the candidate
+    # join, the CC node set, and the final representative join), and the CC
+    # loop underneath is iterative — without a materialization barrier the
+    # gate+dedup subtree re-executes per consumer. localCheckpoint cuts the
+    # lineage and stores the frame once on the executors (blocks released
+    # with this frame's RDD); a real 100 TB run would stage this to a table.
+    exact = gated.join(keep_exact.select("doc_id"), "doc_id").localCheckpoint(eager=True)
 
     # 4: near-dup removal — deterministic candidate window, Jaccard >= 0.7,
     # connected components, keep each cluster's min-id representative

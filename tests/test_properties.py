@@ -1,0 +1,168 @@
+"""Property-based equivalence tests: the engine's composed operators vs
+tiny brute-force Python references on adversarial inputs.
+
+The oracle suite (test_oracle_queries.py) checks the fixtures; these check
+the operator ALGEBRA — hypothesis-generated and hand-picked pathological
+shapes (chains that punish O(diameter) propagation, equal-time as-of
+ties, hot-key skew) that the fixtures may not contain.
+
+Spark jobs cost ~0.5 s each, so hypothesis runs few, large examples
+(max_examples is deliberately small; deadline disabled)."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from hadoop_copier_spark.operators.asof import asof_join
+from hadoop_copier_spark.operators.components import connected_components
+from hadoop_copier_spark.operators.skew import salted_join
+
+# ---------------------------------------------------------------------------
+# connected components vs union-find
+
+
+def _union_find_components(edges, nodes):
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        parent.setdefault(u, u)
+        parent.setdefault(v, v)
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    # min-label per component, matching connected_components' contract
+    comp_min: dict[int, int] = {}
+    for n in parent:
+        r = find(n)
+        comp_min[r] = min(comp_min.get(r, n), n)
+    return {n: comp_min[find(n)] for n in parent}
+
+
+def _cc_spark(spark, edges, nodes):
+    edf = spark.createDataFrame(edges or [(0, 0)], "src long, dst long")
+    if not edges:  # self-loop placeholder keeps the schema; harmless
+        edf = edf.filter(F.lit(False))
+    ndf = spark.createDataFrame([(n,) for n in nodes], "src long") if nodes else None
+    out = connected_components(edf, nodes=ndf)
+    return {r["node"]: r["comp"] for r in out.collect()}
+
+
+def test_cc_long_chain_converges_in_log_rounds(spark):
+    """A 200-node path graph: plain label propagation needs ~200 rounds;
+    pointer jumping must land it well inside the 50-round cap — and get
+    the single min-label component exactly right."""
+    edges = [(i, i + 1) for i in range(200)]
+    got = _cc_spark(spark, edges, nodes=range(201))
+    assert got == {n: 0 for n in range(201)}
+
+
+def test_cc_two_cliques_and_singletons(spark):
+    edges = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    edges += [(a, b) for a in range(10, 14) for b in range(a + 1, 14)]
+    nodes = list(range(20))
+    got = _cc_spark(spark, edges, nodes)
+    assert got == _union_find_components(edges, nodes)
+
+
+def test_cc_duplicate_and_self_edges(spark):
+    edges = [(1, 2), (2, 1), (1, 2), (3, 3), (4, 5), (5, 4)]
+    nodes = [1, 2, 3, 4, 5, 6]
+    got = _cc_spark(spark, edges, nodes)
+    assert got == _union_find_components(edges, nodes)
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 40), st.integers(0, 40)), min_size=0, max_size=120
+    )
+)
+def test_cc_random_graphs_match_union_find(spark, edges):
+    nodes = sorted({n for e in edges for n in e} | set(range(0, 41, 7)))
+    got = _cc_spark(spark, edges, nodes)
+    assert got == _union_find_components(edges, nodes)
+
+
+# ---------------------------------------------------------------------------
+# as-of join vs brute force
+
+
+def _asof_brute(left_rows, right_rows):
+    """(key, lt) x (key, rt, val): latest rt <= lt; ties -> max val."""
+    out = {}
+    for lk, lt in left_rows:
+        cands = [
+            (rt, val)
+            for rk, rt, val in right_rows
+            if rk == lk and rt <= lt
+        ]
+        out[(lk, lt)] = max(cands) if cands else None
+    return out
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    left=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 50)),
+        min_size=1,
+        max_size=30,
+        unique=True,
+    ),
+    right=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 50), st.integers(0, 9)),
+        min_size=0,
+        max_size=60,
+        unique=True,
+    ),
+)
+def test_asof_join_matches_brute_force(spark, left, right):
+    ldf = spark.createDataFrame(left, "k long, lt long")
+    rdf = spark.createDataFrame(right or [(0, 0, 0)], "k long, rt long, val long")
+    if not right:
+        rdf = rdf.filter(F.lit(False))
+    got = asof_join(ldf, rdf, on="k", left_time="lt", right_time="rt",
+                    tiebreak="val", how="left")
+    expect = _asof_brute(left, right)
+    rows = {(r["k"], r["lt"]): (r["rt"], r["val"]) if r["rt"] is not None else None
+            for r in got.collect()}
+    assert set(rows) == set(expect)
+    for key, want in expect.items():
+        assert rows[key] == want, (key, rows[key], want)
+
+
+# ---------------------------------------------------------------------------
+# salted join ≡ plain join (same rows, any salt fan-out)
+
+
+@settings(max_examples=4, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    big=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 1000)), min_size=0, max_size=50
+    ),
+    small=st.lists(
+        st.tuples(st.integers(0, 4), st.text("ab", min_size=1, max_size=2)),
+        min_size=0,
+        max_size=6,
+        unique_by=lambda t: t[0],
+    ),
+    n_salts=st.sampled_from([1, 3, 8]),
+)
+def test_salted_join_equivalent_to_plain_join(spark, big, small, n_salts):
+    bdf = spark.createDataFrame(big or [(0, 0)], "key long, payload long")
+    sdf = spark.createDataFrame(small or [(0, "a")], "key long, name string")
+    if not big:
+        bdf = bdf.filter(F.lit(False))
+    if not small:
+        sdf = sdf.filter(F.lit(False))
+    got = sorted(
+        tuple(r) for r in salted_join(bdf, sdf, "key", n_salts=n_salts).collect()
+    )
+    want = sorted(tuple(r) for r in bdf.join(sdf, "key").collect())
+    assert got == want
