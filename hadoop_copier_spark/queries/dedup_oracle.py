@@ -1,0 +1,447 @@
+"""Fully-oracled dedup + text-analysis variants (H-class).
+
+The production dedup operators (operators/dedup.py) hash with xxhash64 —
+fast, JVM-native, but DuckDB cannot reproduce it, so their registry
+entries are rows-only P checks. These variants re-express the SAME
+algorithms over a portable 60-bit hash both engines compute identically:
+
+    h60(s) = first 15 hex digits of md5(s), read as an integer
+
+(md5 is bit-identical everywhere; 15 hex digits = 60 bits fits BIGINT).
+All downstream arithmetic is exact integers — affine permutations mod a
+Mersenne prime in DECIMAL(38,0)/HUGEINT, bit tests, polynomial rolling
+hashes — so the DuckDB oracle matches hash-for-hash, no float anywhere
+except the quality score (mirrored op tree per queries/base.py rule 2).
+
+Scale: identical plan shapes to the xxhash64 production twins (uniform
+band-key shuffles, arrays materialized before lambda consumers per the
+CSE pitfall in SCALE.md); md5 costs more CPU per token than xxhash64,
+which is why the production path keeps xxhash64 and only these
+verification twins pay the portability tax.
+"""
+
+from __future__ import annotations
+
+from functools import reduce as _reduce
+
+from .base import F, tbl
+from .registry import register
+from ..operators.dedup import _minhash_params
+
+_P = (1 << 61) - 1
+_K = 8          # signature width
+_BANDS = 4      # 4 bands x r=2: catches Jaccard >= ~0.7 with high recall
+_A, _B = _minhash_params(_K)  # same fixed RandomState(42) params as prod
+
+
+def _h60(col):
+    """Portable 60-bit hash: int(md5(s)[0:15], 16) — exact in both engines."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+_H60_SQL = "('0x' || substr(md5({s}), 1, 15))::BIGINT"
+
+
+def _with_tokens(d):
+    """doc_id, tk (lowercased whitespace tokens, empties dropped) — the
+    token array is a real column so lambda consumers don't re-split."""
+    return d.select(
+        "doc_id",
+        "text",
+        F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "").alias("tk"),
+    )
+
+
+_TOKENS_SQL = (
+    "list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')"
+)
+
+
+def _shingle_hashes(d):
+    """doc_id, hs: distinct h60 of word 3-grams (whole doc when < 3 toks)."""
+    t = _with_tokens(d)
+    grams = F.when(
+        F.size("tk") < 3, F.array(F.concat_ws(" ", F.col("tk")))
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size("tk") - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(F.col("tk"), i),
+                F.element_at(F.col("tk"), i + F.lit(1)),
+                F.element_at(F.col("tk"), i + F.lit(2)),
+            ),
+        )
+    )
+    g = t.withColumn("__g", grams)  # materialize before the hash lambda (CSE)
+    hs = F.array_distinct(F.transform(F.col("__g"), lambda s: _h60(s)))
+    return g.select("doc_id", hs.alias("hs"))
+
+
+_SHINGLES_SQL = f"""
+toks AS MATERIALIZED (
+  SELECT doc_id, text, {_TOKENS_SQL} AS tk FROM documents
+),
+sh AS MATERIALIZED (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+                ELSE [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                      for i in generate_series(1, len(tk) - 2)]
+           END,
+           g -> {_H60_SQL.format(s='g')})) AS hs
+  FROM toks
+)"""
+
+
+def _sig_col(i: int):
+    a, b = int(_A[i]), int(_B[i])
+    return F.array_min(
+        F.transform(
+            F.col("hs"),
+            lambda h: (
+                (F.lit(a).cast("decimal(38,0)") * h + F.lit(b)) % F.lit(_P)
+            ).cast("long"),
+        )
+    ).alias(f"s{i}")
+
+
+_SIG_COLS_SQL = ",\n         ".join(
+    f"CAST(list_min(list_transform(hs, h -> "
+    f"({int(_A[i])}::HUGEINT * h + {int(_B[i])}) % {_P})) AS BIGINT) AS s{i}"
+    for i in range(_K)
+)
+
+_BANDS_SQL = "\n  UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band, s{2 * b} AS h1, s{2 * b + 1} AS h2 FROM sig"
+    for b in range(_BANDS)
+)
+
+
+@register(
+    "xh_minhash_lsh_pairs",
+    oracle=f"""WITH {_SHINGLES_SQL},
+sig AS MATERIALIZED (
+  SELECT doc_id,
+         {_SIG_COLS_SQL}
+  FROM sh
+),
+bands AS (
+  {_BANDS_SQL}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.h1 = b.h1 AND a.h2 = b.h2
+   AND a.doc_id < b.doc_id
+)
+SELECT c.id_a, c.id_b,
+       len(list_intersect(x.hs, y.hs)) AS inter_n,
+       len(x.hs) + len(y.hs) - len(list_intersect(x.hs, y.hs)) AS union_n
+FROM cand c
+JOIN sh x ON c.id_a = x.doc_id
+JOIN sh y ON c.id_b = y.doc_id
+WHERE 10 * len(list_intersect(x.hs, y.hs))
+      >= 7 * (len(x.hs) + len(y.hs) - len(list_intersect(x.hs, y.hs)))
+ORDER BY id_a, id_b""",
+    tags=("llm", "dedup", "minhash", "oracle-twin"),
+)
+def xh_minhash_lsh_pairs(spark, sf_dir):
+    """MinHash+LSH near-dup with a full DuckDB oracle: 3-gram shingles ->
+    8-wide MinHash (affine perms mod 2^61-1, exact decimal arithmetic) ->
+    4 bands x r=2 -> bucket self-join -> exact shingle-set Jaccard >= 0.7
+    verified with the integer test 10*inter >= 7*union (no floats).
+
+    Same plan as operators/dedup.py:106 (near_dup_pairs): one uniform
+    shuffle on the band key, verify join co-partitioned on doc_id. The
+    shingle frame feeds signature + both verify sides, so it is
+    checkpointed once (lineage cut, blocks freed with this frame's RDD).
+    """
+    d = tbl(spark, sf_dir, "documents")
+    sh = _shingle_hashes(d).localCheckpoint(eager=True)
+    sig = sh.select("doc_id", *[_sig_col(i) for i in range(_K)])
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.col(f"s{2 * b}").alias("h1"),
+                F.col(f"s{2 * b + 1}").alias("h2"),
+            )
+            for b in range(_BANDS)
+        ]
+    )
+    bands = sig.select("doc_id", F.explode(band_structs).alias("bd")).select(
+        "doc_id", "bd.band", "bd.h1", "bd.h2"
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.h1") == F.col("b.h1"))
+            & (F.col("a.h2") == F.col("b.h2"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    x = sh.select(F.col("doc_id").alias("id_a"), F.col("hs").alias("__ha"))
+    y = sh.select(F.col("doc_id").alias("id_b"), F.col("hs").alias("__hb"))
+    inter = F.size(F.array_intersect(F.col("__ha"), F.col("__hb")))
+    union_ = F.size("__ha") + F.size("__hb") - inter
+    return (
+        cand.join(x, "id_a")
+        .join(y, "id_b")
+        .filter(F.lit(10) * inter >= F.lit(7) * union_)
+        .select("id_a", "id_b", inter.alias("inter_n"), union_.alias("union_n"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+_SIMHASH_BITS = 32
+
+_SIMHASH_TERMS_SQL = "\n       + ".join(
+    f"(CASE WHEN 2 * len(list_filter(hh, h -> ((h >> {s}) & 1) = 1)) >= n "
+    f"AND n > 0 THEN {1 << s} ELSE 0 END)"
+    for s in range(_SIMHASH_BITS)
+)
+
+
+@register(
+    "xh_simhash",
+    oracle=f"""WITH hh AS MATERIALIZED (
+  SELECT doc_id,
+         list_transform({_TOKENS_SQL}, t -> {_H60_SQL.format(s='t')}) AS hh,
+         len({_TOKENS_SQL}) AS n
+  FROM documents
+)
+SELECT doc_id,
+       CAST({_SIMHASH_TERMS_SQL} AS BIGINT) AS simhash,
+       n AS n_tokens
+FROM hh
+ORDER BY doc_id""",
+    tags=("llm", "dedup", "simhash", "oracle-twin"),
+)
+def xh_simhash(spark, sf_dir):
+    """SimHash with a full DuckDB oracle: 32-bit majority-vote signature
+    over h60 token hashes (with multiplicity, the classic tf-weighted
+    form). Bit s is set when >= half the tokens have bit s set; empty docs
+    hash to 0. Pure integer bit tests — exact in both engines.
+
+    Same shape as operators/dedup.py:173 (simhash64): embarrassingly
+    parallel scan, no shuffle; here the bit counts are JVM Column
+    expressions instead of a pandas UDF (32 array passes per row — the
+    portable-hash twin trades per-row CPU for zero Python).
+    """
+    d = tbl(spark, sf_dir, "documents")
+    t = _with_tokens(d)
+    hh = t.select(
+        "doc_id",
+        F.transform(F.col("tk"), lambda tok: _h60(tok)).alias("hh"),
+        F.size("tk").alias("n"),
+    )
+    n = F.col("n")
+    terms = [
+        F.when(
+            (
+                F.lit(2)
+                * F.size(
+                    F.filter(
+                        F.col("hh"),
+                        lambda h: F.shiftright(h, s).bitwiseAND(F.lit(1)) == 1,
+                    )
+                )
+                >= n
+            )
+            & (n > 0),
+            F.lit(1 << s),
+        ).otherwise(F.lit(0))
+        for s in range(_SIMHASH_BITS)
+    ]
+    simhash = _reduce(lambda x, y: x + y, terms).cast("long")
+    return hh.select(
+        "doc_id", simhash.alias("simhash"), n.alias("n_tokens")
+    ).orderBy("doc_id")
+
+
+_FP_TOK_MOD = 1 << 40
+_FP_MOD = 1 << 50
+
+
+@register(
+    "xh_doc_fingerprint",
+    oracle=f"""WITH t AS (
+  SELECT doc_id, {_TOKENS_SQL} AS tk FROM documents
+)
+SELECT doc_id,
+       CAST(list_reduce(
+         list_prepend(0::HUGEINT,
+           list_transform(tk, tok -> ({_H60_SQL.format(s='tok')}) % {_FP_TOK_MOD})),
+         (acc, h) -> (acc * 31 + h) % {_FP_MOD}) AS BIGINT) AS fingerprint,
+       len(tk) AS n_tokens
+FROM t
+ORDER BY doc_id""",
+    tags=("llm", "text", "fingerprint", "oracle-twin"),
+)
+def xh_doc_fingerprint(spark, sf_dir):
+    """Order-sensitive rolling document fingerprint with a full DuckDB
+    oracle: left fold of acc*31 + h60(token) mod 2^50 (token hashes first
+    reduced mod 2^40 so every intermediate fits a BIGINT — max acc*31 +
+    h < 2^55). Detects reordered-content docs that set-based shingling
+    cannot. Same fold as functions/text.py:77 (doc_fingerprint) with the
+    portable hash; scan-only, no shuffle."""
+    d = tbl(spark, sf_dir, "documents")
+    t = _with_tokens(d)
+    hashed = F.transform(F.col("tk"), lambda tok: _h60(tok) % F.lit(_FP_TOK_MOD))
+    fp = F.aggregate(
+        hashed,
+        F.lit(0).cast("long"),
+        lambda acc, h: (acc * 31 + h) % F.lit(_FP_MOD),
+    )
+    return t.select(
+        "doc_id", fp.alias("fingerprint"), F.size("tk").alias("n_tokens")
+    ).orderBy("doc_id")
+
+
+def _sql_wordlist(words) -> str:
+    return "[" + ", ".join("'" + w + "'" for w in words) + "]"
+
+
+def _text_quality_oracle() -> str:
+    from ..functions.text import _STOPWORDS
+
+    all_stop = _sql_wordlist(w for ws in _STOPWORDS.values() for w in ws)
+    lang_structs = ", ".join(
+        "{'hits': len(list_intersect(list_distinct(tk), "
+        + _sql_wordlist(words)
+        + ")), 'code': '"
+        + code
+        + "'}"
+        for code, words in sorted(_STOPWORDS.items())
+    )
+    return f"""WITH t AS MATERIALIZED (
+  SELECT doc_id, text, {_TOKENS_SQL} AS tk FROM documents
+),
+m AS (
+  SELECT doc_id, tk,
+         struct_extract(list_max([{lang_structs}]), 'hits') AS best_hits,
+         struct_extract(list_max([{lang_structs}]), 'code') AS best_code,
+         length(text) AS n_chars,
+         len(tk) AS n_toks,
+         length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS punct,
+         len(list_filter(tk, tok -> list_contains({all_stop}, tok))) AS stop_hits,
+         len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]', 0)) AS n_bpe
+  FROM t
+)
+SELECT doc_id,
+       CASE WHEN best_hits > 0 THEN best_code ELSE 'und' END AS lang,
+       n_toks AS n_ws_tokens,
+       n_bpe AS n_bpe_tokens,
+       0.4::DOUBLE * least(n_chars::DOUBLE / 500.0::DOUBLE, 1.0::DOUBLE)
+       + 0.2::DOUBLE * (1.0::DOUBLE - punct::DOUBLE / greatest(n_chars, 1)::DOUBLE)
+       + 0.2::DOUBLE * (stop_hits::DOUBLE / greatest(n_toks, 1)::DOUBLE)
+       + 0.2::DOUBLE * (CASE WHEN n_chars::DOUBLE / greatest(n_toks, 1)::DOUBLE >= 3
+                             AND n_chars::DOUBLE / greatest(n_toks, 1)::DOUBLE <= 10
+                        THEN 1.0::DOUBLE ELSE 0.5::DOUBLE END) AS quality
+FROM m
+ORDER BY doc_id"""
+
+
+@register(
+    "xh_text_quality",
+    oracle=_text_quality_oracle(),
+    tags=("llm", "text", "quality", "oracle-twin"),
+)
+def xh_text_quality(spark, sf_dir):
+    """Hash-checked twin of the text-analysis surface: calls the ACTUAL
+    engine functions (functions/text.py lang_id_guess, quality_score,
+    token counters) and mirrors each op tree token-for-token in DuckDB —
+    the composite quality double is emitted raw (base.py rule 2: same IEEE
+    op sequence => identical bits), every count is an exact integer, and
+    the lang argmax is a struct max with identical (hits, code) tiebreak
+    in both engines. Upgrades xp_text_analysis from rows-only to a hard
+    value-hash correctness signal. Scan-only: no shuffle, no Python."""
+    from ..functions.text import (
+        bpe_ish_token_count,
+        lang_id_guess,
+        quality_score,
+        whitespace_token_count,
+    )
+
+    d = tbl(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        lang_id_guess(F.col("text")).alias("lang"),
+        whitespace_token_count(F.col("text")).alias("n_ws_tokens"),
+        bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens"),
+        quality_score(F.col("text")).alias("quality"),
+    ).orderBy("doc_id")
+
+
+def _embedding_neardup_oracle() -> str:
+    from .llm_ops import _OU, N_PLANTED, PLANT_OFFSET
+
+    return f"""WITH base AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300
+),
+planted AS (
+  SELECT vec_id + {PLANT_OFFSET} AS vec_id,
+         list_transform(embedding,
+                        x -> CAST(CAST(x AS DOUBLE) * CAST(1.001 AS DOUBLE) AS FLOAT)) AS embedding
+  FROM base WHERE vec_id < {N_PLANTED}
+),
+e AS (
+  SELECT * FROM base UNION ALL SELECT * FROM planted
+),
+n AS MATERIALIZED (
+  SELECT vec_id, embedding,
+         (SELECT CAST(SUM({_OU.format(x='t.x')} * {_OU.format(x='t.x')}) AS BIGINT)
+          FROM unnest(embedding) AS t(x)) AS norm2
+  FROM e
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         CAST((SELECT CAST(SUM({_OU.format(x='p.l1')} * {_OU.format(x='p.l2')}) AS BIGINT)
+               FROM (SELECT unnest(list_zip(a.embedding, b.embedding), recursive := true)) AS p(l1, l2))
+              AS DOUBLE)
+         / sqrt(CAST(a.norm2 AS DOUBLE) * CAST(b.norm2 AS DOUBLE)) AS cos
+  FROM n a JOIN n b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cos FROM pairs
+WHERE cos >= 0.9
+ORDER BY id_a, id_b"""
+
+
+@register(
+    "xh_embedding_neardup",
+    oracle=_embedding_neardup_oracle(),
+    tags=("llm", "similarity", "dedup", "oracle-twin"),
+)
+def xh_embedding_neardup(spark, sf_dir):
+    """Hash-checked twin of xp_embedding_neardup: embedding-cosine near-dup
+    pairs (cos >= 0.9) over the same bounded sample WITH the same planted
+    near-dups — the planting arithmetic (double-multiply by 1.001, cast to
+    float) and the integer-unit cosine are single IEEE op sequences DuckDB
+    mirrors bit-for-bit, so the threshold filter agrees exactly. With this
+    every dedup flavor the engine ships (exact q56, MinHash+LSH, SimHash,
+    n-gram Jaccard, embedding-cosine) carries a hard value-hash oracle."""
+    from .llm_ops import _with_planted_neardups
+    from ..operators.similarity import int_dot, int_norm2
+
+    e = _with_planted_neardups(
+        tbl(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    )
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"),
+                 int_norm2(F.col("embedding")).alias("na"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"),
+                 int_norm2(F.col("embedding")).alias("nb"))
+    cos = int_dot(F.col("va"), F.col("vb")).cast("double") / F.sqrt(
+        F.col("na").cast("double") * F.col("nb").cast("double")
+    )
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cos.alias("cos"))
+        .filter(F.col("cos") >= 0.9)
+        .orderBy("id_a", "id_b")
+    )

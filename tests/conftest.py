@@ -30,3 +30,12 @@ def duck(sf_oracle):
     con = duck_connect(sf_oracle)
     yield con
     con.close()
+
+
+def pytest_report_header(config):
+    """Pin the oracle environment in every test log: the round-1 hash
+    failures were a DuckDB-version rounding divergence, so local-green
+    claims are only meaningful alongside the version they ran against."""
+    from hadoop_copier_spark.testing import DUCKDB_VERSION
+
+    return f"duckdb oracle: {DUCKDB_VERSION} (engine H-outputs are version-proof: no double->decimal casts)"

@@ -157,3 +157,19 @@ def test_q59_candidates_never_shuffle(spark, sf_oracle):
     assert "SortMergeJoin" not in text
     pre_join = text.split("Join", 1)[0]
     assert "Exchange hashpartitioning" not in pre_join, pre_join[-500:]
+
+
+def test_oracle_twin_dedup_plans_stay_equi_join(spark, sf_oracle):
+    """The portable-hash dedup twins must keep the production plan shapes:
+    the LSH band bucket self-join and the Jaccard verify joins are equi
+    joins (hash-joinable), never nested-loop/cartesian, and the cosine
+    near-dup twin's only cartesian is the declared bounded cross join."""
+    text = _explain(spark, sf_oracle, "xh_minhash_lsh_pairs")
+    assert "BroadcastNestedLoopJoin" not in text
+    assert "CartesianProduct" not in text
+    # simhash/fingerprint/quality are scan-only: no exchange at all before
+    # the final global sort
+    for name in ("xh_simhash", "xh_doc_fingerprint", "xh_text_quality"):
+        t = _explain(spark, sf_oracle, name)
+        body = t.split("Sort")[0]
+        assert "Exchange hashpartitioning" not in body, name
