@@ -445,3 +445,65 @@ def xh_embedding_neardup(spark, sf_dir):
         .filter(F.col("cos") >= 0.9)
         .orderBy("id_a", "id_b")
     )
+
+
+@register(
+    "xh_repetition",
+    oracle="""WITH t AS (
+  SELECT doc_id, """ + _TOKENS_SQL + """ AS tk FROM documents
+),
+m AS (
+  SELECT doc_id, tk,
+         [tk[i] || ' ' || tk[i+1] for i in generate_series(1, len(tk) - 1)] AS bg
+  FROM t
+)
+SELECT doc_id,
+       len(tk) AS n_tokens,
+       len(list_distinct(tk)) AS n_distinct_tokens,
+       (len(tk) - len(list_distinct(tk)))::DOUBLE
+         / greatest(len(tk), 1)::DOUBLE AS dup_token_frac,
+       len(bg) AS n_bigrams,
+       len(list_distinct(bg)) AS n_distinct_bigrams,
+       (len(bg) - len(list_distinct(bg)))::DOUBLE
+         / greatest(len(bg), 1)::DOUBLE AS dup_bigram_frac
+FROM m
+ORDER BY doc_id""",
+    tags=("llm", "text", "quality", "oracle-twin"),
+)
+def xh_repetition(spark, sf_dir):
+    """Repetition quality signals (the Gopher-rule family a curation
+    pipeline thresholds on): per-document duplicate-token and
+    duplicate-bigram fractions. Counts are exact integers; the two
+    fractions are single mirrored IEEE divisions, so the DuckDB oracle
+    hash-matches exactly. Scan-only — no shuffle, no Python; at 100 TB
+    this is a map-side column pass like the other text signals."""
+    t = _with_tokens(tbl(spark, sf_dir, "documents"))
+    n = F.size("tk")
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat(
+                F.element_at(F.col("tk"), i),
+                F.lit(" "),
+                F.element_at(F.col("tk"), i + F.lit(1)),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    m = t.withColumn("bg", bigrams)
+    nb = F.size("bg")
+    nd = F.size(F.array_distinct("tk"))
+    ndb = F.size(F.array_distinct("bg"))
+    return m.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        nd.alias("n_distinct_tokens"),
+        ((n - nd).cast("double") / F.greatest(n, F.lit(1)).cast("double")).alias(
+            "dup_token_frac"
+        ),
+        nb.alias("n_bigrams"),
+        ndb.alias("n_distinct_bigrams"),
+        ((nb - ndb).cast("double") / F.greatest(nb, F.lit(1)).cast("double")).alias(
+            "dup_bigram_frac"
+        ),
+    ).orderBy("doc_id")

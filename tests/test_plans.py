@@ -169,7 +169,8 @@ def test_oracle_twin_dedup_plans_stay_equi_join(spark, sf_oracle):
     assert "CartesianProduct" not in text
     # simhash/fingerprint/quality are scan-only: no exchange at all before
     # the final global sort
-    for name in ("xh_simhash", "xh_doc_fingerprint", "xh_text_quality"):
+    for name in ("xh_simhash", "xh_doc_fingerprint", "xh_text_quality",
+                 "xh_repetition"):
         t = _explain(spark, sf_oracle, name)
         body = t.split("Sort")[0]
         assert "Exchange hashpartitioning" not in body, name
