@@ -166,3 +166,97 @@ def test_salted_join_equivalent_to_plain_join(spark, big, small, n_salts):
     )
     want = sorted(tuple(r) for r in bdf.join(sdf, "key").collect())
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# session_window vs gaps-and-islands reference (the round-1 boundary bug:
+# an event at exactly prev_ts + gap MERGES — islands must break on >, not >=)
+
+
+def _sessions_brute(ts_by_user, gap):
+    out = {}
+    for u, tss in ts_by_user.items():
+        tss = sorted(tss)
+        sessions = []
+        start = prev = tss[0]
+        count = 1
+        for t in tss[1:]:
+            if t - prev > gap:  # NOT >=: exact-gap events merge
+                sessions.append((start, count))
+                start, count = t, 0
+            count += 1
+            prev = t
+        sessions.append((start, count))
+        out[u] = sessions
+    return out
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    events=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 7200)),
+        min_size=1,
+        max_size=60,
+        unique=True,
+    )
+)
+def test_session_window_matches_islands_reference(spark, events):
+    """Random event streams (including exact-gap collisions by
+    construction: timestamps quantized to whole seconds over 2 h with a
+    600 s gap) must sessionize identically to the brute-force islands
+    scan."""
+    gap = 600
+    df = spark.createDataFrame(
+        [(u, t) for u, t in events], "user_id long, sec long"
+    ).select("user_id", F.timestamp_seconds("sec").alias("ts"), "sec")
+    got = (
+        df.groupBy(F.session_window("ts", f"{gap} seconds").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "user_id", F.unix_timestamp("w.start").alias("start"), "n"
+        )
+        .collect()
+    )
+    by_user = {}
+    for u, t in events:
+        by_user.setdefault(u, []).append(t)
+    want = {
+        (u, start, n)
+        for u, sess in _sessions_brute(by_user, gap).items()
+        for start, n in sess
+    }
+    assert {(r["user_id"], r["start"], r["n"]) for r in got} == want
+
+
+# ---------------------------------------------------------------------------
+# merge_upsert vs dict semantics
+
+
+@settings(max_examples=4, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    base=st.lists(
+        st.tuples(st.integers(0, 20), st.integers(0, 9)),
+        min_size=0,
+        max_size=30,
+        unique_by=lambda t: t[0],
+    ),
+    changes=st.lists(
+        st.tuples(st.integers(0, 25), st.integers(10, 19)),
+        min_size=0,
+        max_size=15,
+        unique_by=lambda t: t[0],
+    ),
+)
+def test_merge_upsert_matches_dict_semantics(spark, base, changes):
+    from hadoop_copier_spark.operators.merge import merge_upsert
+
+    bdf = spark.createDataFrame(base or [(0, 0)], "k long, v long")
+    cdf = spark.createDataFrame(changes or [(0, 0)], "k long, v long")
+    if not base:
+        bdf = bdf.filter(F.lit(False))
+    if not changes:
+        cdf = cdf.filter(F.lit(False))
+    got = sorted(tuple(r) for r in merge_upsert(bdf, cdf, "k").collect())
+    want = dict(base)
+    want.update(dict(changes))
+    assert got == sorted(want.items())
