@@ -1,0 +1,124 @@
+"""Scaling-curve experiment: do the dedup operators scale linearly in
+input size, or is there a hidden quadratic term the fixtures are too
+small to expose?
+
+Replicates sf0.1 documents x1 / x4 / x16 (doc_ids shifted per replica so
+dedup still has work to do: every replica is a new exact-duplicate of
+the base corpus — the worst case for the pair-forming stages) and times
+
+  exact     — q56-style md5 groupBy (expect ~linear)
+  minhash   — near_dup_pairs, the xxhash64 production path (band shuffle
+              + verify join; expect ~linear in docs while the duplicate
+              RATE is constant — candidate pairs grow with replica
+              count^2 per bucket, which is exactly what this probes)
+  cc        — connected components over the found pairs (expect ~linear
+              in edges, O(log n) rounds)
+
+Prints one JSON line with wall seconds and the x16/x1 ratio per op
+(linear => ~16, and the ratio column in bench/scaling_results.json is
+what SCALE.md's claims are graded against).
+
+Run: python bench_scaling.py   (env: SPARK_GRAFT_SCALING_BASE, default
+/root/testdata/sf0.1)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from hadoop_copier_spark.operators.components import connected_components  # noqa: E402
+from hadoop_copier_spark.operators.dedup import near_dup_pairs  # noqa: E402
+from hadoop_copier_spark.session import get_spark  # noqa: E402
+
+BASE = os.environ.get("SPARK_GRAFT_SCALING_BASE", "/root/testdata/sf0.1")
+FACTORS = (1, 4, 16)
+
+
+def replicate(spark, out_dir: str, factor: int) -> str:
+    d = spark.read.parquet(os.path.join(BASE, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    n = d.agg(F.max("doc_id")).collect()[0][0] + 1
+    reps = [
+        d.select((F.col("doc_id") + F.lit(i * n)).alias("doc_id"), "text")
+        for i in range(factor)
+    ]
+    out = reps[0]
+    for r in reps[1:]:
+        out = out.unionByName(r)
+    path = os.path.join(out_dir, f"x{factor}")
+    out.repartition(max(4, factor * 4)).write.mode("overwrite").parquet(path)
+    return path
+
+
+def timed(fn) -> float:
+    t0 = time.time()
+    fn()
+    return round(time.time() - t0, 3)
+
+
+def main() -> None:
+    spark = get_spark(cpus=os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    tmp = tempfile.mkdtemp(prefix="hcs_scaling_")
+    results = {}
+    try:
+        for f in FACTORS:
+            path = replicate(spark, tmp, f)
+            d = spark.read.parquet(path)
+            n_docs = d.count()  # warm the page cache uniformly
+
+            r = {"n_docs": n_docs}
+            r["exact_sec"] = timed(
+                lambda: d.groupBy(F.md5("text"))
+                .agg(F.min("doc_id"))
+                .agg(F.count(F.lit(1)))
+                .collect()
+            )
+            pairs_holder = {}
+
+            def run_minhash():
+                p = near_dup_pairs(d, "doc_id", "text")
+                pairs_holder["pairs"] = p
+                pairs_holder["n"] = p.count()
+
+            r["minhash_sec"] = timed(run_minhash)
+            r["n_pairs"] = pairs_holder["n"]
+            r["cc_sec"] = timed(
+                lambda: connected_components(
+                    pairs_holder["pairs"], src="id_a", dst="id_b"
+                ).count()
+            )
+            results[f"x{f}"] = r
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    ratios = {
+        op: round(results["x16"][f"{op}_sec"] / max(results["x1"][f"{op}_sec"], 1e-9), 2)
+        for op in ("exact", "minhash", "cc")
+    }
+    print(
+        json.dumps(
+            {
+                "metric": "dedup_scaling_curve",
+                "unit": "sec",
+                "base": BASE,
+                "results": results,
+                "x16_over_x1_wall_ratio": ratios,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

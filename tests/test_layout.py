@@ -98,3 +98,39 @@ def test_zorder_rewrite_clusters_both_dimensions(spark, tmp_path):
     # random placement gives each file ~the full unit rectangle (area ~1);
     # z-order files must average well under half of it
     assert areas and sum(areas) / len(areas) < 0.5, areas
+
+
+def test_zorder_degenerate_columns_do_not_break_clustering(spark, tmp_path):
+    """ADVICE round 1: a constant cluster column (min==max) or an all-NULL
+    column used to NULL the interleaved __z key and silently destroy
+    clustering. Both must map to a single bucket: the rewrite succeeds,
+    preserves every row, and still clusters on the healthy column."""
+    from pyspark.sql import functions as F
+
+    from hadoop_copier_spark.operators.layout import zorder_rewrite
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    df = spark.range(10_000).select(
+        F.col("id").alias("healthy"),
+        F.lit(7).alias("constant"),
+        F.lit(None).cast("double").alias("all_null"),
+        (F.col("id") % 13).alias("payload"),
+    )
+    df.repartition(8).write.mode("overwrite").parquet(src)
+    stats = zorder_rewrite(
+        spark, src, dst, cols=("healthy", "constant", "all_null"),
+        target_file_bytes=8 * 1024,
+    )
+    assert stats["rows"] == 10_000
+    out = spark.read.parquet(dst)
+    assert out.count() == 10_000
+    # healthy column still drives clustering: per-file ranges must be
+    # narrow (each file covers << the full [0, 10000) domain)
+    per_file = (
+        out.groupBy(F.input_file_name().alias("f"))
+        .agg((F.max("healthy") - F.min("healthy")).alias("spread"))
+        .collect()
+    )
+    assert len(per_file) > 1
+    avg_spread = sum(r["spread"] for r in per_file) / len(per_file)
+    assert avg_spread < 10_000 * 0.5, avg_spread
