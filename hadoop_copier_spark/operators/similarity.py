@@ -249,6 +249,12 @@ def ivf_ann_topk(
         candidates.orderBy(id_col).limit(n_clusters).select(vec_col).collect()
     )  # C x dim floats — driver-side metadata only
     centroids = [[float(x) for x in r[vec_col]] for r in seed_rows]
+    if not centroids:
+        # empty candidate set: no clusters to probe — return an empty
+        # frame with the contract schema instead of crashing downstream
+        return candidates.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, rank int, score double"
+        )
 
     for _ in range(lloyd_iters):
         assigned = candidates.select(

@@ -101,8 +101,11 @@ def q05(spark, sf_dir):
     df = tbl(spark, sf_dir, "orders")
     out = tempfile.mkdtemp(prefix="hcs_q05_parquet_")
     df.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    # explicit schema: a partitioned write of an EMPTY frame emits no data
+    # files, and schema inference on the bare directory fails — the
+    # read-back contract should not depend on the input being non-empty
     return (
-        spark.read.parquet(out)
+        spark.read.schema(df.schema).parquet(out)
         .select(
             "o_orderkey", "o_custkey", "o_orderstatus",
             "o_totalprice", "o_orderdate", "o_orderpriority",
