@@ -113,7 +113,12 @@ def near_dup_pairs(
     bands: int = 8,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: returns (id_a, id_b, jaccard)
-    for pairs with exact shingle-Jaccard >= threshold."""
+    for pairs with exact shingle-Jaccard >= threshold.
+
+    NULL text rows are dropped: a content-less doc has no shingles and
+    therefore no content to near-dup against (and at 100 TB corrupt rows
+    must degrade to exclusion, not job failure)."""
+    df = df.filter(F.col(text_col).isNotNull())
     # shingle hashes feed three consumers (signature + both sides of the
     # verify join) — persist so the text is shingled once, not three times
     hashed = shingle_hashes(df.select(id_col, text_col), text_col, n=n).select(

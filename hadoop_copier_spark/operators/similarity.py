@@ -59,7 +59,12 @@ def cosine_topk(
     Returns (query_id, neighbor_id, rank, score DOUBLE) — the score is a
     deterministic IEEE op sequence over exact integer dots (bit-identical
     to the DuckDB oracle's mirrored spelling).
+
+    NULL vectors (corrupt/missing rows — routine at 100 TB) are dropped on
+    both sides: a null embedding has no cosine to anything.
     """
+    candidates = candidates.filter(F.col(vec_col).isNotNull())
+    queries = queries.filter(F.col(vec_col).isNotNull())
     c = candidates.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cvec"),
@@ -104,7 +109,11 @@ def lsh_ann_topk(
     At 100 TB: rows explode into L (table, bucket) keys and shuffle once on
     that key; each bucket's comparisons are node-local, and the per-query
     top-k merges k rows per bucket — never the full candidate set.
+
+    NULL vectors are dropped on both sides (see cosine_topk).
     """
+    candidates = candidates.filter(F.col(vec_col).isNotNull())
+    queries = queries.filter(F.col(vec_col).isNotNull())
     import random
 
     import numpy as np
@@ -212,7 +221,11 @@ def ivf_ann_topk(
 
     At 100 TB, repartition the index by cluster id so each probe touches
     only its clusters' partitions (partition pruning for vectors).
+
+    NULL vectors are dropped on both sides (see cosine_topk).
     """
+    candidates = candidates.filter(F.col(vec_col).isNotNull())
+    queries = queries.filter(F.col(vec_col).isNotNull())
     import numpy as np
     import pandas as pd
     from pyspark.sql import Window

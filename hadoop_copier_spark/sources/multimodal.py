@@ -108,7 +108,9 @@ def decode_and_featurize(df: DataFrame) -> DataFrame:
         for pdf in batches:
             feats = []
             for content, modality in zip(pdf["content"], pdf["modality"]):
-                b = bytes(content)
+                # NULL payloads (missing/corrupt rows) degrade to empty
+                # content, never to a task failure
+                b = b"" if content is None else bytes(content)
                 feats.append(
                     {
                         "n_bytes": len(b),
