@@ -29,6 +29,7 @@ def asof_join(
     right_time: str,
     tiebreak: str | None = None,
     how: str = "inner",
+    lookback: Column | None = None,
 ) -> DataFrame:
     """Join each left row to the latest right row at-or-before its time.
 
@@ -38,6 +39,15 @@ def asof_join(
 
     ``how``: 'inner' drops left rows with no match; 'left' keeps them with
     a null right side.
+
+    ``lookback``: optional window bound — candidates must also satisfy
+    ``right.time >= left.time - lookback`` (e.g. ``F.expr("INTERVAL 1
+    DAY")`` for timestamps, or a numeric Column for numeric time axes).
+    This is the 100 TB fan-out cap: without it, a key's EVERY historical
+    right row is a candidate for every left row (the join blows up as
+    history accumulates); with it, candidate volume is bounded per left
+    row regardless of history depth. Semantics change only for matches
+    older than the window — choose it from data staleness rules.
     """
     lid = "__asof_left_id"
     lt = F.col(f"__l.{left_time}")
@@ -53,6 +63,8 @@ def asof_join(
         cond = rt <= lt
         for k in equi_keys:
             cond = (F.col(f"__l.{k}") == F.col(f"__r.{k}")) & cond
+    if lookback is not None:
+        cond = cond & (rt >= lt - lookback)
 
     right_out = [c for c in right.columns if c not in equi_keys]
     # ordering key for max_by: (right_time, tiebreak) as a struct — null

@@ -260,3 +260,38 @@ def test_merge_upsert_matches_dict_semantics(spark, base, changes):
     want = dict(base)
     want.update(dict(changes))
     assert got == sorted(want.items())
+
+
+@settings(max_examples=4, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    left=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 40)),
+        min_size=1,
+        max_size=20,
+        unique=True,
+    ),
+    right=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 40), st.integers(0, 9)),
+        min_size=0,
+        max_size=40,
+        unique=True,
+    ),
+    lookback=st.sampled_from([0, 3, 10]),
+)
+def test_asof_lookback_bounds_matches(spark, left, right, lookback):
+    """The fan-out cap changes semantics EXACTLY at the window edge: a
+    match at lt - lookback is kept (inclusive), anything older is dropped
+    — equivalent to brute force over the filtered candidate set."""
+    ldf = spark.createDataFrame(left, "k long, lt long")
+    rdf = spark.createDataFrame(right or [(0, 0, 0)], "k long, rt long, val long")
+    if not right:
+        rdf = rdf.filter(F.lit(False))
+    got = asof_join(ldf, rdf, on="k", left_time="lt", right_time="rt",
+                    tiebreak="val", how="left", lookback=F.lit(lookback))
+    rows = {(r["k"], r["lt"]): (r["rt"], r["val"]) if r["rt"] is not None else None
+            for r in got.collect()}
+    for lk, lt in left:
+        cands = [(rt, v) for rk, rt, v in right
+                 if rk == lk and lt - lookback <= rt <= lt]
+        want = max(cands) if cands else None
+        assert rows[(lk, lt)] == want, ((lk, lt), rows[(lk, lt)], want)
