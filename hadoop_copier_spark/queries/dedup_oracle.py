@@ -18,6 +18,14 @@ band-key shuffles, arrays materialized before lambda consumers per the
 CSE pitfall in SCALE.md); md5 costs more CPU per token than xxhash64,
 which is why the production path keeps xxhash64 and only these
 verification twins pay the portability tax.
+
+Unicode boundary (probed, pinned in tests/test_unicode_oracle.py): the
+twins hash lowercased token bytes, so they are cross-engine exact
+wherever JVM and utf8proc case folding agree — verified for Greek
+(incl. final sigma), Cyrillic, CJK, emoji, ligatures, and non-ASCII
+whitespace. Known divergence: Turkish dotted capital İ (U+0130), which
+the two engines lowercase differently. The fixture corpus is ASCII, so
+the driver gate is unaffected.
 """
 
 from __future__ import annotations
