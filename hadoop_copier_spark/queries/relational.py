@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import tempfile
 
-from .base import F, dec, odec, tbl
+from .base import F, cents, ocents, tbl
 from .registry import register
 
 
@@ -117,21 +117,22 @@ def q05(spark, sf_dir):
 @register(
     "q06",
     oracle=f"""SELECT l_orderkey, l_linenumber,
-                     CAST({odec('l_extendedprice', 12, 2)} * (1 - {odec('l_discount', 12, 2)}) AS DECIMAL(18,4)) AS net
+                     {ocents('l_extendedprice')} * (100 - {ocents('l_discount')}) AS net_e4
               FROM lineitem ORDER BY l_orderkey, l_linenumber""",
     tags=("projection",),
 )
 def q06(spark, sf_dir):
-    """Projection + decimal arithmetic (column pruning: only 4 of 11 cols
-    leave the scan). Decimals via integer reconstruction — no double->decimal
-    cast (round-1 driver hash failure, see base.py discipline)."""
+    """Projection + exact money arithmetic (column pruning: only 4 of 11
+    cols leave the scan). net = price*(1-discount) emitted as BIGINT in
+    1e-4 currency units: price-cents x (100 - discount-cents) — pure
+    integer arithmetic, bit-identical under ANY serializer (the driver's
+    pandas path turns DuckDB DECIMAL into float64 but keeps Spark DECIMAL
+    as Decimal, so emitted decimals can never hash-match; VERDICT r3 #1)."""
     li = tbl(spark, sf_dir, "lineitem")
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        (dec("l_extendedprice", 12, 2) * (1 - dec("l_discount", 12, 2)))
-        .cast("decimal(18,4)")
-        .alias("net"),
+        (cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))).alias("net_e4"),
     ).orderBy("l_orderkey", "l_linenumber")
 
 
@@ -230,7 +231,7 @@ def q10(spark, sf_dir):
     oracle=f"""SELECT l_orderkey, l_linenumber,
                      CAST(l_orderkey AS VARCHAR) AS ok_str,
                      CAST(trunc(l_quantity) AS INTEGER) AS qty_int,
-                     {odec('l_extendedprice', 12, 2)} AS price_dec,
+                     {ocents('l_extendedprice')} AS price_cents,
                      CAST(l_linenumber AS DOUBLE) AS ln_double,
                      CAST(l_shipdate AS DATE) AS ship_date,
                      CAST(CAST(l_orderkey AS VARCHAR) AS BIGINT) AS ok_roundtrip
@@ -241,15 +242,16 @@ def q10(spark, sf_dir):
 )
 def q11(spark, sf_dir):
     """CAST matrix: int<->string, double->int (truncating; DuckDB spelling
-    adds trunc() since its double->int cast rounds), double->decimal,
-    int->double, timestamp->date."""
+    adds trunc() since its double->int cast rounds), double->exact-cents
+    BIGINT (the driver-safe money representation), int->double,
+    timestamp->date."""
     li = tbl(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 1000)
     return li.select(
         "l_orderkey",
         "l_linenumber",
         F.col("l_orderkey").cast("string").alias("ok_str"),
         F.col("l_quantity").cast("int").alias("qty_int"),
-        dec("l_extendedprice", 12, 2).alias("price_dec"),
+        cents("l_extendedprice").alias("price_cents"),
         F.col("l_linenumber").cast("double").alias("ln_double"),
         F.col("l_shipdate").cast("date").alias("ship_date"),
         F.col("l_orderkey").cast("string").cast("bigint").alias("ok_roundtrip"),

@@ -64,6 +64,61 @@ class TestSerializerDriverParity:
         assert h1 != result_hash(["a", "b"], [(1, None)])
 
 
+class TestDriverFaithfulHarness:
+    """Round-3 post-mortem regression pins (VERDICT r3 #1/#3): the local
+    compare must reproduce the DRIVER's pandas serialization — DuckDB
+    decimals arrive as float64 (`.df()`), Spark decimals as `Decimal`
+    (`toPandas()`), so a trailing-zero decimal can NEVER hash-match and
+    list-typed cells crash the canonicalization. The r3 harness kept
+    Decimal on both sides and over-promised for the second round running;
+    these tests fail if that infidelity ever comes back."""
+
+    def test_trailing_zero_decimal_result_fails_locally(self, spark, sf_oracle, duck):
+        from hadoop_copier_spark.testing import compare
+
+        fn = lambda s, d: s.sql("SELECT 1 AS k, CAST(1.20 AS DECIMAL(12,2)) AS v")
+        problems = compare(
+            fn, "SELECT 1 AS k, CAST(1.20 AS DECIMAL(12,2)) AS v", spark, sf_oracle, con=duck
+        )
+        assert problems, (
+            "a trailing-zero DECIMAL must FAIL the driver-faithful compare "
+            "(Spark '1.20' vs DuckDB-pandas '1.2')"
+        )
+
+    def test_bigint_units_pass(self, spark, sf_oracle, duck):
+        from hadoop_copier_spark.testing import compare
+
+        fn = lambda s, d: s.sql("SELECT 1 AS k, CAST(120 AS BIGINT) AS v_cents")
+        assert not compare(
+            fn, "SELECT 1 AS k, CAST(120 AS BIGINT) AS v_cents", spark, sf_oracle, con=duck
+        )
+
+    def test_double_passes(self, spark, sf_oracle, duck):
+        from hadoop_copier_spark.testing import compare
+
+        fn = lambda s, d: s.sql("SELECT 1 AS k, CAST(1.2 AS DOUBLE) AS v")
+        assert not compare(
+            fn, "SELECT 1 AS k, CAST(1.2 AS DOUBLE) AS v", spark, sf_oracle, con=duck
+        )
+
+    def test_array_cell_raises_unsortable(self, spark, sf_oracle, duck):
+        import pytest as _pytest
+
+        from hadoop_copier_spark.testing import UnsortableResult, compare
+
+        fn = lambda s, d: s.sql("SELECT array(1, 2) AS arr")
+        with _pytest.raises(UnsortableResult):
+            compare(fn, "SELECT [1, 2] AS arr", spark, sf_oracle, con=duck)
+
+    def test_date_matches_midnight_timestamp(self, spark, sf_oracle, duck):
+        """Driver-green q41/q50 evidence: Spark DATE (datetime.date) and
+        DuckDB DATE (midnight Timestamp in pandas) serialize identically."""
+        from hadoop_copier_spark.testing import compare
+
+        fn = lambda s, d: s.sql("SELECT DATE '1996-01-01' AS dt")
+        assert not compare(fn, "SELECT DATE '1996-01-01' AS dt", spark, sf_oracle, con=duck)
+
+
 class TestFloorCentsDiscipline:
     """base.py's FLOOR(x*10^s+0.5) reconstruction must be exact for every
     money column at every SF — the precondition for the version-proof
