@@ -36,6 +36,11 @@ def main() -> None:
     timings: dict[str, float] = {}
     total = 0.0
     for name, q in sorted(REGISTRY.items()):
+        if "alias" in q.tags:
+            # driver-window aliases (queries/aliases.py) are the same Query
+            # objects under sort-first names — timing them twice would
+            # inflate the suite wall without measuring anything new
+            continue
         t0 = time.perf_counter()
         try:
             df = q.fn(spark, sf_dir)

@@ -437,11 +437,23 @@ class CopyJobEngine:
 
         results: list = []
         if work:
+            # Plan the work list with EXACTLY the slice count we want to run
+            # at: createDataFrame(local_list) slices to defaultParallelism
+            # (32 here) regardless of size, and the old repartition() on top
+            # of that meant a 32-task Python stage + a shuffle just to fan a
+            # handful of rows into `parallelism` partitions — measured 4-10 s
+            # of Python-worker pool startup on a cold session (the r3 bench
+            # "xp_copyjob 4x regression" was exactly this fixed overhead).
+            # parallelize(work, n) gives n partitions up front: no shuffle,
+            # and only n Python workers ever start. Work items are round-
+            # robin striped so chunk rows of one split file spread evenly.
+            n_parts = min(self.parallelism, max(1, len(work)))
+            wrdd = self.spark.sparkContext.parallelize(work, n_parts)
             wdf = self.spark.createDataFrame(
-                work,
+                wrdd,
                 schema="item_idx int, src_file string, dst_file string, "
                 "offset long, length long, write_path string",
-            ).repartition(min(self.parallelism, max(1, len(work))))
+            )
             copier = _make_partition_copier(request.bandwidth, self.checksum_enabled)
             results = (
                 wdf.rdd.mapPartitions(copier).toDF(RESULT_SCHEMA).collect()

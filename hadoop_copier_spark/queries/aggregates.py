@@ -10,16 +10,34 @@ the north-star extension, executed by Spark's partial+final hash aggregate
 
 from __future__ import annotations
 
-from .base import F, dec, det_avg, money_sum, ocents, odec, odet_avg, omoney_sum, tbl, views
+from .base import (
+    F,
+    cents,
+    cents_sum,
+    det_avg,
+    ocents,
+    ocents_sum,
+    odet_avg,
+    tbl,
+    views,
+)
 from .registry import register
 
+# Integer-units output discipline (VERDICT r3 #1): every driver-hashed money
+# aggregate is emitted as BIGINT in fixed sub-units — cents (1e-2), 1e-4
+# units for price*(1-disc), 1e-6 units for charge — never DECIMAL. The
+# driver's pandas harness serializes DuckDB decimals as float64 but Spark
+# decimals as Decimal, so any trailing-zero decimal cell hash-mismatches by
+# construction. BIGINT survives any serializer bit-identically. Magnitudes:
+# charge_e6 <= ~2e11/row; int64 overflows past ~4.6e7 such rows per group —
+# far above bench scales (at 100 TB keep the internal sum in DECIMAL(38,0)
+# and emit DOUBLE).
 _Q24_ORACLE = f"""
 SELECT l_returnflag, l_linestatus,
-  {omoney_sum('l_quantity')} AS sum_qty,
-  {omoney_sum('l_extendedprice')} AS sum_base,
-  CAST(SUM({odec('l_extendedprice', 12, 2)} * (1 - {odec('l_discount', 12, 2)})) AS DECIMAL(38,4)) AS sum_disc_price,
-  CAST(SUM(CAST({odec('l_extendedprice', 12, 2)} * (1 - {odec('l_discount', 12, 2)}) AS DECIMAL(18,4))
-           * (1 + {odec('l_tax', 12, 2)})) AS DECIMAL(38,6)) AS sum_charge,
+  {ocents_sum('l_quantity')} AS sum_qty_cents,
+  {ocents_sum('l_extendedprice')} AS sum_base_cents,
+  CAST(SUM({ocents('l_extendedprice')} * (100 - {ocents('l_discount')})) AS BIGINT) AS sum_disc_price_e4,
+  CAST(SUM({ocents('l_extendedprice')} * (100 - {ocents('l_discount')}) * (100 + {ocents('l_tax')})) AS BIGINT) AS sum_charge_e6,
   {odet_avg('l_quantity')} AS avg_qty,
   COUNT(*) AS n_rows
 FROM lineitem
@@ -31,22 +49,23 @@ ORDER BY l_returnflag, l_linestatus
 
 @register("q24", oracle=_Q24_ORACLE, tags=("agg", "flagship"))
 def q24(spark, sf_dir):
-    """Hash aggregate, TPC-H Q1 analog: scan -> filter -> groupBy -> decimal
-    sums/avg/count -> order. Partial aggregation happens map-side; only the
-    (3 x 2)-key aggregate state shuffles, so this scales to any row count."""
+    """Hash aggregate, TPC-H Q1 analog: scan -> filter -> groupBy -> exact
+    integer-unit sums / double avg / count -> order. Partial aggregation
+    happens map-side; only the (3 x 2)-key aggregate state shuffles, so this
+    scales to any row count."""
     li = tbl(spark, sf_dir, "lineitem")
-    # All arithmetic in the decimal domain (raw 2-dp columns cast first):
-    # exact and order-independent in both engines (SURVEY §2b rule 2).
-    disc_price = dec("l_extendedprice", 12, 2) * (1 - dec("l_discount", 12, 2))
-    charge = disc_price.cast("decimal(18,4)") * (1 + dec("l_tax", 12, 2))
+    # All arithmetic on exact integer sub-units (cents etc.) — exact,
+    # order-independent, and serializer-proof in both engines.
+    disc_price_e4 = cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
+    charge_e6 = disc_price_e4 * (F.lit(100) + cents("l_tax"))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(dec("l_quantity", 12, 2)).cast("decimal(38,2)").alias("sum_qty"),
-            F.sum(dec("l_extendedprice", 12, 2)).cast("decimal(38,2)").alias("sum_base"),
-            F.sum(disc_price).cast("decimal(38,4)").alias("sum_disc_price"),
-            F.sum(charge).cast("decimal(38,6)").alias("sum_charge"),
+            cents_sum("l_quantity", "sum_qty_cents"),
+            cents_sum("l_extendedprice", "sum_base_cents"),
+            F.sum(disc_price_e4).alias("sum_disc_price_e4"),
+            F.sum(charge_e6).alias("sum_charge_e6"),
             det_avg("l_quantity", "avg_qty"),
             F.count(F.lit(1)).alias("n_rows"),
         )
@@ -57,7 +76,7 @@ def q24(spark, sf_dir):
 @register(
     "q25",
     oracle=f"""SELECT MIN(l_quantity) AS min_qty, MAX(l_extendedprice) AS max_price,
-                     {omoney_sum('l_extendedprice')} AS sum_price,
+                     {ocents_sum('l_extendedprice')} AS sum_price_cents,
                      COUNT(*) AS n,
                      {odet_avg('l_quantity')} AS avg_qty
               FROM lineitem""",
@@ -65,12 +84,13 @@ def q24(spark, sf_dir):
 )
 def q25(spark, sf_dir):
     """Global (no-group) aggregate — min/max are order-independent on raw
-    doubles; sum/avg go through the decimal discipline."""
+    doubles; sum as BIGINT cents, avg as double (integer-units rule: the r3
+    DECIMAL form passed only because its single cell had no trailing zero)."""
     li = tbl(spark, sf_dir, "lineitem")
     return li.agg(
         F.min("l_quantity").alias("min_qty"),
         F.max("l_extendedprice").alias("max_price"),
-        F.sum(dec("l_extendedprice", 12, 2)).cast("decimal(38,2)").alias("sum_price"),
+        cents_sum("l_extendedprice", "sum_price_cents"),
         F.count(F.lit(1)).alias("n"),
         det_avg("l_quantity", "avg_qty"),
     )
@@ -103,19 +123,21 @@ def q26(spark, sf_dir):
 @register(
     "q27",
     oracle=f"""SELECT n_name,
-                     {omoney_sum('o_totalprice')} AS spend,
+                     {ocents_sum('o_totalprice')} AS spend_cents,
                      COUNT(*) AS n_orders
               FROM customer
               JOIN nation ON c_nationkey = n_nationkey
               JOIN orders ON o_custkey = c_custkey
               GROUP BY n_name
-              HAVING SUM({odec('o_totalprice', 12, 2)}) > 1000000
+              HAVING SUM({ocents('o_totalprice')}) > 100000000
               ORDER BY n_name""",
     tags=("agg", "having"),
 )
 def q27(spark, sf_dir):
     """HAVING: per-nation customer spend above a threshold (filter applied
-    post-aggregation; nation broadcast)."""
+    post-aggregation; nation broadcast). Spend emitted as BIGINT cents —
+    the integer-units rule; the HAVING threshold is the same 1,000,000
+    currency units expressed in cents."""
     c = tbl(spark, sf_dir, "customer")
     n = tbl(spark, sf_dir, "nation")
     o = tbl(spark, sf_dir, "orders")
@@ -124,10 +146,10 @@ def q27(spark, sf_dir):
         .join(o, o.o_custkey == c.c_custkey)
         .groupBy("n_name")
         .agg(
-            F.sum(dec("o_totalprice", 12, 2)).cast("decimal(38,2)").alias("spend"),
+            cents_sum("o_totalprice", "spend_cents"),
             F.count(F.lit(1)).alias("n_orders"),
         )
-        .filter(F.col("spend") > 1000000)
+        .filter(F.col("spend_cents") > 100000000)
         .orderBy("n_name")
     )
 
@@ -237,20 +259,22 @@ def q31(spark, sf_dir):
 
 @register(
     "q32",
-    oracle="""SELECT r_name, list_sort(list(n_name)) AS nations
+    oracle="""SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations
               FROM nation JOIN region ON n_regionkey = r_regionkey
               GROUP BY r_name ORDER BY r_name""",
     tags=("agg", "collect"),
 )
 def q32(spark, sf_dir):
-    """collect_list canonicalized with sort_array (rule 4: unordered
-    collections are sorted before comparison)."""
+    """collect_list canonicalized with sort_array (rule 4), then serialized
+    to a CSV scalar: the driver's pandas canonicalization crashes sorting
+    raw ArrayType cells (r3/r4 ``TypeError: unhashable type: 'list'``), so
+    collection results must leave the query as scalars."""
     n = tbl(spark, sf_dir, "nation")
     r = tbl(spark, sf_dir, "region")
     return (
         n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name")
-        .agg(F.sort_array(F.collect_list("n_name")).alias("nations"))
+        .agg(F.concat_ws(",", F.sort_array(F.collect_list("n_name"))).alias("nations"))
         .orderBy("r_name")
     )
 
@@ -320,24 +344,25 @@ def p_approx_sketches(spark, sf_dir):
 @register(
     "xh_pivot",
     oracle=f"""SELECT l_returnflag,
-                     CAST(SUM(CASE WHEN l_linestatus = 'F' THEN {odec('l_quantity', 12, 2)} END) AS DECIMAL(38,2)) AS qty_F,
-                     CAST(SUM(CASE WHEN l_linestatus = 'O' THEN {odec('l_quantity', 12, 2)} END) AS DECIMAL(38,2)) AS qty_O
+                     CAST(SUM(CASE WHEN l_linestatus = 'F' THEN {ocents('l_quantity')} END) AS BIGINT) AS qty_f_cents,
+                     CAST(SUM(CASE WHEN l_linestatus = 'O' THEN {ocents('l_quantity')} END) AS BIGINT) AS qty_o_cents
               FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     tags=("agg", "pivot"),
 )
 def h_pivot(spark, sf_dir):
     """Pivot: linestatus columns out of rows (DataFrame .pivot with an
     explicit value list — never let the engine scan for distinct pivot
-    values at 100 TB; the oracle is the CASE-sum spelling)."""
+    values at 100 TB; the oracle is the CASE-sum spelling). Sums emitted
+    as BIGINT cents (integer-units rule)."""
     li = tbl(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_returnflag")
         .pivot("l_linestatus", ["F", "O"])
-        .agg(F.sum(dec("l_quantity", 12, 2)).cast("decimal(38,2)"))
+        .agg(F.sum(cents("l_quantity")))
         .select(
             "l_returnflag",
-            F.col("F").alias("qty_F"),
-            F.col("O").alias("qty_O"),
+            F.col("F").alias("qty_f_cents"),
+            F.col("O").alias("qty_o_cents"),
         )
         .orderBy("l_returnflag")
     )

@@ -107,9 +107,12 @@ def ocents_sum(x: str, scale: int = 2) -> str:
 
 
 def money_sum(c: Column | str, alias: str) -> Column:
-    """SUM over DECIMAL(12,2)-reconstructed values, widened (scale-
-    preserving) to DECIMAL(38,2) for a stable schema. Exact and
-    order-independent in both engines (SURVEY §2b rule 2)."""
+    """DEPRECATED for driver-hashed output (VERDICT r3 #1): SUM over
+    DECIMAL(12,2)-reconstructed values widened to DECIMAL(38,2). Exact and
+    order-independent, but the driver's pandas harness serializes the
+    resulting Decimal cells differently per engine — every driver-hashed
+    money aggregate now uses `cents_sum` (BIGINT units) instead. Retained
+    for internal/demo use where a true decimal schema is wanted."""
     return F.sum(dec(c, 12, 2)).cast("decimal(38,2)").alias(alias)
 
 

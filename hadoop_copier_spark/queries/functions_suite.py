@@ -156,8 +156,9 @@ def q51(spark, sf_dir):
     oracle="""SELECT vec_id,
                      len(embedding) AS dim,
                      embedding[1] AS e1,
-                     list_sort(list_transform(embedding[1:8],
-                               x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))) AS head_sorted,
+                     list_aggregate(list_sort(list_transform(embedding[1:8],
+                               x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))),
+                               'string_agg', ',') AS head_sorted,
                      list_contains([label, 99], 3) AS has3
               FROM embeddings ORDER BY vec_id""",
     tags=("scalar", "array"),
@@ -167,17 +168,21 @@ def q52(spark, sf_dir):
     sort_array/array_contains; floats canonicalized to FLOOR-scaled 1e-6
     integer units — float->double widening is exact and the scale ops are
     single IEEE instructions, so both engines produce identical integers;
-    lists sorted per rule 4)."""
+    lists sorted per rule 4 then serialized to a CSV scalar — the driver's
+    pandas sort crashes on raw ArrayType cells, see q32/r3)."""
     e = tbl(spark, sf_dir, "embeddings")
     return e.select(
         "vec_id",
         F.size("embedding").alias("dim"),
         F.element_at("embedding", 1).alias("e1"),
-        F.sort_array(
-            F.transform(
-                F.slice("embedding", 1, 8),
-                lambda x: F.floor(x.cast("double") * F.lit(1e6) + F.lit(0.5)).cast("bigint"),
-            )
+        F.concat_ws(
+            ",",
+            F.sort_array(
+                F.transform(
+                    F.slice("embedding", 1, 8),
+                    lambda x: F.floor(x.cast("double") * F.lit(1e6) + F.lit(0.5)).cast("bigint"),
+                )
+            ),
         ).alias("head_sorted"),
         F.array_contains(F.array(F.col("label"), F.lit(99)), 3).alias("has3"),
     ).orderBy("vec_id")

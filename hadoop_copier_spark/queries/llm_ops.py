@@ -136,7 +136,7 @@ def q59(spark, sf_dir):
     "q60",
     oracle=f"""SELECT lang, source,
                      COUNT(*) AS n_docs,
-                     SUM(n_chars) AS total_chars,
+                     CAST(SUM(n_chars) AS BIGINT) AS total_chars,
                      CAST(SUM(n_chars) AS DOUBLE) / COUNT(n_chars) AS avg_chars,
                      COUNT(DISTINCT doc_id) AS nd_docs
               FROM documents GROUP BY lang, source
@@ -145,7 +145,10 @@ def q59(spark, sf_dir):
 )
 def q60(spark, sf_dir):
     """Language/source corpus profile (multi-dim text stats). avg is an
-    exact integer sum -> one IEEE division, emitted as DOUBLE."""
+    exact integer sum -> one IEEE division, emitted as DOUBLE. The bare
+    integer sum carries an explicit BIGINT cast on the oracle side:
+    DuckDB SUM(BIGINT) returns HUGEINT, which pandas converts to float64
+    ('148' vs '148.0' serializer mismatch)."""
     d = tbl(spark, sf_dir, "documents")
     return (
         d.groupBy("lang", "source")

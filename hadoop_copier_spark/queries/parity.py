@@ -58,8 +58,11 @@ def p_copyjob(spark, sf_dir):
         )
         for i in st["items"]
     ]
+    # single-slice local DF: createDataFrame(list) would slice these few
+    # rows across defaultParallelism (32) Python tasks — pure worker-pool
+    # startup cost on a cold session (the r3 xp_copyjob bench regression)
     return spark.createDataFrame(
-        rows,
+        spark.sparkContext.parallelize(rows, 1),
         schema="task_status string, item string, item_status string, "
         "bytes long, checksum_ok boolean, has_error boolean",
     ).orderBy("item")
@@ -148,6 +151,6 @@ def p_layout_maintenance(spark, sf_dir):
         ("zorder", 24, z["files_after"], z["rows"], z["rows"] == n),
     ]
     return spark.createDataFrame(
-        rows,
+        spark.sparkContext.parallelize(rows, 1),
         "op string, files_before int, files_after int, rows long, rows_preserved boolean",
     ).orderBy("op")

@@ -5,11 +5,17 @@ a Spark callable ``(spark, sf_dir) -> DataFrame`` plus, for hash-checked
 (H-class) queries, the equivalent DuckDB oracle SQL. ``__spark_entry__``
 derives its ``queries()`` / ``oracle_sql()`` maps from this registry.
 
-Determinism rules applied to every H query (SURVEY §2b):
+Determinism rules applied to every H query (SURVEY §2b, as amended by
+VERDICT r3 #1 — the integer-units rule):
 1. fully ordered output (ORDER BY ending in a unique key);
-2. money/double aggregation through DECIMAL casts;
-3. events.ts (parquet ns) truncated to ms or coarser;
-4. collections canonicalized (sort_array <-> list_sort);
+2. money/double aggregation in exact BIGINT integer units (cents etc.,
+   base.cents_sum) or final CAST AS DOUBLE — never emitted DECIMAL: the
+   driver's pandas harness serializes DuckDB decimals as float64 but
+   Spark decimals as Decimal, so trailing-zero cells can never match;
+3. events.ts truncated to ms or coarser;
+4. collections canonicalized AND serialized to scalars
+   (concat_ws over sort_array <-> string_agg ORDER BY) — the driver's
+   pandas sort crashes on raw list cells;
 5. identical column aliases on both sides.
 """
 

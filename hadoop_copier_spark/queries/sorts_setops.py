@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import Window as W
 
-from .base import F, dec, odec, tbl
+from .base import F, cents, ocents, tbl
 from .registry import register
 
 
@@ -32,24 +32,22 @@ def q41(spark, sf_dir):
 @register(
     "q42",
     oracle=f"""SELECT l_orderkey, l_linenumber,
-                     CAST({odec('l_extendedprice', 12, 2)} * (1 - {odec('l_discount', 12, 2)}) AS DECIMAL(18,4)) AS net
+                     CAST({ocents('l_extendedprice')} * (100 - {ocents('l_discount')}) AS BIGINT) AS net_e4
               FROM lineitem
-              ORDER BY net DESC, l_orderkey, l_linenumber
+              ORDER BY net_e4 DESC, l_orderkey, l_linenumber
               LIMIT 100""",
     tags=("sort", "limit"),
 )
 def q42(spark, sf_dir):
     """Global top-100 after total order -> TakeOrderedAndProject (no full
-    sort shuffle at any scale)."""
+    sort shuffle at any scale). Net price in exact BIGINT 1e-4 units
+    (integer-units rule — the r3 DECIMAL form hash-failed on 59/100
+    trailing-zero cells)."""
     li = tbl(spark, sf_dir, "lineitem")
-    net = (
-        (dec("l_extendedprice", 12, 2) * (1 - dec("l_discount", 12, 2)))
-        .cast("decimal(18,4)")
-        .alias("net")
-    )
+    net_e4 = (cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))).alias("net_e4")
     return (
-        li.select("l_orderkey", "l_linenumber", net)
-        .orderBy(F.col("net").desc(), "l_orderkey", "l_linenumber")
+        li.select("l_orderkey", "l_linenumber", net_e4)
+        .orderBy(F.col("net_e4").desc(), "l_orderkey", "l_linenumber")
         .limit(100)
     )
 

@@ -11,7 +11,7 @@ timezone-rendering differences entirely.
 
 from __future__ import annotations
 
-from .base import F, dec, odec, tbl
+from .base import F, cents_sum, ocents_sum, tbl
 from .registry import register
 
 
@@ -19,25 +19,26 @@ from .registry import register
     "q61",
     oracle=f"""SELECT CAST(floor(epoch(ts) / 600) AS BIGINT) * 600 AS w_start_sec,
                      event_type, COUNT(*) AS n,
-                     CAST(SUM({odec('value', 12, 2)}) AS DECIMAL(38,2)) AS sum_val
+                     {ocents_sum('value')} AS sum_val_cents
               FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
     tags=("streaming", "window"),
 )
 def q61(spark, sf_dir):
     """Tumbling 10-minute window aggregate (batch form of the streaming
-    query; window() is epoch-aligned in both engines)."""
+    query; window() is epoch-aligned in both engines). Value sum in BIGINT
+    cents (integer-units rule)."""
     e = tbl(spark, sf_dir, "events")
     return (
         e.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(dec("value", 12, 2)).cast("decimal(38,2)").alias("sum_val"),
+            cents_sum("value", "sum_val_cents"),
         )
         .select(
             F.unix_timestamp(F.col("w.start")).alias("w_start_sec"),
             "event_type",
             "n",
-            "sum_val",
+            "sum_val_cents",
         )
         .orderBy("w_start_sec", "event_type")
     )
@@ -47,22 +48,23 @@ def q61(spark, sf_dir):
     "q62",
     oracle=f"""SELECT CAST(floor(epoch(ts) / 300) AS BIGINT) * 300 - u.k AS w_start_sec,
                      COUNT(*) AS n,
-                     CAST(SUM({odec('value', 12, 2)}) AS DECIMAL(38,2)) AS sum_val
+                     {ocents_sum('value')} AS sum_val_cents
               FROM events, (SELECT unnest([0, 300]) AS k) u
               GROUP BY 1 ORDER BY 1""",
     tags=("streaming", "window"),
 )
 def q62(spark, sf_dir):
     """Sliding window (10-minute length, 5-minute slide): every event falls
-    in exactly two windows; the oracle enumerates both starts per event."""
+    in exactly two windows; the oracle enumerates both starts per event.
+    Value sum in BIGINT cents (integer-units rule)."""
     e = tbl(spark, sf_dir, "events")
     return (
         e.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(dec("value", 12, 2)).cast("decimal(38,2)").alias("sum_val"),
+            cents_sum("value", "sum_val_cents"),
         )
-        .select(F.unix_timestamp(F.col("w.start")).alias("w_start_sec"), "n", "sum_val")
+        .select(F.unix_timestamp(F.col("w.start")).alias("w_start_sec"), "n", "sum_val_cents")
         .orderBy("w_start_sec")
     )
 

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import Window as W
 
-from .base import F, dec, odec, tbl
+from .base import F, cents, dec, ocents, odec, tbl
 from .registry import register
 
 
@@ -88,40 +88,37 @@ def xh_ntile_scalable(spark, sf_dir):
 
     Scale plan (SCALE.md 'global rank fix-up'):
     1. range-repartition on the (unique) sort key + in-partition sort;
-    2. one Arrow `mapInPandas` pass stamps (partition_id, local_index) —
-       the frame is localCheckpoint'ed so the range boundaries (sampled,
-       RDD-id-seeded) are fixed once and both downstream jobs see the SAME
-       partitioning;
+    2. stamp (partition_id, local_index) ENTIRELY JVM-side via
+       monotonically_increasing_id() — its documented layout is partition
+       id in the upper bits, a consecutive per-partition counter in the
+       lower 33, which is exactly (pid, lidx) for free (the r1-r4 form
+       paid a whole-table Arrow mapInPandas round-trip for the same two
+       columns — ~2x the query's wall at sf0.1). localCheckpoint pins the
+       sampled, RDD-id-seeded range boundaries so both downstream jobs
+       see the SAME partitioning;
     3. per-partition counts (<= P rows, driver metadata) -> cumulative
        offsets -> global rank = offset[pid] + local_index + 1;
     4. ntile/percent_rank/cume_dist become pure expressions of (rank, n) —
        identical values to the window functions because the sort key is
        unique (no ties anywhere).
     Every step is a parallel exchange or a metadata aggregate; nothing ever
-    sorts in a single partition."""
-    import numpy as np
-
+    sorts in a single partition, and nothing leaves the JVM."""
     n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     o = tbl(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
     parted = o.repartitionByRange(n_parts, "o_totalprice", "o_orderkey").sortWithinPartitions(
         "o_totalprice", "o_orderkey"
     )
 
-    def add_idx(batches):
-        from pyspark import TaskContext
-
-        pid = TaskContext.get().partitionId()
-        base = 0
-        for pdf in batches:
-            pdf = pdf.copy()
-            pdf["pid"] = np.int32(pid)
-            pdf["lidx"] = np.arange(base, base + len(pdf), dtype="int64")
-            base += len(pdf)
-            yield pdf
-
-    idx = parted.mapInPandas(
-        add_idx, schema="o_orderkey long, o_totalprice double, pid int, lidx long"
-    ).localCheckpoint()  # pin the sampled range boundaries across jobs
+    idx = (
+        parted.withColumn("mid", F.monotonically_increasing_id())
+        .select(
+            "o_orderkey",
+            "o_totalprice",
+            F.shiftright(F.col("mid"), 33).cast("int").alias("pid"),
+            (F.col("mid") % F.lit(1 << 33)).alias("lidx"),
+        )
+        .localCheckpoint()  # pin the sampled range boundaries across jobs
+    )
 
     counts = sorted(
         (r["pid"], r["n"]) for r in idx.groupBy("pid").agg(F.count(F.lit(1)).alias("n")).collect()
@@ -189,14 +186,16 @@ def q36(spark, sf_dir):
 @register(
     "q37",
     oracle=f"""SELECT event_id, user_id,
-                     SUM({odec('value', 12, 2)}) OVER (
+                     CAST(SUM({ocents('value')}) OVER (
                         PARTITION BY user_id ORDER BY ts, event_id
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_sum
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_sum_cents
               FROM events ORDER BY event_id""",
     tags=("window", "frame"),
 )
 def q37(spark, sf_dir):
-    """Running decimal sum (ROWS UNBOUNDED PRECEDING frame)."""
+    """Running sum (ROWS UNBOUNDED PRECEDING frame) in exact BIGINT cents —
+    integer-units rule: DECIMAL output hash-mismatches under the driver's
+    pandas serializer (r1/r3 reds)."""
     e = tbl(spark, sf_dir, "events")
     w = (
         W.partitionBy("user_id")
@@ -206,7 +205,7 @@ def q37(spark, sf_dir):
     return e.select(
         "event_id",
         "user_id",
-        F.sum(dec("value", 12, 2)).over(w).alias("running_sum"),
+        F.sum(cents("value")).over(w).alias("running_sum_cents"),
     ).orderBy("event_id")
 
 
@@ -237,16 +236,17 @@ def q38(spark, sf_dir):
 @register(
     "q39",
     oracle=f"""SELECT event_id, user_id,
-                     SUM({odec('value', 12, 2)}) OVER (
+                     CAST(SUM({ocents('value')}) OVER (
                         PARTITION BY user_id ORDER BY CAST(epoch(date_trunc('second', ts)) AS BIGINT)
-                        RANGE BETWEEN 600 PRECEDING AND CURRENT ROW) AS sum_10min
+                        RANGE BETWEEN 600 PRECEDING AND CURRENT ROW) AS BIGINT) AS sum_10min_cents
               FROM events ORDER BY event_id""",
     tags=("window", "frame", "range"),
 )
 def q39(spark, sf_dir):
-    """RANGE frame over event-time: per-user sum of the trailing 10 minutes.
-    Ordered by epoch seconds (second-truncated, rule 3) so the numeric RANGE
-    bound means the same thing in both engines."""
+    """RANGE frame over event-time: per-user sum of the trailing 10 minutes
+    in exact BIGINT cents (integer-units rule). Ordered by epoch seconds
+    (second-truncated, rule 3) so the numeric RANGE bound means the same
+    thing in both engines."""
     e = tbl(spark, sf_dir, "events").withColumn(
         "ts_sec", F.unix_timestamp(F.date_trunc("second", F.col("ts")))
     )
@@ -254,7 +254,7 @@ def q39(spark, sf_dir):
     return e.select(
         "event_id",
         "user_id",
-        F.sum(dec("value", 12, 2)).over(w).alias("sum_10min"),
+        F.sum(cents("value")).over(w).alias("sum_10min_cents"),
     ).orderBy("event_id")
 
 

@@ -28,20 +28,23 @@ def _read_stream(spark: SparkSession, src_dir: str, max_files: int | None = 1) -
 
 
 def stream_tumbling_counts(spark: SparkSession, src_dir: str, queryName: str):
-    """Tumbling 10-min window count+decimal-sum per event_type (complete
-    mode -> memory sink); final table must equal batch q61."""
+    """Tumbling 10-min window count + exact-cents sum per event_type
+    (complete mode -> memory sink); final table must equal batch q61,
+    which emits BIGINT cents (integer-units rule)."""
     events = _read_stream(spark, src_dir)
     agg = (
         events.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum((F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("long")).cast("decimal(10,0)") * F.lit(__import__("decimal").Decimal("0.01")).cast("decimal(3,2)")).cast("decimal(38,2)").alias("sum_val"),
+            F.sum(
+                F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("bigint")
+            ).alias("sum_val_cents"),
         )
         .select(
             F.unix_timestamp(F.col("w.start")).alias("w_start_sec"),
             "event_type",
             "n",
-            "sum_val",
+            "sum_val_cents",
         )
     )
     return (

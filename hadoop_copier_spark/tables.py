@@ -37,16 +37,28 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.ts is parquet TIMESTAMP(NANOS), which Spark's reader rejects
-    ([PARQUET_TYPE_ILLEGAL]). Read it as raw int64 nanos and convert to a
-    microsecond TimestampType (floor division — matches how DuckDB's
-    TIMESTAMP_NS surfaces in Python). All oracle comparisons on ts use
-    ms-or-coarser truncation anyway (SURVEY §2b rule 3)."""
+    """Normalize events.ts to a microsecond TimestampType whatever the
+    fixture's physical layout is — the driver's testdata has shipped BOTH:
+
+    * rounds 1-3: parquet TIMESTAMP(NANOS), which Spark's reader rejects
+      ([PARQUET_TYPE_ILLEGAL]); with ``nanosAsLong`` it surfaces as int64
+      epoch-nanos, converted here by floor division (matches how DuckDB's
+      TIMESTAMP_NS surfaces in Python);
+    * round 4+: plain timestamp[us] (isAdjustedToUTC=false), which Spark
+      reads as TIMESTAMP_NTZ — cast to session-tz TimestampType (sessions
+      are pinned UTC, so the cast is value-preserving and downstream
+      unix_timestamp/window arithmetic behaves identically to the nanos
+      path). The round-4 loader assumed layout #1 unconditionally and
+      AnalysisException'd every events query against the new fixtures.
+    """
     from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if isinstance(df.schema["ts"].dataType, LongType):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

@@ -194,7 +194,15 @@ def compare(query_fn, oracle: str, spark, sf_dir: str, con=None) -> list[str]:
 
 def _norm_value(v):
     """Value-level serialization of one cell (legacy; NOT driver-faithful
-    for DuckDB decimals — use the pandas path above for oracle compares)."""
+    for DuckDB decimals — use the pandas path above for oracle compares).
+
+    NaN divergence note (ADVICE r4): this legacy path serializes a float
+    NaN as ``'NaN'`` while the driver-faithful ``_serialize_cell`` treats
+    it as NULL (``'\\N'``) — the faithful behavior, since pandas float64
+    columns collapse SQL NULL and NaN into the same ``nan`` and the
+    driver cannot tell them apart. Oracle-compared queries must use the
+    pandas path; this serializer is only for Spark-side-only snapshot
+    hashes where NaN-vs-NULL fidelity is a feature."""
     if v is None:
         return "\\N"
     if isinstance(v, bool):

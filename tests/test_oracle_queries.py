@@ -6,8 +6,15 @@ import pytest
 from hadoop_copier_spark.queries import REGISTRY
 from hadoop_copier_spark.testing import compare
 
-H_QUERIES = sorted(name for name, q in REGISTRY.items() if q.oracle)
-P_QUERIES = sorted(name for name, q in REGISTRY.items() if not q.oracle)
+# "alias" entries are the driver-window re-pointing (queries/aliases.py):
+# same Query objects under sort-first names — skip them here or every
+# aliased compare would run twice.
+H_QUERIES = sorted(
+    name for name, q in REGISTRY.items() if q.oracle and "alias" not in q.tags
+)
+P_QUERIES = sorted(
+    name for name, q in REGISTRY.items() if not q.oracle and "alias" not in q.tags
+)
 
 
 @pytest.mark.parametrize("name", H_QUERIES)

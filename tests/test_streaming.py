@@ -45,11 +45,11 @@ def test_stream_tumbling_equals_batch(spark, replay_dir):
     q = stream_tumbling_counts(spark, replay_dir, "t_tumb")
     try:
         q.processAllAvailable()
-        got = {(r["w_start_sec"], r["event_type"]): (r["n"], r["sum_val"]) for r in _rows(spark, "t_tumb")}
+        got = {(r["w_start_sec"], r["event_type"]): (r["n"], r["sum_val_cents"]) for r in _rows(spark, "t_tumb")}
     finally:
         q.stop()
     batch = {
-        (r["w_start_sec"], r["event_type"]): (r["n"], r["sum_val"])
+        (r["w_start_sec"], r["event_type"]): (r["n"], r["sum_val_cents"])
         for r in REGISTRY["q61"].fn(spark, SF).collect()
     }
     assert got == batch
