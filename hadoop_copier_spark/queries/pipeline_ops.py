@@ -1,0 +1,195 @@
+"""Training-data pipeline operators, part 2 (hash-checked): PII scrubbing,
+benchmark-contamination detection, and token-budget sequence packing.
+
+These extend the LLM-pipeline surface (SURVEY "beyond the reference"
+mandate) with three ops every large-scale pretraining pipeline runs:
+
+* redact personally-identifying strings before training (xh_pii_scrub);
+* detect evaluation-benchmark contamination via exact n-gram overlap
+  between the corpus and a held-out set (xh_contamination);
+* pack variable-length documents into fixed token-budget training
+  sequences (xh_pack_sequences).
+
+All three are pure DataFrame/Column plans (no Python in the hot path),
+mirrored token-for-token by DuckDB oracles, and emit only serializer-proof
+types (BIGINT / DOUBLE / strings — integer-units rule, registry.py).
+"""
+
+from __future__ import annotations
+
+from .base import F, tbl
+from .registry import register
+
+# Regex patterns chosen to behave identically under Java regex (Spark) and
+# RE2 (DuckDB): character classes, bounded repetition, no backreferences,
+# no lookaround. Written once, used verbatim on both sides.
+_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_IPV4 = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
+_PHONE = r"[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+# The fixture corpus contains no organic PII, so both sides append the same
+# deterministic synthetic PII to every 7th doc before scanning — this
+# exercises extraction/redaction on real matches instead of vacuous zeros.
+_AUG_SQL = (
+    "text || CASE WHEN doc_id % 7 = 0 THEN "
+    "' contact user' || doc_id || '@example.com or 10.0.' || (doc_id % 256) "
+    "|| '.1 tel 555-867-5309' ELSE '' END"
+)
+
+
+@register(
+    "xh_pii_scrub",
+    oracle=f"""WITH aug AS (SELECT doc_id, {_AUG_SQL} AS t FROM documents)
+              SELECT doc_id,
+                     len(regexp_extract_all(t, '{_EMAIL}')) AS n_email,
+                     len(regexp_extract_all(t, '{_IPV4}')) AS n_ip,
+                     len(regexp_extract_all(t, '{_PHONE}')) AS n_phone,
+                     length(regexp_replace(regexp_replace(regexp_replace(t,
+                         '{_EMAIL}', '<EMAIL>', 'g'),
+                         '{_IPV4}', '<IP>', 'g'),
+                         '{_PHONE}', '<PHONE>', 'g')) AS scrubbed_len
+              FROM aug ORDER BY doc_id""",
+    tags=("llm", "pii", "scrub"),
+)
+def h_pii_scrub(spark, sf_dir):
+    """PII detection + redaction as pure Column expressions: count emails /
+    IPv4s / phone numbers and measure the text length after replacing each
+    class with a placeholder. Embarrassingly parallel (per-row regex inside
+    whole-stage codegen, no shuffle before the final sort) — the 100 TB
+    form is the same plan minus the ORDER BY. Spark replaces all matches
+    by default; DuckDB needs the 'g' flag — same replacement order on both
+    sides since redaction order affects overlapping matches."""
+    d = tbl(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or 10.0."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".1 tel 555-867-5309"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    t = d.select("doc_id", aug.alias("t"))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("t"), F.lit(_EMAIL), F.lit("<EMAIL>")),
+            F.lit(_IPV4),
+            F.lit("<IP>"),
+        ),
+        F.lit(_PHONE),
+        F.lit("<PHONE>"),
+    )
+    return t.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("t", F.lit(_EMAIL), F.lit(0))).cast("bigint").alias("n_email"),
+        F.size(F.regexp_extract_all("t", F.lit(_IPV4), F.lit(0))).cast("bigint").alias("n_ip"),
+        F.size(F.regexp_extract_all("t", F.lit(_PHONE), F.lit(0))).cast("bigint").alias("n_phone"),
+        F.length(scrubbed).cast("bigint").alias("scrubbed_len"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "xh_contamination",
+    oracle="""WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+                          FROM documents),
+              sh AS (SELECT doc_id,
+                            unnest(list_distinct(list_transform(
+                                generate_series(1, greatest(len(toks) - 2, 0)),
+                                i -> array_to_string(toks[i:i+2], ' ')))) AS shingle
+                     FROM tok),
+              bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+              corpus AS (SELECT * FROM sh WHERE doc_id % 97 <> 0)
+              SELECT c.doc_id, COUNT(*) AS n_contaminated
+              FROM corpus c JOIN bench b USING (shingle)
+              GROUP BY c.doc_id ORDER BY c.doc_id""",
+    tags=("llm", "contamination", "ngram"),
+)
+def h_contamination(spark, sf_dir):
+    """Benchmark-contamination detection: exact 3-gram overlap between the
+    training corpus and a held-out evaluation set (modeled as every 97th
+    doc). Each doc's distinct shingles join against the distinct benchmark
+    shingle set; the per-doc hit count is the contamination score used to
+    drop or flag documents before training.
+
+    Scale shape: shingling is per-row (explode after array_distinct keeps
+    one row per distinct shingle per doc); the benchmark side is tiny by
+    construction — broadcast it so the corpus never shuffles; one partial
+    aggregate on doc_id. At 100 TB swap the raw-shingle join key for
+    xxhash64(shingle) to shrink exchange width (same plan otherwise)."""
+    d = tbl(spark, sf_dir, "documents")
+    toks = F.split(F.lower("text"), " ")
+    n_sh = F.greatest(F.size(toks) - 2, F.lit(0))
+    shingles = F.when(
+        n_sh >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_sh),
+            lambda i: F.array_join(F.slice(toks, i, 3), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sh = d.select(
+        "doc_id", F.explode(F.array_distinct(shingles)).alias("shingle")
+    )
+    bench = sh.filter(F.col("doc_id") % 97 == 0).select("shingle").distinct()
+    corpus = sh.filter(F.col("doc_id") % 97 != 0)
+    return (
+        corpus.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "xh_pack_sequences",
+    oracle="""WITH t AS (SELECT doc_id, lang, source,
+                                len(string_split(text, ' ')) AS n_tok
+                         FROM documents),
+              c AS (SELECT *,
+                           CAST(SUM(n_tok) OVER (
+                               PARTITION BY lang, source ORDER BY doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                           ) AS BIGINT) - n_tok AS cum_before
+                    FROM t)
+              SELECT doc_id, lang, source, CAST(n_tok AS BIGINT) AS n_tok,
+                     CAST(FLOOR(cum_before / 2048) AS BIGINT) AS bin_id,
+                     CAST(cum_before % 2048 AS BIGINT) AS bin_offset
+              FROM c ORDER BY lang, source, doc_id""",
+    tags=("llm", "packing"),
+)
+def h_pack_sequences(spark, sf_dir):
+    """Token-budget sequence packing: assign each document a (bin_id,
+    bin_offset) inside 2048-token training sequences via a running token
+    count per (lang, source) stream — the cumulative-sum form of greedy
+    packing (documents may straddle a boundary; trainers split at
+    bin_offset). One window per (lang, source) partition: the partition
+    key has enough cardinality to parallelize, and at 100 TB a skewed
+    stream falls back to the xh_ntile_scalable offset fix-up pattern
+    (range-partition + per-partition cumsum + driver offsets) rather than
+    one giant window partition."""
+    from pyspark.sql import Window as W
+
+    d = tbl(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tok"),
+    )
+    w = (
+        W.partitionBy("lang", "source")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    c = t.withColumn("cum_before", F.sum("n_tok").over(w) - F.col("n_tok"))
+    return c.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_tok",
+        F.floor(F.col("cum_before") / 2048).cast("bigint").alias("bin_id"),
+        (F.col("cum_before") % 2048).cast("bigint").alias("bin_offset"),
+    ).orderBy("lang", "source", "doc_id")
