@@ -52,8 +52,18 @@ _H60_SQL = "('0x' || substr(md5({s}), 1, 15))::BIGINT"
 
 def _with_tokens(d):
     """doc_id, tk (lowercased whitespace tokens, empties dropped) — the
-    token array is a real column so lambda consumers don't re-split."""
-    return d.select(
+    token array is a real column so lambda consumers don't re-split.
+
+    The input is repartitioned on doc_id first: the tokenize/md5 work
+    downstream is the CPU-heavy part of every twin, and a small fixture
+    file arrives as ONE scan partition — without the exchange the whole
+    hash pipeline (and everything after a localCheckpoint of it) runs on
+    a single core (measured 2x the full query wall at sf0.1). At real
+    scale the scan is already many partitions and this one cheap shuffle
+    of raw docs is noise next to the per-shingle hashing it parallelizes.
+    """
+    n = int(d.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    return d.repartition(n, "doc_id").select(
         "doc_id",
         "text",
         F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "").alias("tk"),
