@@ -174,3 +174,31 @@ def test_oracle_twin_dedup_plans_stay_equi_join(spark, sf_oracle):
         t = _explain(spark, sf_oracle, name)
         body = t.split("Sort")[0]
         assert "Exchange hashpartitioning" not in body, name
+
+
+def test_contamination_benchmark_side_broadcast(spark, sf_oracle):
+    """xh_contamination: the held-out benchmark shingle set is tiny by
+    construction and must broadcast — the corpus side never shuffles for
+    the join (one partial agg on doc_id afterwards is the only exchange
+    of corpus-sized data)."""
+    text = _explain(spark, sf_oracle, "xh_contamination")
+    assert "BroadcastHashJoin" in text
+    assert "SortMergeJoin" not in text
+
+
+def test_pii_scrub_is_scan_plus_project_only(spark, sf_oracle):
+    """xh_pii_scrub: regex counting/redaction is per-row Column work — the
+    plan must be scan -> project (+ final sort), with no join and no
+    aggregate anywhere."""
+    text = _explain(spark, sf_oracle, "xh_pii_scrub")
+    assert "Join" not in text
+    assert "HashAggregate" not in text
+
+
+def test_pack_sequences_single_partitioned_window(spark, sf_oracle):
+    """xh_pack_sequences: one window over (lang, source) — exactly one
+    hash exchange on the partition key, and never a single-partition
+    funnel."""
+    text = _explain(spark, sf_oracle, "xh_pack_sequences")
+    assert "Exchange SinglePartition" not in text
+    assert text.count("Window") >= 1
