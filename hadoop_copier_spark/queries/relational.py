@@ -300,3 +300,25 @@ def h_merge_upsert(spark, sf_dir):
     )
     changes = updates.unionByName(inserts)
     return merge_upsert(c, changes, "c_custkey").orderBy("c_custkey")
+
+
+@register(
+    "xh_orc_roundtrip",
+    oracle="""SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+              FROM supplier ORDER BY s_suppkey""",
+    tags=("source", "sink", "orc"),
+)
+def h_orc_roundtrip(spark, sf_dir):
+    """ORC round-trip: write `supplier` as ORC, read back with the
+    explicit schema, ordered — completes the columnar-format source/sink
+    matrix (parquet q05, CSV q03, JSON q04). Same distributed write/read
+    path as a cluster-scale ORC export; the oracle checks the values
+    survived the format, not the format itself."""
+    df = tbl(spark, sf_dir, "supplier")
+    out = tempfile.mkdtemp(prefix="hcs_orc_")
+    df.write.mode("overwrite").orc(out)
+    return (
+        spark.read.schema(df.schema).orc(out)
+        .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+        .orderBy("s_suppkey")
+    )
