@@ -193,3 +193,90 @@ def h_pack_sequences(spark, sf_dir):
         F.floor(F.col("cum_before") / 2048).cast("bigint").alias("bin_id"),
         (F.col("cum_before") % 2048).cast("bigint").alias("bin_offset"),
     ).orderBy("lang", "source", "doc_id")
+
+
+# Composite ordering key for "latest observation in bucket": epoch micros
+# then event_id, zero-padded so both engines' arg_max agree on ties.
+_OBS_KEY_SPARK = (
+    "format_string('%020d', unix_micros(ts)) || format_string('%015d', event_id)"
+)
+_OBS_KEY_DUCK = (
+    "printf('%020d', epoch_us(ts)) || printf('%015d', event_id)"
+)
+
+
+@register(
+    "xh_gap_fill",
+    oracle=f"""WITH obs AS (
+                 SELECT user_id,
+                        CAST(floor(epoch(ts) / 600) AS BIGINT) * 600 AS bucket_sec,
+                        arg_max(CAST(FLOOR(value * 100 + 0.5) AS BIGINT),
+                                {_OBS_KEY_DUCK}) AS v_cents
+                 FROM events WHERE user_id % 20 = 0 GROUP BY 1, 2),
+               grid AS (
+                 SELECT user_id,
+                        unnest(generate_series(MIN(bucket_sec), MAX(bucket_sec), 600)) AS bucket_sec
+                 FROM obs GROUP BY user_id)
+               SELECT g.user_id, g.bucket_sec,
+                      last_value(o.v_cents IGNORE NULLS) OVER (
+                          PARTITION BY g.user_id ORDER BY g.bucket_sec
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_cents,
+                      CAST(o.v_cents IS NOT NULL AS BOOLEAN) AS observed
+               FROM grid g LEFT JOIN obs o
+                 ON o.user_id = g.user_id AND o.bucket_sec = g.bucket_sec
+               ORDER BY g.user_id, g.bucket_sec""",
+    tags=("timeseries", "gapfill", "locf"),
+)
+def h_gap_fill(spark, sf_dir):
+    """Time-series gap filling: resample each user's events onto a dense
+    10-minute grid and carry the last observation forward (LOCF) across
+    empty buckets — the downsample-then-fill primitive behind dashboards
+    and feature stores. Latest-in-bucket is arg-max on a padded
+    (epoch_micros, event_id) key so ties resolve identically in both
+    engines; values in BIGINT cents (integer-units rule).
+
+    Scale shape: one partial aggregate to per-(user, bucket) observations,
+    per-user grids generated with sequence()/explode (never a driver-side
+    calendar), one equi join, one per-user window — every step partitions
+    on user_id, so a 100 TB event stream fans out across the cluster with
+    a single logical shuffle key. Dense-grid row explosion is bounded by
+    (span / step) per user, a planning-time choice."""
+    # deterministic user subset (user_id % 20): the dense grid multiplies
+    # rows by span/step per user, and the hash gate serializes the full
+    # result — bound the declared check; the operator itself is the same
+    # plan at any user count
+    e = tbl(spark, sf_dir, "events").filter(F.col("user_id") % 20 == 0)
+    obs = (
+        e.withColumn(
+            "bucket_sec",
+            (F.floor(F.unix_timestamp("ts") / 600) * 600).cast("bigint"),
+        )
+        .groupBy("user_id", "bucket_sec")
+        .agg(
+            F.expr(
+                f"max_by(CAST(FLOOR(value * 100 + 0.5) AS BIGINT), {_OBS_KEY_SPARK})"
+            ).alias("v_cents")
+        )
+    )
+    grid = (
+        obs.groupBy("user_id")
+        .agg(F.min("bucket_sec").alias("lo"), F.max("bucket_sec").alias("hi"))
+        .select(
+            "user_id",
+            F.explode(F.sequence("lo", "hi", F.lit(600))).alias("bucket_sec"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("bucket_sec")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    joined = grid.join(obs, ["user_id", "bucket_sec"], "left")
+    return joined.select(
+        "user_id",
+        "bucket_sec",
+        F.last("v_cents", ignorenulls=True).over(w).alias("locf_cents"),
+        F.col("v_cents").isNotNull().alias("observed"),
+    ).orderBy("user_id", "bucket_sec")

@@ -202,3 +202,12 @@ def test_pack_sequences_single_partitioned_window(spark, sf_oracle):
     text = _explain(spark, sf_oracle, "xh_pack_sequences")
     assert "Exchange SinglePartition" not in text
     assert text.count("Window") >= 1
+
+
+def test_gap_fill_partitions_on_user(spark, sf_oracle):
+    """xh_gap_fill: grid generation, join, and LOCF window all key on
+    user_id — no single-partition exchange anywhere, and the fill is a
+    Window (not a self-join)."""
+    text = _explain(spark, sf_oracle, "xh_gap_fill")
+    assert "Exchange SinglePartition" not in text
+    assert "Window" in text
