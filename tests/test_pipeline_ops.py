@@ -1,0 +1,87 @@
+"""Property checks for the round-5 pipeline operators — invariants the
+hash-vs-oracle gate can't express (the oracle could share a bug with the
+query; these re-derive the semantics independently)."""
+
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from hadoop_copier_spark.queries import REGISTRY
+from hadoop_copier_spark.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def gap_fill_pdf(spark, sf_smoke):
+    return REGISTRY["xh_gap_fill"].fn(spark, sf_smoke).toPandas()
+
+
+def test_gap_fill_grid_is_dense_and_bounded(spark, sf_smoke, gap_fill_pdf):
+    g = gap_fill_pdf
+    for uid, rows in g.groupby("user_id"):
+        b = rows["bucket_sec"].to_numpy()
+        assert (b[1:] - b[:-1] == 600).all(), uid  # dense 10-min grid
+    # only the declared user subset appears
+    assert (g["user_id"] % 20 == 0).all()
+
+
+def test_gap_fill_locf_matches_brute_force(spark, sf_smoke, gap_fill_pdf):
+    e = (
+        load_table(spark, sf_smoke, "events")
+        .filter(F.col("user_id") % 20 == 0)
+        .select(
+            "user_id",
+            "event_id",
+            F.unix_timestamp("ts").alias("ts_sec"),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("v_cents"),
+        )
+        .toPandas()
+    )
+    e["bucket"] = (e["ts_sec"] // 600) * 600
+    got = gap_fill_pdf.set_index(["user_id", "bucket_sec"])
+    for uid, rows in e.groupby("user_id"):
+        # brute force: latest (ts, event_id) observation per bucket, ffill
+        latest = (
+            rows.sort_values(["ts_sec", "event_id"])
+            .groupby("bucket")["v_cents"]
+            .last()
+        )
+        grid = range(int(latest.index.min()), int(latest.index.max()) + 1, 600)
+        expect = latest.reindex(grid).ffill()
+        for bucket, val in expect.items():
+            assert got.loc[(uid, bucket), "locf_cents"] == val, (uid, bucket)
+
+
+def test_pack_sequences_bin_arithmetic(spark, sf_smoke):
+    p = REGISTRY["xh_pack_sequences"].fn(spark, sf_smoke).toPandas()
+    assert ((p["bin_offset"] >= 0) & (p["bin_offset"] < 2048)).all()
+    for _, rows in p.groupby(["lang", "source"]):
+        rows = rows.sort_values("doc_id")
+        cum = (rows["n_tok"].cumsum() - rows["n_tok"]).to_numpy()
+        assert (rows["bin_id"].to_numpy() == cum // 2048).all()
+        assert (rows["bin_offset"].to_numpy() == cum % 2048).all()
+        assert (rows["bin_id"].to_numpy()[1:] >= rows["bin_id"].to_numpy()[:-1]).all()
+
+
+def test_pii_scrub_finds_planted_pii_and_only_that(spark, sf_smoke):
+    s = REGISTRY["xh_pii_scrub"].fn(spark, sf_smoke).toPandas()
+    planted = s["doc_id"] % 7 == 0
+    # every planted doc yields at least one of each PII class
+    assert (s.loc[planted, "n_email"] >= 1).all()
+    assert (s.loc[planted, "n_ip"] >= 1).all()
+    assert (s.loc[planted, "n_phone"] >= 1).all()
+    # unplanted fixture docs are PII-free, so scrubbing must not change length
+    clean = s[~planted & (s["n_email"] == 0) & (s["n_ip"] == 0) & (s["n_phone"] == 0)]
+    orig = (
+        load_table(spark, sf_smoke, "documents")
+        .select("doc_id", F.length("text").alias("n"))
+        .toPandas()
+        .set_index("doc_id")["n"]
+    )
+    assert (clean.set_index("doc_id")["scrubbed_len"] == orig[clean["doc_id"]].to_numpy()).all()
+
+
+def test_contamination_reports_only_nonbenchmark_docs_with_hits(spark, sf_smoke):
+    c = REGISTRY["xh_contamination"].fn(spark, sf_smoke).toPandas()
+    assert (c["doc_id"] % 97 != 0).all()
+    assert (c["n_contaminated"] >= 1).all()
