@@ -43,8 +43,12 @@ def q56(spark, sf_dir):
 def q57(spark, sf_dir):
     """Word count: tokenize (lower, split on whitespace) -> explode ->
     count -> top-200. Partial aggregation collapses each partition to its
-    distinct tokens before the shuffle."""
-    d = tbl(spark, sf_dir, "documents")
+    distinct tokens before the shuffle. Documents repartition first: the
+    tokenize+explode+partial-agg stage otherwise runs on however many
+    partitions the scan produced — one, for a small fixture file (SCALE.md
+    principle 7b)."""
+    n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    d = tbl(spark, sf_dir, "documents").repartition(n, "doc_id")
     return (
         d.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("token"))
         .filter(F.col("token") != "")
@@ -69,10 +73,16 @@ def q57(spark, sf_dir):
 )
 def q58(spark, sf_dir):
     """Word-bigram counts via higher-order functions (no Python in the
-    loop): transform over token indices -> explode -> count -> top-100."""
+    loop): transform over token indices -> explode -> count -> top-100.
+    Repartitioned ahead of the shingle stage (SCALE.md principle 7b)."""
     # materialize tokens as a column: an inline split() referenced inside
     # the lambda is re-evaluated per element_at (measured 10x slowdown)
-    d = tbl(spark, sf_dir, "documents").withColumn("__toks", F.split(F.lower("text"), " "))
+    n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    d = (
+        tbl(spark, sf_dir, "documents")
+        .repartition(n, "doc_id")
+        .withColumn("__toks", F.split(F.lower("text"), " "))
+    )
     toks = F.col("__toks")
     bigrams = F.when(F.size(toks) < 2, F.array()).otherwise(
         F.transform(

@@ -118,9 +118,12 @@ def h_contamination(spark, sf_dir):
     Scale shape: shingling is per-row (explode after array_distinct keeps
     one row per distinct shingle per doc); the benchmark side is tiny by
     construction — broadcast it so the corpus never shuffles; one partial
-    aggregate on doc_id. At 100 TB swap the raw-shingle join key for
+    aggregate on doc_id. Documents repartition ahead of the shingle stage
+    (SCALE.md principle 7b — a one-file fixture scan would otherwise run
+    it on one core). At 100 TB swap the raw-shingle join key for
     xxhash64(shingle) to shrink exchange width (same plan otherwise)."""
-    d = tbl(spark, sf_dir, "documents")
+    n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    d = tbl(spark, sf_dir, "documents").repartition(n, "doc_id")
     toks = F.split(F.lower("text"), " ")
     n_sh = F.greatest(F.size(toks) - 2, F.lit(0))
     shingles = F.when(
