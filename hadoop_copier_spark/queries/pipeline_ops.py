@@ -283,3 +283,32 @@ def h_gap_fill(spark, sf_dir):
         F.last("v_cents", ignorenulls=True).over(w).alias("locf_cents"),
         F.col("v_cents").isNotNull().alias("observed"),
     ).orderBy("user_id", "bucket_sec")
+
+
+@register(
+    "xh_histogram",
+    oracle="""SELECT CAST(CASE WHEN b < 0 THEN 0 WHEN b > 19 THEN 19 ELSE b END AS BIGINT) AS bin_id,
+                     COUNT(*) AS n,
+                     CAST(SUM(cents) AS BIGINT) AS sum_cents
+              FROM (SELECT CAST(FLOOR(o_totalprice / 25000.0) AS BIGINT) AS b,
+                           CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+                    FROM orders)
+              GROUP BY 1 ORDER BY 1""",
+    tags=("agg", "histogram", "profile"),
+)
+def h_histogram(spark, sf_dir):
+    """Fixed-width histogram of order totals (20 bins of 25k, clamped tail
+    bins) — the numeric-profiling primitive behind data-quality dashboards.
+    Bin id is one floor-divide (identical IEEE op both engines), per-bin
+    count + exact cents sum. One partial aggregate: only 20 bin rows cross
+    the shuffle regardless of input size."""
+    o = tbl(spark, sf_dir, "orders")
+    b = F.floor(F.col("o_totalprice") / F.lit(25000.0)).cast("bigint")
+    bin_id = F.when(b < 0, F.lit(0)).when(b > 19, F.lit(19)).otherwise(b).cast("bigint")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    return (
+        o.select(bin_id.alias("bin_id"), cents.alias("cents"))
+        .groupBy("bin_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("sum_cents"))
+        .orderBy("bin_id")
+    )
