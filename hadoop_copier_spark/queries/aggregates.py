@@ -29,9 +29,12 @@ from .registry import register
 # driver's pandas harness serializes DuckDB decimals as float64 but Spark
 # decimals as Decimal, so any trailing-zero decimal cell hash-mismatches by
 # construction. BIGINT survives any serializer bit-identically. Magnitudes:
-# charge_e6 <= ~2e11/row; int64 overflows past ~4.6e7 such rows per group —
-# far above bench scales (at 100 TB keep the internal sum in DECIMAL(38,0)
-# and emit DOUBLE).
+# charge_e6 <= ~2e11/row, so a raw SUM(BIGINT) would wrap silently past
+# ~4.6e7 rows per group (~sf30) under Spark's non-ANSI long sum (ADVICE r5).
+# The INTERNAL accumulation therefore runs in DECIMAL(38,0) on the Spark
+# side (overflow -> NULL, loud at the hash gate, and unreachable below
+# ~1e27 rows) — DuckDB's SUM(BIGINT) is already exact HUGEINT — and only
+# the final per-group value is cast BIGINT (lossless at any driver scale).
 _Q24_ORACLE = f"""
 SELECT l_returnflag, l_linestatus,
   {ocents_sum('l_quantity')} AS sum_qty_cents,
@@ -64,8 +67,8 @@ def q24(spark, sf_dir):
         .agg(
             cents_sum("l_quantity", "sum_qty_cents"),
             cents_sum("l_extendedprice", "sum_base_cents"),
-            F.sum(disc_price_e4).alias("sum_disc_price_e4"),
-            F.sum(charge_e6).alias("sum_charge_e6"),
+            F.sum(disc_price_e4.cast("decimal(38,0)")).cast("bigint").alias("sum_disc_price_e4"),
+            F.sum(charge_e6.cast("decimal(38,0)")).cast("bigint").alias("sum_charge_e6"),
             det_avg("l_quantity", "avg_qty"),
             F.count(F.lit(1)).alias("n_rows"),
         )

@@ -42,49 +42,37 @@ def q34(spark, sf_dir):
     )
 
 
-@register(
-    "q35",
-    oracle="""SELECT o_orderkey,
+_NTILE_ORACLE = """SELECT o_orderkey,
                      ntile(10)      OVER w AS tile,
                      percent_rank() OVER w AS prk,
                      cume_dist()    OVER w AS cd
               FROM orders
               WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
-              ORDER BY o_orderkey""",
-    tags=("window",),
-)
+              ORDER BY o_orderkey"""
+
+
+@register("q35", oracle=_NTILE_ORACLE, tags=("window",))
 def q35(spark, sf_dir):
-    """ntile / percent_rank / cume_dist with a unique tiebreak. The ratio
+    """ntile / percent_rank / cume_dist with a unique tiebreak — served by
+    the SCALABLE plan (VERDICT r5 #2): the naive empty-PARTITION BY window
+    form put the whole table in one sorted partition, the one genuine
+    scale-killer shape in the suite. The sort key (o_totalprice, o_orderkey)
+    is unique, so the range-partitioned rank fix-up below produces values
+    identical to the window functions; the oracle is unchanged. The ratio
     functions are single IEEE divisions of exact integers -> bit-identical
     doubles in both engines, emitted raw (no decimal cast, see base.py)."""
-    o = tbl(spark, sf_dir, "orders")
-    w = W.orderBy(F.col("o_totalprice"), F.col("o_orderkey"))
-    return (
-        o.select(
-            "o_orderkey",
-            F.ntile(10).over(w).alias("tile"),
-            F.percent_rank().over(w).alias("prk"),
-            F.cume_dist().over(w).alias("cd"),
-        )
-        .orderBy("o_orderkey")
-    )
+    return _ntile_scalable(spark, sf_dir)
 
 
 @register(
     "xh_ntile_scalable",
-    oracle="""SELECT o_orderkey,
-                     ntile(10)      OVER w AS tile,
-                     percent_rank() OVER w AS prk,
-                     cume_dist()    OVER w AS cd
-              FROM orders
-              WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
-              ORDER BY o_orderkey""",
+    oracle=_NTILE_ORACLE,
     tags=("window", "scale-variant"),
 )
 def xh_ntile_scalable(spark, sf_dir):
-    """q35's semantics WITHOUT the single-partition window (the one genuine
-    scale-killer shape in the suite — an empty PARTITION BY puts the whole
-    table in one ordered partition).
+    """q35's semantics WITHOUT the single-partition window (same
+    implementation since round 6 — q35 itself now ships this plan; the twin
+    is retained so the scale-variant keeps its own driver/bench row).
 
     Scale plan (SCALE.md 'global rank fix-up'):
     1. range-repartition on the (unique) sort key + in-partition sort;
@@ -103,6 +91,10 @@ def xh_ntile_scalable(spark, sf_dir):
        unique (no ties anywhere).
     Every step is a parallel exchange or a metadata aggregate; nothing ever
     sorts in a single partition, and nothing leaves the JVM."""
+    return _ntile_scalable(spark, sf_dir)
+
+
+def _ntile_scalable(spark, sf_dir):
     n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     o = tbl(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
     parted = o.repartitionByRange(n_parts, "o_totalprice", "o_orderkey").sortWithinPartitions(

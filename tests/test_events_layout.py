@@ -55,6 +55,27 @@ def test_both_layouts_load_as_timestamp(spark, dual_layout_dirs):
         assert df.schema["ts"].dataType.simpleString() == "timestamp", d
 
 
+def test_nanos_layout_loads_in_foreign_session(spark, dual_layout_dirs):
+    """The driver runs queries in its OWN session, without the factory's
+    ``nanosAsLong`` default. The loader must then recover from the
+    PARQUET_TYPE_ILLEGAL read by setting the flag on demand — and must NOT
+    touch session state on the common timestamp[us] path (VERDICT r5 #4)."""
+    us_dir, ns_dir = dual_layout_dirs
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    try:
+        spark.conf.unset(key)  # simulate a session the engine didn't build
+        # us layout: loads fine and leaves the conf untouched
+        df = load_table(spark, us_dir, "events")
+        assert df.schema["ts"].dataType.simpleString() == "timestamp"
+        assert spark.conf.get(key, None) in (None, "false")
+        # ns layout: first read fails internally, loader sets the flag once
+        df = load_table(spark, ns_dir, "events")
+        assert df.schema["ts"].dataType.simpleString() == "timestamp"
+        assert spark.conf.get(key) == "true"
+    finally:
+        spark.conf.set(key, "true")  # restore the factory default
+
+
 def test_both_layouts_agree_on_values(spark, dual_layout_dirs):
     us_dir, ns_dir = dual_layout_dirs
     us_rows = [tuple(r) for r in load_table(spark, us_dir, "events").orderBy("event_id").collect()]

@@ -33,6 +33,12 @@ def test_gap_fill_locf_matches_brute_force(spark, sf_smoke, gap_fill_pdf):
             "user_id",
             "event_id",
             F.unix_timestamp("ts").alias("ts_sec"),
+            # microsecond precision for the tie-break: the operator's arg-max
+            # key is (microsecond ts, event_id); sorting by second-truncated
+            # ts here could disagree when two same-bucket events share a
+            # second but their event_id order opposes their micros order
+            # (ADVICE r5)
+            F.unix_micros("ts").alias("ts_us"),
             F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("v_cents"),
         )
         .toPandas()
@@ -42,7 +48,7 @@ def test_gap_fill_locf_matches_brute_force(spark, sf_smoke, gap_fill_pdf):
     for uid, rows in e.groupby("user_id"):
         # brute force: latest (ts, event_id) observation per bucket, ffill
         latest = (
-            rows.sort_values(["ts_sec", "event_id"])
+            rows.sort_values(["ts_us", "event_id"])
             .groupby("bucket")["v_cents"]
             .last()
         )

@@ -118,19 +118,16 @@ def test_partition_pruning_on_partitioned_layout(spark, sf_oracle, tmp_path):
     assert "o_orderstatus" in after, after
 
 
-def test_xh_ntile_scalable_no_single_partition_exchange(spark, sf_oracle):
-    """The scalable global-rank variant must never funnel the table into
-    one ordered partition; q35 (the declared-window form) is the contrast
-    case — its empty PARTITION BY plans exactly that shape."""
-    text = _explain(spark, sf_oracle, "xh_ntile_scalable")
-    assert "Exchange SinglePartition" not in text, text[:800]
-    assert "Window" not in text  # rank comes from offsets, not a window
-    # contrast: q35 plans a global window (empty PARTITION BY). Depending on
-    # scan parallelism the single-partition constraint shows as an explicit
-    # Exchange SinglePartition or as a Sort over an already-1-partition scan,
-    # so assert the Window shape itself.
-    q35 = _explain(spark, sf_oracle, "q35")
-    assert "Window" in q35
+def test_ntile_no_single_partition_exchange(spark, sf_oracle):
+    """q35 AND its scale twin must never funnel the table into one ordered
+    partition (VERDICT r5 #2: q35 formerly planned an empty-PARTITION BY
+    window — whole table in a single sorted partition). Both now ship the
+    range-partitioned global-rank plan: no single-partition exchange, and
+    no Window operator at all (rank comes from per-partition offsets)."""
+    for name in ("q35", "xh_ntile_scalable"):
+        text = _explain(spark, sf_oracle, name)
+        assert "Exchange SinglePartition" not in text, (name, text[:800])
+        assert "Window" not in text, name  # rank from offsets, not a window
 
 
 def test_correlated_scalar_subquery_decorrelated(spark, sf_oracle):
