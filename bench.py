@@ -4,6 +4,11 @@ Runs every declared query at $SPARK_GRAFT_SF_DIR (default sf0.1) on
 local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
 
+The line also carries BENCH-2 (BASELINE.md: DuckDB oracle wall over the
+contract suite q01-q67, single connection) as "oracle_wall_sec" /
+"oracle_queries" — VERDICT r5 #7: the baseline declares the oracle-side
+anchor but no artifact recorded it before round 6.
+
 Protocol: one warm-up action, then a single timed pass per query; each
 query's timing includes plan + execution to a count()-style action (we use
 ``df.write.format("noop")``-equivalent: collect row count via ``count()`` on
@@ -53,6 +58,28 @@ def main() -> None:
         if dt > 0:
             total += dt
 
+    # BENCH-2: the DuckDB oracle side of the contract suite (q01-q67),
+    # one single-threaded connection, fetch into pandas like the driver
+    from hadoop_copier_spark.testing import duck_connect  # noqa: E402
+
+    con = duck_connect(sf_dir)
+    oracle_timings: dict[str, float] = {}
+    oracle_total = 0.0
+    for name, q in sorted(REGISTRY.items()):
+        if not (name.startswith("q") and q.oracle):
+            continue
+        t0 = time.perf_counter()
+        try:
+            con.execute(q.oracle).df()
+            dt = time.perf_counter() - t0
+        except Exception as e:  # pragma: no cover - bench robustness
+            print(f"bench(oracle): {name} FAILED: {e}", file=sys.stderr)
+            dt = -1.0
+        oracle_timings[name] = round(dt, 3)
+        if dt > 0:
+            oracle_total += dt
+    con.close()
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -62,6 +89,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "oracle_wall_sec": round(oracle_total, 3),
+                "oracle_queries": oracle_timings,
             }
         )
     )

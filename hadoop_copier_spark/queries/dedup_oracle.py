@@ -50,20 +50,28 @@ def _h60(col):
 _H60_SQL = "('0x' || substr(md5({s}), 1, 15))::BIGINT"
 
 
-def _with_tokens(d):
+def _with_tokens(d, repartition=True):
     """doc_id, tk (lowercased whitespace tokens, empties dropped) — the
     token array is a real column so lambda consumers don't re-split.
 
-    The input is repartitioned on doc_id first: the tokenize/md5 work
-    downstream is the CPU-heavy part of every twin, and a small fixture
-    file arrives as ONE scan partition — without the exchange the whole
-    hash pipeline (and everything after a localCheckpoint of it) runs on
-    a single core (measured 2x the full query wall at sf0.1). At real
-    scale the scan is already many partitions and this one cheap shuffle
-    of raw docs is noise next to the per-shingle hashing it parallelizes.
+    By default the input is repartitioned on doc_id first: the shingle/md5
+    work downstream of the MULTI-STAGE twins (LSH band join, verify join,
+    everything after a localCheckpoint) is the CPU-heavy part, and a small
+    fixture file arrives as ONE scan partition — without the exchange that
+    whole pipeline runs on a single core (measured 2x the full query wall
+    at sf0.1). At real scale the scan is already many partitions and the
+    one shuffle of raw docs is noise next to the per-shingle hashing.
+
+    SINGLE-PASS consumers (scan -> project -> sort, nothing reused) pass
+    ``repartition=False``: there the exchange ships the full text column
+    for one map stage and buys back less than it costs (xh_simhash
+    0.91 s r4 -> 1.26 s r5 driver bench was exactly this — VERDICT r5 #6),
+    and it breaks the scan-only plan shape the plan tests pin.
     """
-    n = int(d.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
-    return d.repartition(n, "doc_id").select(
+    if repartition:
+        n = int(d.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+        d = d.repartition(n, "doc_id")
+    return d.select(
         "doc_id",
         "text",
         F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "").alias("tk"),
@@ -252,7 +260,7 @@ def xh_simhash(spark, sf_dir):
     portable-hash twin trades per-row CPU for zero Python).
     """
     d = tbl(spark, sf_dir, "documents")
-    t = _with_tokens(d)
+    t = _with_tokens(d, repartition=False)  # single-pass: scan-only plan
     hh = t.select(
         "doc_id",
         F.transform(F.col("tk"), lambda tok: _h60(tok)).alias("hh"),

@@ -423,3 +423,128 @@ def test_split_failure_leaves_no_garbage_destination(spark, tmp_path):
     assert st["status"] == "FAILED"
     assert not dst2.exists(), "failed split must not materialize a garbage destination"
     assert not dst2.with_name(dst2.name + ".__hcs_tmp__").exists(), "temp must be cleaned up"
+
+
+# ---------------------------------------------------------------------------
+# Round 6: pluggable filesystem layer (VERDICT r5 #3) + bounded driver
+# collect (VERDICT r5 #4)
+# ---------------------------------------------------------------------------
+
+from hadoop_copier_spark.fs import ArrowFS, LocalFS, fs_for, parent, qualify, scheme_of
+
+
+def test_fs_dispatch_qualify_parent():
+    assert scheme_of("/a/b") is None
+    assert scheme_of("file:///a") == "file"
+    assert scheme_of("hdfs://nn:8020/x") == "hdfs"
+    assert isinstance(fs_for("/a/b"), LocalFS)
+    assert isinstance(fs_for("file:///a"), ArrowFS)
+    # Hadoop Path semantics: bare paths qualify against fs.defaultFS
+    assert qualify("/data/x", {"fs.defaultFS": "hdfs://nn:8020"}) == "hdfs://nn:8020/data/x"
+    assert qualify("hdfs://other/x", {"fs.defaultFS": "hdfs://nn:8020"}) == "hdfs://other/x"
+    assert qualify("/data/x", None) == "/data/x"
+    assert parent("file:///a/b/c") == "file:///a/b"
+    assert parent("/a/b/c") == "/a/b"
+
+
+def test_arrowfs_walk_matches_localfs(tree):
+    src, files = tree
+    local = fs_for(str(src)).walk_files(str(src))
+    arrow = fs_for("file://" + str(src)).walk_files("file://" + str(src))
+    assert local == arrow == sorted(files)
+
+
+def test_copy_tree_via_file_uri_scheme(spark, tree, tmp_path):
+    """End-to-end through the non-default fs backend (pyarrow.fs resolved
+    from the file:// URI): listing, streamed copy, fused checksum, and
+    rollup all through ArrowFS (VERDICT r5 #3 'done' criterion)."""
+    src, files = tree
+    dst = tmp_path / "uri_dst"
+    eng = CopyJobEngine(spark)
+    rid = eng.submit(
+        CopyRequest("local", [CopyItem("file://" + str(src), "file://" + str(dst))])
+    )
+    st = eng.status(rid)
+    assert st["status"] == "COMPLETED"
+    item = st["items"][0]
+    assert item["checksumVerified"] is True
+    assert item["bytesCopied"] == sum(len(d) for d in files.values())
+    for rel in files:
+        assert _md5(src / rel) == _md5(dst / rel)
+
+
+def test_namespace_default_fs_qualifies_bare_paths(spark, tree, tmp_path, restore_hadoop_conf):
+    """Reference parity: copy items carry unqualified paths and resolve
+    against the namespace's fs.defaultFS (HdfsFileSystemFactory + Hadoop
+    Path.getFileSystem semantics)."""
+    src, _ = tree
+    dst_file = tmp_path / "nsq" / "one.bin"
+    eng = CopyJobEngine(spark)
+    eng.configure_namespace("nsq", {"fs.defaultFS": "file://"})
+    rid = eng.submit(CopyRequest("nsq", [CopyItem(str(src / "one.bin"), str(dst_file))]))
+    st = eng.status(rid)
+    assert st["status"] == "COMPLETED"
+    assert st["items"][0]["checksumVerified"] is True
+    assert dst_file.read_bytes() == b"x"
+
+
+def test_uri_destination_never_splits(spark, tmp_path):
+    """Append-only write model (ArrowFS): files over the split threshold
+    must stay on the single-stream path instead of range-write chunks."""
+    src = tmp_path / "nos.bin"
+    data = os.urandom(2 * 1024 * 1024 + 5)
+    src.write_bytes(data)
+    dst = tmp_path / "nos_out.bin"
+    eng = CopyJobEngine(spark, split_threshold_bytes=256 * 1024, split_chunk_bytes=256 * 1024)
+    rid = eng.submit(
+        CopyRequest("local", [CopyItem("file://" + str(src), "file://" + str(dst))])
+    )
+    st = eng.status(rid)
+    assert st["status"] == "COMPLETED"
+    assert st["items"][0]["checksumVerified"] is True
+    assert dst.read_bytes() == data
+    assert not dst.with_name(dst.name + ".__hcs_tmp__").exists()
+
+
+def test_driver_collect_is_bounded(spark, tmp_path, monkeypatch):
+    """VERDICT r5 #4 'done' criterion: no per-chunk rows reach the driver.
+    A 64-chunk split copy may collect only O(items + split destinations)
+    rollup rows — here exactly 1 split-completion row + 1 item row."""
+    DataFrame = type(spark.range(1))  # the concrete (classic) DataFrame class
+
+    src = tmp_path / "many.bin"
+    src.write_bytes(os.urandom(4 * 1024 * 1024))  # 64 chunks at 64 KiB
+    collected = []
+    orig = DataFrame.collect
+
+    def spy(self):
+        rows = orig(self)
+        collected.append(len(rows))
+        return rows
+
+    monkeypatch.setattr(DataFrame, "collect", spy)
+    eng = CopyJobEngine(
+        spark, parallelism=4, split_threshold_bytes=256 * 1024, split_chunk_bytes=64 * 1024
+    )
+    dst = tmp_path / "many_out.bin"
+    rid = eng.submit(CopyRequest("local", [CopyItem(str(src), str(dst))]))
+    st = eng.status(rid)
+    assert st["status"] == "COMPLETED"
+    assert st["items"][0]["checksumVerified"] is True
+    assert st["items"][0]["bytesCopied"] == 4 * 1024 * 1024
+    assert _md5(src) == _md5(dst)
+    assert sum(collected) == 2, collected  # 1 split-dst row + 1 item rollup row
+
+
+def test_partition_striping_spreads_chunks(spark):
+    """ADVICE r5: the work list is striped work[p::n] per partition, so
+    consecutive chunks of one split file land on DIFFERENT partitions."""
+    work = [(0, "s", "d", off, 1, "t") for off in range(8)]
+    n = 4
+    groups = [work[p::n] for p in range(n)]
+    rdd = spark.sparkContext.parallelize(groups, n).flatMap(lambda g: g)
+    per_part = rdd.mapPartitionsWithIndex(
+        lambda i, it: [(i, [row[3] for row in it])]
+    ).collect()
+    offsets_by_part = {i: offs for i, offs in per_part}
+    assert offsets_by_part == {0: [0, 4], 1: [1, 5], 2: [2, 6], 3: [3, 7]}
