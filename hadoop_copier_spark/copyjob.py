@@ -299,6 +299,37 @@ def _make_partition_copier(bandwidth_mb: Optional[int], checksum: bool):
     return copy_partition
 
 
+def jvm_ugi_login(spark: SparkSession, set_kerberos: bool = True):
+    """Production ``login_fn``: bridge to Hadoop's real
+    ``UserGroupInformation`` through the session JVM — the engine form of
+    HdfsFileSystemFactory.java:42-56 (force kerberos auth on the namespace
+    Configuration, then ``loginUserFromKeytab``). Spark ships the Hadoop
+    security classes, so this needs no extra dependency; pass
+    ``CopyJobEngine(spark, login_fn=jvm_ugi_login(spark))`` on a secured
+    cluster and the namespace's ``kerberos.principal``/``kerberos.keytab``
+    drive a real KDC login.
+
+    ``set_kerberos=False`` leaves ``hadoop.security.authentication`` as
+    configured (simple auth makes ``loginUserFromKeytab`` a documented
+    no-op), which is how the sandbox tests drive the full JVM call path
+    without a KDC — and without flipping the shared JVM's static UGI
+    security state, which would poison every later filesystem call in the
+    process (the reference isolates this per namespace Configuration;
+    UGI's login side is global there too: UserGroupInformation.java is
+    static state in Hadoop itself)."""
+
+    def login(namespace: str, principal: str, keytab: str) -> None:
+        sc = spark.sparkContext
+        hconf = sc._jsc.hadoopConfiguration()
+        if set_kerberos:
+            hconf.set("hadoop.security.authentication", "kerberos")
+        ugi = sc._jvm.org.apache.hadoop.security.UserGroupInformation
+        ugi.setConfiguration(hconf)
+        ugi.loginUserFromKeytab(principal, keytab)
+
+    return login
+
+
 def _speed(bytes_copied: int, duration_ms: int) -> str:
     """R17 — '%.2f MB/s', 'N/A' when bytes or duration <= 0
     (m/model/CopyItemTask.java:20-27)."""
