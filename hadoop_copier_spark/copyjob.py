@@ -528,10 +528,12 @@ class CopyJobEngine:
                     first_err,
                 )
             )
-            # per-dst rollup stays IN SPARK (O(files) rows of metadata);
-            # persist so the copy stage beneath it runs exactly once across
-            # the (up to) two driver actions below
-            per_dst.persist(StorageLevel.MEMORY_AND_DISK)
+            # per-dst rollup stays IN SPARK (O(files) rows of metadata).
+            # With split files in play there are two driver actions below —
+            # persist so the copy stage beneath them runs exactly once; the
+            # common no-split path is a single action and skips the persist.
+            if split_tmp:
+                per_dst.persist(StorageLevel.MEMORY_AND_DISK)
             try:
                 if split_tmp:
                     for r in (
@@ -553,7 +555,8 @@ class CopyJobEngine:
                 ):  # O(items)
                     item_rollup[r["item_idx"]] = r.asDict(recursive=True)
             finally:
-                per_dst.unpersist()
+                if split_tmp:
+                    per_dst.unpersist()
 
         # Finalize split files: rename temp over destination only when every
         # chunk landed; otherwise drop the temp (failure leaves no full-size
