@@ -56,12 +56,26 @@ _CONTRACT_TARGETS = [
 ]
 
 
+# Every xh_* oracle twin in the registry at rotation time (never
+# driver-checked before this round). Pinned as an explicit list, NOT
+# derived from the registry: twins added later in the round (e.g.
+# xh_hash_split / xh_det_shuffle) must queue for the NEXT rotation
+# instead of silently reshaping this one.
+_XH_TARGETS = [
+    "xh_contamination", "xh_correlated_scalar_subquery", "xh_date_series",
+    "xh_doc_fingerprint", "xh_embedding_neardup", "xh_exists_subquery_sql",
+    "xh_gap_fill", "xh_higher_order", "xh_histogram", "xh_merge_upsert",
+    "xh_minhash_lsh_pairs", "xh_ngram_jaccard", "xh_ntile_scalable",
+    "xh_orc_roundtrip", "xh_pack_sequences", "xh_pii_scrub", "xh_pivot",
+    "xh_repetition", "xh_scalar_and_in_subquery", "xh_simhash",
+    "xh_string_agg", "xh_text_quality", "xh_token_stats",
+    "xh_udtf_generate", "xh_unpivot", "xh_znorm_window",
+]
+
+
 def _install() -> None:
     pairs = [("b" + t[1:], t) for t in _CONTRACT_TARGETS]
-    # every xh_* oracle twin: never driver-checked before this round
-    pairs += [
-        ("bx_" + name[3:], name) for name in sorted(REGISTRY) if name.startswith("xh_")
-    ]
+    pairs += [("bx_" + name[3:], name) for name in _XH_TARGETS]
     assert len(pairs) == 50, f"window must be exactly 50 names, got {len(pairs)}"
     for alias, target in pairs:
         q = REGISTRY[target]

