@@ -208,3 +208,51 @@ def test_gap_fill_partitions_on_user(spark, sf_oracle):
     text = _explain(spark, sf_oracle, "xh_gap_fill")
     assert "Exchange SinglePartition" not in text
     assert "Window" in text
+
+
+def test_no_query_plans_a_single_partition_exchange(spark, sf_smoke):
+    """Suite-wide scale invariant (round 6): NO registered query may plan
+    an `Exchange SinglePartition` anywhere — the one shape that cannot
+    survive a 100x scale-up. Global totals go partial->final on aggregate
+    state, global top-k is TakeOrderedAndProject, global rank is the
+    range-partitioned fix-up (q35), global order is a range exchange.
+    This sweep pins every current query and every future addition."""
+    offenders = []
+    for name, q in sorted(REGISTRY.items()):
+        if "alias" in q.tags:
+            continue
+        try:
+            text = explain_str(q.fn(spark, sf_smoke))
+        except Exception as e:  # plan must at least build
+            offenders.append((name, f"explain failed: {e}"))
+            continue
+        if "Exchange SinglePartition" in text:
+            offenders.append((name, "Exchange SinglePartition"))
+    assert not offenders, offenders
+
+
+def test_no_unplanned_nested_loop_or_cartesian_joins(spark, sf_smoke):
+    """Suite-wide join-shape invariant (round 6): nested-loop/cartesian
+    plans are allowed ONLY where the operator's semantics demand one over
+    a provably bounded side — the declared cross join (q19: region x
+    nation, both tiny dims), the contract theta join (q20: supplier self
+    join, dim-sized), brute-force cosine with the query side broadcast
+    (q59), and the embedding near-dup twins' declared bounded cross join.
+    Any other query acquiring a BNLJ/CartesianProduct is a planning
+    regression that dies at scale."""
+    allowed = {"q19", "q20", "q59", "xh_embedding_neardup", "xp_embedding_neardup"}
+    offenders = []
+    for name, q in sorted(REGISTRY.items()):
+        if "alias" in q.tags or name in allowed:
+            continue
+        try:
+            text = explain_str(q.fn(spark, sf_smoke))
+        except Exception as e:
+            offenders.append((name, f"explain failed: {e}"))
+            continue
+        marks = [
+            m for m in ("BroadcastNestedLoopJoin", "CartesianProduct") if m in text
+        ]
+        if marks:
+            offenders.append((name, marks))
+    assert not offenders, offenders
