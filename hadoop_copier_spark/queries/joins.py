@@ -304,3 +304,60 @@ def q23(spark, sf_dir):
         )
         .orderBy("okey", "ln1", "ln2")
     )
+
+
+@register(
+    "xh_theta_count",
+    oracle="""SELECT s_suppkey,
+                     CAST(rank() OVER (ORDER BY s_acctbal) - 1 AS BIGINT) AS n_smaller
+              FROM supplier ORDER BY s_suppkey""",
+    tags=("join", "theta", "scale-variant"),
+)
+def xh_theta_count(spark, sf_dir):
+    """The theta join's AGGREGATE form at scale: for every supplier, how
+    many suppliers have a strictly smaller account balance — i.e. q20's
+    per-row match count, without materializing the O(n^2) pair set and
+    without q20's nested-loop join.
+
+    Banded plan (the strategy q20's docstring promises, realized):
+    1. band = floor(acctbal / 500): any row in a LOWER band is strictly
+       smaller (band_2 < band_1 implies acctbal_2 < band_1*500 <=
+       acctbal_1), so cross-band matches collapse to per-band COUNTS —
+       O(bands) metadata rows to the driver, prefix-summed to offsets;
+    2. within a band, strictly-smaller counts come from RANK()-1 over a
+       window PARTITIONED by band (ties share a rank, so rank-1 counts
+       exactly the strictly-smaller rows) — parallel per band, never a
+       global single-partition window (the q35 lesson);
+    3. n_smaller = offset[band] + (rank_in_band - 1).
+    The oracle spells the same quantity as a global RANK()-1 — tiny for
+    DuckDB, while the Spark side keeps the shape that survives 10^9 rows.
+    """
+    from pyspark.sql import Window as W
+
+    s = tbl(spark, sf_dir, "supplier").select("s_suppkey", "s_acctbal")
+    band = F.floor(F.col("s_acctbal") / F.lit(500.0)).cast("long")
+    b = s.withColumn("band", band)
+    counts = sorted(
+        (r["band"], r["n"])
+        for r in b.groupBy("band").agg(F.count(F.lit(1)).alias("n")).collect()
+    )  # O(bands) metadata
+    offsets, acc = {}, 0
+    for bd, c in counts:
+        offsets[bd] = acc
+        acc += c
+    off_expr = (
+        F.element_at(
+            F.create_map(*[F.lit(x) for pair in offsets.items() for x in pair]),
+            F.col("band"),
+        )
+        if offsets
+        else F.lit(0)
+    )
+    w = W.partitionBy("band").orderBy("s_acctbal")
+    return (
+        b.select(
+            "s_suppkey",
+            (off_expr + F.rank().over(w) - 1).cast("bigint").alias("n_smaller"),
+        )
+        .orderBy("s_suppkey")
+    )

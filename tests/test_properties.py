@@ -295,3 +295,17 @@ def test_asof_lookback_bounds_matches(spark, left, right, lookback):
                  if rk == lk and lt - lookback <= rt <= lt]
         want = max(cands) if cands else None
         assert rows[(lk, lt)] == want, ((lk, lt), rows[(lk, lt)], want)
+
+
+def test_theta_count_equals_q20_match_counts(spark, sf_smoke):
+    """xh_theta_count is q20's per-row match cardinality: for every
+    supplier, n_smaller must equal the number of q20 pairs where it is
+    the greater side (and 0 for suppliers with no matches)."""
+    from hadoop_copier_spark.queries import REGISTRY
+
+    pairs = REGISTRY["q20"].fn(spark, sf_smoke).groupBy("k1").count().collect()
+    by_k = {r["k1"]: r["count"] for r in pairs}
+    got = REGISTRY["xh_theta_count"].fn(spark, sf_smoke).collect()
+    assert got  # non-empty fixture
+    for r in got:
+        assert r["n_smaller"] == by_k.get(r["s_suppkey"], 0), r["s_suppkey"]
