@@ -567,3 +567,37 @@ def test_jvm_ugi_login_bridge_reaches_hadoop_security(spark):
     # still simple (we must not have poisoned the shared session)
     hconf = spark.sparkContext._jsc.hadoopConfiguration()
     assert hconf.get("hadoop.security.authentication") == "simple"
+
+
+class TestFsLayerUnits:
+    """Driver-side unit behaviors of the fs layer (no Spark involvement)."""
+
+    def test_arrowfs_empty_dir_and_missing_paths(self, tmp_path):
+        d = tmp_path / "edir"
+        d.mkdir()
+        fs = fs_for("file://" + str(d))
+        assert fs.exists("file://" + str(d))
+        assert fs.isdir("file://" + str(d))
+        assert fs.walk_files("file://" + str(d)) == []
+        assert not fs.exists("file://" + str(tmp_path / "ghost"))
+
+    def test_arrowfs_create_read_replace_remove_roundtrip(self, tmp_path):
+        fs = fs_for("file:///")
+        p = "file://" + str(tmp_path / "sub" / "x.bin")
+        with fs.create(p) as f:  # creates parents
+            f.write(b"abc123")
+        assert fs.size(p) == 6
+        with fs.open_read(p) as f:
+            f.seek(3)
+            assert f.read() == b"123"
+        q = "file://" + str(tmp_path / "sub" / "y.bin")
+        fs.replace(p, q)
+        assert fs.exists(q) and not fs.exists(p)
+        fs.remove(q)
+        assert not fs.exists(q)
+
+    def test_arrowfs_refuses_range_writes(self, tmp_path):
+        fs = fs_for("file:///")
+        assert fs.supports_range_write is False
+        with pytest.raises(NotImplementedError):
+            fs.open_rw("file://" + str(tmp_path / "z.bin"))
