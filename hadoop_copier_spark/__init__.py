@@ -16,5 +16,7 @@ Design principles (100 TB discipline):
 
 __version__ = "0.1.0"
 
+from .copyjob import CopyItem, CopyJobEngine, CopyRequest, jvm_ugi_login  # noqa: F401
+from .fs import fs_for, qualify  # noqa: F401
 from .session import get_spark  # noqa: F401
 from .tables import TABLES, load_table, register_views  # noqa: F401
