@@ -113,3 +113,52 @@ def q63(spark, sf_dir):
         )
         .orderBy("user_id", "session_start_sec")
     )
+
+
+@register(
+    "xh_rollup_cascade",
+    oracle=f"""SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS h_start_sec,
+                     event_type, COUNT(*) AS n,
+                     {ocents_sum('value')} AS sum_val_cents
+              FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    tags=("streaming", "window", "rollup", "scale-variant"),
+)
+def xh_rollup_cascade(spark, sf_dir):
+    """Hierarchical time rollup (the hypertable / continuous-aggregate
+    pattern): hour-level aggregates derived FROM the minute-level partial
+    aggregates, not from raw events. The oracle aggregates raw events
+    straight to hours, so the hash match proves the cascade is lossless —
+    COUNT and exact BIGINT cent sums re-aggregate exactly (which is the
+    reason the engine's windowed aggregates emit sums/counts rather than
+    averages: averages don't cascade, sum/count pairs do).
+
+    At 100 TB this is the load-bearing shape: the minute level is ~1/600th
+    of the raw rows, so every coarser resolution (hour/day/month) reads
+    the materialized finer level instead of rescanning the corpus — the
+    second aggregation's input is already tiny and both aggregations are
+    partial->final on (bucket, type) keys."""
+    e = tbl(spark, sf_dir, "events")
+    minutes = (
+        e.groupBy(F.window("ts", "1 minute").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            cents_sum("value", "sum_val_cents"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("m_start_sec"),
+            "event_type",
+            "n",
+            "sum_val_cents",
+        )
+    )
+    return (
+        minutes.withColumn(
+            "h_start_sec", (F.col("m_start_sec") - F.col("m_start_sec") % 3600)
+        )
+        .groupBy("h_start_sec", "event_type")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("sum_val_cents").alias("sum_val_cents"),
+        )
+        .orderBy("h_start_sec", "event_type")
+    )
