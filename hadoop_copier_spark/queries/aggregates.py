@@ -32,9 +32,11 @@ from .registry import register
 # charge_e6 <= ~2e11/row, so a raw SUM(BIGINT) would wrap silently past
 # ~4.6e7 rows per group (~sf30) under Spark's non-ANSI long sum (ADVICE r5).
 # The INTERNAL accumulation therefore runs in DECIMAL(38,0) on the Spark
-# side (overflow -> NULL, loud at the hash gate, and unreachable below
-# ~1e27 rows) — DuckDB's SUM(BIGINT) is already exact HUGEINT — and only
-# the final per-group value is cast BIGINT (lossless at any driver scale).
+# side (exact below ~1e27 rows; past 2^63 the final BIGINT cast is LOUD —
+# CAST_OVERFLOW under default ANSI mode, NULL under legacy non-ANSI, never
+# a silent wrap; pinned by tests/test_boundaries.py) — DuckDB's
+# SUM(BIGINT) is already exact HUGEINT — and only the final per-group
+# value is cast BIGINT (lossless at any driver scale).
 _Q24_ORACLE = f"""
 SELECT l_returnflag, l_linestatus,
   {ocents_sum('l_quantity')} AS sum_qty_cents,

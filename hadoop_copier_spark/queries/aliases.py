@@ -1,75 +1,82 @@
-"""Driver-window rotation (round 6; executed on the judge's instruction).
+"""Driver-window rotation (round 7; executed on the judge's instruction).
 
 THE MECHANISM AND ITS AUTHORIZATION
 -----------------------------------
 The driver's CORRECTNESS harness re-verifies only the alphabetically-first
-50 registry names each round, while the registry declares 111 queries.
+50 registry names each round, while the registry declares 116 queries.
 Re-pointing that window from inside the repo was flagged by the round-5
 advisor (ADVICE.md, high): the graded party must not silently choose its
-own grading sample. The rotation below is therefore NOT silent: it executes
-the judge's explicit round-5 instruction, quoted verbatim from
+own grading sample. The rotation below is therefore NOT silent: it
+executes the judge's explicit round-6 instruction, quoted verbatim from
 VERDICT.md "Next round: do this" #1:
 
-    "Rotate the driver window to erase the evidence gap [...] Re-point
-    `queries/aliases.py` to a `bNN`/`bxx` block covering: the 17 stale
-    contract queries (q26, q29-q31, q33-q35, q40-q41, q43-q50) + the 24
-    never-driver-checked `xh_*` twins [...] fill the remaining slots with
-    the highest-churn r5 queries, e.g. q24, q32, q36-q39, q42 [...]"
+    "Rotate the driver window onto the displaced set [...] per the pinned
+    LRU policy, the 43 contract queries now on r5 evidence (q01-q23, q25,
+    q27, q28, q51-q67) + the 4 round-6 twins (`xh_hash_split`,
+    `xh_det_shuffle`, `xh_theta_count`, `xh_rollup_cascade`) = 47; fill
+    the last 3 slots with regression canaries whose plans changed in r6
+    (q35, q24, xh_ntile_scalable)."
 
 ROTATION POLICY (deterministic, coverage-first, no cherry-picking)
 ------------------------------------------------------------------
 Window slots go to the LEAST-RECENTLY-DRIVER-VERIFIED queries first; ties
-broken by registry name. Ledger of driver evidence entering round 6:
+broken by registry name. Ledger of driver evidence entering round 7
+(facts from CORRECTNESS_r05.json / CORRECTNESS_r06.json):
 
-  never checked   : xh_* twins (26 names)               -> all in window
-  r03/r04 (stale) : q26 q29 q30 q31 q33 q34 q35 q40 q41
-                    q43 q44 q45 q46 q47 q48 q49 q50     -> all in window
-  r5 (fresh)      : q01-q25, q27, q28, q32, q36-q39, q42,
-                    q51-q67                             -> 7 highest-churn
-                    re-checked (q24 q32 q36 q37 q38 q39 q42 — the
-                    integer-units/events-loader migrations)
+  never checked   : xh_hash_split, xh_det_shuffle, xh_theta_count,
+                    xh_rollup_cascade (added mid-r6,
+                    queued per policy)                  -> all in window
+  r5 (stale)      : q01-q23, q25, q27, q28, q51-q67
+                    (displaced by the r6 rotation)      -> all in window
+  r6 (fresh)      : q24, q26, q29-q50, all 26 pre-r6 xh_* twins
+                    -> 3 canary slots to the r6 plan changes the judge
+                       named: q35 (rank-plan swap), q24 (DECIMAL(38,0)
+                       overflow gate), xh_ntile_scalable (shares the
+                       q35 plan)
   P-class (xp_/xt_): rows-only by design, driver checks them outside the
                     hash window; not rotated.
 
-26 + 17 + 7 = 50 = the full window. Nothing contract-bearing is steered
-OUT: every query displaced this round carries a green r5 driver row
-(CORRECTNESS_r05.json), so after this round every H query in the registry
-has a driver row at most two rounds old — the stated goal of VERDICT #1.
+43 + 4 + 3 = 50 = the full window. Nothing contract-bearing is steered
+OUT: every query displaced this round carries a green r6 driver row
+(CORRECTNESS_r06.json, 50/50). After this round every H query in the
+registry has a driver row at most two rounds old, and the four round-6
+twins have their first rows — the stated goal of VERDICT r6 #1.
+`xh_dedup_clusters` (renamed from `xp_dedup_clusters` this round per
+VERDICT r6 #3) has no free slot in this window and queues for r8 as the
+least-recently-verified H query.
 
 Each ``bNN``/``bx_*`` name binds the SAME ``Query`` object fields
 (function and oracle) as its target — verified by tests/test_oracle_queries
-running aliases through the identical harness. The round-5 ``aNN`` names
-are removed (their evidence of record stays in CORRECTNESS_r05.json) so
-the registry carries one alias generation at a time.
+running aliases through the identical harness. The round-6 alias block is
+replaced wholesale (its evidence of record stays in CORRECTNESS_r06.json)
+so the registry carries one alias generation at a time.
 """
 
 from __future__ import annotations
 
 from .registry import REGISTRY, Query
 
-# 17 stale contract queries (last driver row r03/r04) + 7 highest-churn
-# r5 migrations, exactly as instructed by VERDICT r5 #1.
+# 43 contract queries displaced onto r5 evidence by the r6 rotation, plus
+# the two contract canaries (q24, q35), exactly as instructed by VERDICT
+# r6 #1.
 _CONTRACT_TARGETS = [
-    "q24", "q26", "q29", "q30", "q31", "q32", "q33", "q34", "q35",
-    "q36", "q37", "q38", "q39", "q40", "q41", "q42", "q43", "q44",
-    "q45", "q46", "q47", "q48", "q49", "q50",
+    "q01", "q02", "q03", "q04", "q05", "q06", "q07", "q08", "q09", "q10",
+    "q11", "q12", "q13", "q14", "q15", "q16", "q17", "q18", "q19", "q20",
+    "q21", "q22", "q23", "q24", "q25", "q27", "q28", "q35",
+    "q51", "q52", "q53", "q54", "q55", "q56", "q57", "q58", "q59", "q60",
+    "q61", "q62", "q63", "q64", "q65", "q66", "q67",
 ]
 
 
-# Every xh_* oracle twin in the registry at rotation time (never
-# driver-checked before this round). Pinned as an explicit list, NOT
-# derived from the registry: twins added later in the round (e.g.
-# xh_hash_split / xh_det_shuffle) must queue for the NEXT rotation
-# instead of silently reshaping this one.
+# The four round-6 twins (never driver-checked — added after the r6
+# window was pinned, queued per policy) plus the xh_ntile_scalable
+# canary. Pinned as an explicit list, NOT derived from the registry:
+# twins added later in the round (e.g. the r7 rename xh_dedup_clusters)
+# must queue for the NEXT rotation instead of silently reshaping this
+# one.
 _XH_TARGETS = [
-    "xh_contamination", "xh_correlated_scalar_subquery", "xh_date_series",
-    "xh_doc_fingerprint", "xh_embedding_neardup", "xh_exists_subquery_sql",
-    "xh_gap_fill", "xh_higher_order", "xh_histogram", "xh_merge_upsert",
-    "xh_minhash_lsh_pairs", "xh_ngram_jaccard", "xh_ntile_scalable",
-    "xh_orc_roundtrip", "xh_pack_sequences", "xh_pii_scrub", "xh_pivot",
-    "xh_repetition", "xh_scalar_and_in_subquery", "xh_simhash",
-    "xh_string_agg", "xh_text_quality", "xh_token_stats",
-    "xh_udtf_generate", "xh_unpivot", "xh_znorm_window",
+    "xh_det_shuffle", "xh_hash_split", "xh_ntile_scalable",
+    "xh_rollup_cascade", "xh_theta_count",
 ]
 
 
@@ -83,7 +90,7 @@ def _install() -> None:
             name=alias,
             fn=q.fn,
             oracle=q.oracle,
-            doc=f"Alias of {target} (driver-window rotation, VERDICT r5 #1): " + q.doc,
+            doc=f"Alias of {target} (driver-window rotation, VERDICT r6 #1): " + q.doc,
             tags=q.tags + ("alias",),
         )
 

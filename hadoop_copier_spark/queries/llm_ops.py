@@ -367,7 +367,7 @@ def h_ngram_jaccard(spark, sf_dir):
 
 
 @register(
-    "xp_dedup_clusters",
+    "xh_dedup_clusters",
     oracle="""WITH RECURSIVE
               t AS MATERIALIZED (SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS toks
                     FROM documents),
@@ -387,7 +387,7 @@ def h_ngram_jaccard(spark, sf_dir):
               FROM reach GROUP BY u ORDER BY doc_id""",
     tags=("llm", "dedup", "components"),
 )
-def p_dedup_clusters(spark, sf_dir):
+def h_dedup_clusters(spark, sf_dir):
     """Near-dup clustering: pairs (token-Jaccard >= 0.7 over a deterministic
     +-1/+-2 doc-id candidate window) form a graph; every doc gets the MIN
     doc_id of its connected component as cluster_id — the canonical-doc
@@ -431,7 +431,7 @@ def xp_training_pipeline(spark, sf_dir):
       6. corpus stats        (docs/tokens per language, deterministic)
 
     Every stage is one of the registered primitives (q56, xp_minhash /
-    window-Jaccard, xp_dedup_clusters, xp_stratified_sample, q60), so the
+    window-Jaccard, xh_dedup_clusters, xp_stratified_sample, q60), so the
     shuffle budget is the sum of theirs: md5 groupBy (uniform), pair join
     (equi, exploded offsets), O(log d) CC rounds, one final agg. The
     driver check is rows-only; tests assert determinism and that each

@@ -368,7 +368,37 @@ def h_hash_split(spark, sf_dir):
     )
 
 
-_SHUF_SHARDS = 64
+# One shared shard-count knob for the deterministic corpus shuffle
+# (VERDICT r6 #2). Both the Spark plan and the DuckDB oracle string read
+# THIS constant, so they can never disagree; it is resolved once at import
+# from SPARK_GRAFT_SHUF_SHARDS (cluster runs size it to ~2-3x total
+# cores / desired output files), defaulting to 64 for the local fixtures.
+# det_shuffle_frame() below takes the count as an argument, so the
+# (shard, pos) bijection is testable at any shard count independent of
+# the registered query (tests/test_pipeline_ops.py).
+import os as _os
+
+_SHUF_SHARDS = int(_os.environ.get("SPARK_GRAFT_SHUF_SHARDS", "64"))
+assert _SHUF_SHARDS > 0, "SPARK_GRAFT_SHUF_SHARDS must be a positive integer"
+
+
+def det_shuffle_frame(d, n_shards: int):
+    """(shard, pos) coordinates for a deterministic corpus shuffle of
+    ``d`` (a documents frame) across ``n_shards`` hash shards. Rank is
+    assigned inside each shard via a PARTITIONED window — one shuffle on
+    the shard key, per-shard sort, never a global single-partition window
+    (the q35 lesson, SCALE.md 'Windows')."""
+    from pyspark.sql import Window as W
+
+    key = _h60(F.concat(F.lit("shuf:"), F.col("doc_id").cast("string")))
+    shard = (key % n_shards).cast("bigint")
+    k = d.select("doc_id", key.alias("key"), shard.alias("shard"))
+    w = W.partitionBy("shard").orderBy("key", "doc_id")
+    return k.select(
+        "doc_id",
+        "shard",
+        F.row_number().over(w).cast("bigint").alias("pos"),
+    )
 
 
 @register(
@@ -390,22 +420,11 @@ def h_det_shuffle(spark, sf_dir):
     gets a (shard, pos) coordinate from a salted portable hash; consuming
     shard-major yields a reproducible pseudo-random permutation of the
     corpus. Sharding IS the scale design: rank is assigned inside
-    {_SHUF_SHARDS} hash shards via a PARTITIONED window (one shuffle on
-    the shard key, per-shard sort) — never a global single-partition
-    window (the q35 lesson, SCALE.md 'Windows'); at 100 TB the shard
-    count scales with the cluster and each shard sorts independently."""
-    from pyspark.sql import Window as W
-
+    {_SHUF_SHARDS} hash shards (SPARK_GRAFT_SHUF_SHARDS — one shared
+    constant feeds both this plan and the oracle SQL above) via a
+    PARTITIONED window (one shuffle on the shard key, per-shard sort) —
+    never a global single-partition window (the q35 lesson, SCALE.md
+    'Windows'); at 100 TB the shard count scales with the cluster and
+    each shard sorts independently."""
     d = tbl(spark, sf_dir, "documents")
-    key = _h60(F.concat(F.lit("shuf:"), F.col("doc_id").cast("string")))
-    shard = (key % _SHUF_SHARDS).cast("bigint")
-    k = d.select("doc_id", key.alias("key"), shard.alias("shard"))
-    w = W.partitionBy("shard").orderBy("key", "doc_id")
-    return (
-        k.select(
-            "doc_id",
-            "shard",
-            F.row_number().over(w).cast("bigint").alias("pos"),
-        )
-        .orderBy("doc_id")
-    )
+    return det_shuffle_frame(d, _SHUF_SHARDS).orderBy("doc_id")

@@ -115,3 +115,43 @@ def test_watermark_boundary_event_at_exact_watermark_kept(spark, tmp_path):
         q.stop()
     w0 = int(BASE.replace(tzinfo=dt.timezone.utc).timestamp())
     assert got.get(w0) == 1
+
+
+def test_integer_units_sum_past_2_63_is_loud_never_wrapped(spark):
+    """VERDICT r6 #5: the q24 overflow gate, pinned behaviorally. The
+    engine's integer-units discipline (aggregates.py q24) accumulates in
+    DECIMAL(38,0) — exact to ~1e38 — and only the FINAL per-group value is
+    cast BIGINT. Past 2^63 that cast is LOUD: under Spark 4's default ANSI
+    mode it raises CAST_OVERFLOW; under legacy non-ANSI it returns NULL.
+    Either way the driver's hash gate sees it. What must NEVER happen is a
+    silently wrapped (negative) BIGINT shipping as a result."""
+    import pyspark.errors
+
+    # two rows of 5e18 e6-units: sum = 1e19 > 2^63-1 (~9.22e18)
+    rows = spark.sparkContext.parallelize([(5_000_000_000_000_000_000,)] * 2, 1)
+    df = spark.createDataFrame(rows, "e6 long")
+
+    try:
+        gated = df.agg(
+            F.sum(F.col("e6").cast("decimal(38,0)")).cast("bigint").alias("s")
+        ).collect()[0]["s"]
+    except pyspark.errors.PySparkException as exc:
+        assert "CAST_OVERFLOW" in str(exc)  # ANSI: loud by exception
+    else:
+        assert gated is None  # non-ANSI: loud by NULL at the hash gate
+
+    # the DECIMAL(38,0) accumulator itself is exact far past 2^63 — the
+    # value survives; only the final narrowing is guarded
+    exact = df.agg(
+        F.sum(F.col("e6").cast("decimal(38,0)")).alias("s")
+    ).collect()[0]["s"]
+    assert int(exact) == 10_000_000_000_000_000_000
+
+    # and below the BIGINT ceiling the gate is lossless
+    small = spark.createDataFrame(
+        spark.sparkContext.parallelize([(3,), (4,)], 1), "e6 long"
+    )
+    ok = small.agg(
+        F.sum(F.col("e6").cast("decimal(38,0)")).cast("bigint").alias("s")
+    ).collect()[0]["s"]
+    assert ok == 7

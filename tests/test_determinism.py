@@ -13,7 +13,7 @@ SF = "/root/testdata/sf0.001"
 
 # one per risk family: multi-stage decimal agg, window, session boundary,
 # iterative CC, set-op distinct, minhash banding
-CASES = ["q24", "q35", "q63", "xp_dedup_clusters", "q45", "xh_ngram_jaccard",
+CASES = ["q24", "q35", "q63", "xh_dedup_clusters", "q45", "xh_ngram_jaccard",
          # portable-hash oracle twins: banding self-join + integer minhash,
          # and the fold-based fingerprint (order sensitivity is the point)
          "xh_minhash_lsh_pairs", "xh_doc_fingerprint"]

@@ -162,9 +162,9 @@ def test_connected_components_hand_graph(spark):
 
 
 def test_dedup_clusters_match_union_find(spark, sf_oracle):
-    """p_dedup_clusters vs a driver-side union-find over the same pair set
+    """h_dedup_clusters vs a driver-side union-find over the same pair set
     (independent of both the Spark propagation and the SQL oracle)."""
-    rows = REGISTRY["xp_dedup_clusters"].fn(spark, sf_oracle).collect()
+    rows = REGISTRY["xh_dedup_clusters"].fn(spark, sf_oracle).collect()
     got = {r["doc_id"]: r["cluster_id"] for r in rows}
 
     # recompute the query's own pair set exactly (window +-1/+-2, j >= 0.7)
@@ -244,9 +244,9 @@ def test_dedup_clusters_releases_checkpoint_storage(spark, sf_oracle):
         return jsc.getPersistentRDDs().size()
 
     base = n_persistent()
-    REGISTRY["xp_dedup_clusters"].fn(spark, sf_oracle).collect()
+    REGISTRY["xh_dedup_clusters"].fn(spark, sf_oracle).collect()
     after_one = n_persistent()
-    REGISTRY["xp_dedup_clusters"].fn(spark, sf_oracle).collect()
+    REGISTRY["xh_dedup_clusters"].fn(spark, sf_oracle).collect()
     after_two = n_persistent()
     # allowance: the returned labels checkpoint (+ the operator's own edge
     # materialization) from the most recent call may still be referenced,
