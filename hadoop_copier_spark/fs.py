@@ -88,6 +88,22 @@ class LocalFS:
                 out.append(os.path.relpath(os.path.join(r, name), root))
         return sorted(out)
 
+    def walk_files_with_size(self, root: str) -> list[tuple]:
+        """Sorted ``(relative_path, size)`` of every file under ``root`` —
+        one enumeration pass instead of a walk plus per-file size RPCs."""
+        out = []
+        for r, _dirs, names in os.walk(root):
+            for name in names:
+                full = os.path.join(r, name)
+                out.append((os.path.relpath(full, root), os.path.getsize(full)))
+        return sorted(out)
+
+    def list_dir(self, p: str) -> list[tuple]:
+        """Sorted non-recursive ``(name, is_dir)`` entries of directory
+        ``p`` — the fan-out unit for distributed listing."""
+        with os.scandir(p) as it:
+            return sorted((e.name, e.is_dir()) for e in it)
+
     def mkdirs(self, p: str) -> None:
         if p:
             os.makedirs(p, exist_ok=True)
@@ -126,23 +142,38 @@ class ArrowFS:
 
     supports_range_write = False
 
-    _HANDLES: dict = {}  # (scheme, authority) -> pyarrow FileSystem, per process
+    # (scheme, authority) -> (pyarrow FileSystem, authority_in_path).
+    # The native-path convention differs per filesystem family: host-
+    # authority schemes drop the authority (from_uri('hdfs://nn/a') ->
+    # '/a', same for file://), while object stores keep the bucket IN the
+    # path (from_uri('gs://bucket/key') -> 'bucket/key'; hand-stripping it
+    # sent every s3/gs op to a wrong bucketless path — ADVICE r6). Rather
+    # than hard-coding a scheme list, the convention is LEARNED from
+    # from_uri's own return on the first call per (scheme, authority) and
+    # cached alongside the handle; cache hits rebuild the native path under
+    # the recorded convention without re-constructing the filesystem
+    # (from_uri re-resolves HDFS/S3 connections — too expensive per op).
+    _HANDLES: dict = {}
 
     def _resolve(self, p: str):
         import pyarrow.fs as pafs
 
         scheme, rest = p.split("://", 1)
-        authority = rest.split("/", 1)[0]
+        authority, _, tail = rest.partition("/")
         key = (scheme, authority)
-        fs = self._HANDLES.get(key)
-        if fs is None:
-            fs, _ = pafs.FileSystem.from_uri(p)
-            self._HANDLES[key] = fs
-        # path part: strip scheme; file:// has an empty authority and the
-        # rest IS the absolute path
-        native = "/" + rest.split("/", 1)[1] if "/" in rest else "/"
-        if scheme == "file":
-            native = "/" + rest.lstrip("/")
+        cached = self._HANDLES.get(key)
+        if cached is None:
+            fs, native = pafs.FileSystem.from_uri(p)
+            authority_in_path = bool(authority) and (
+                native == authority or native.startswith(authority + "/")
+            )
+            self._HANDLES[key] = (fs, authority_in_path)
+            return fs, native
+        fs, authority_in_path = cached
+        if authority_in_path:
+            native = authority + ("/" + tail if tail else "")
+        else:
+            native = "/" + tail
         return fs, native
 
     def join(self, base: str, rel: str) -> str:
@@ -176,6 +207,33 @@ class ArrowFS:
             if info.type == pafs.FileType.File
         ]
         return sorted(out)
+
+    def walk_files_with_size(self, root: str) -> list[tuple]:
+        """Sorted ``(relative_path, size)`` — FileInfo already carries the
+        size, so this is the same single listing RPC as walk_files."""
+        import pyarrow.fs as pafs
+
+        fs, native = self._resolve(root)
+        sel = pafs.FileSelector(native, recursive=True)
+        return sorted(
+            (posixpath.relpath(info.path, native), info.size)
+            for info in fs.get_file_info(sel)
+            if info.type == pafs.FileType.File
+        )
+
+    def list_dir(self, p: str) -> list[tuple]:
+        """Sorted non-recursive ``(name, is_dir)`` entries of ``p``."""
+        import pyarrow.fs as pafs
+
+        fs, native = self._resolve(p)
+        sel = pafs.FileSelector(native, recursive=False)
+        return sorted(
+            (
+                posixpath.relpath(info.path, native),
+                info.type == pafs.FileType.Directory,
+            )
+            for info in fs.get_file_info(sel)
+        )
 
     def mkdirs(self, p: str) -> None:
         fs, native = self._resolve(p)

@@ -601,3 +601,93 @@ class TestFsLayerUnits:
         assert fs.supports_range_write is False
         with pytest.raises(NotImplementedError):
             fs.open_rw("file://" + str(tmp_path / "z.bin"))
+
+
+def test_arrowfs_native_paths_keep_bucket_for_object_stores():
+    """ADVICE r6: pyarrow's native-path convention differs per family —
+    object stores keep the bucket IN the path (from_uri('gs://b/k') ->
+    'b/k'), host-authority schemes drop it. The convention is learned from
+    from_uri's own return on first contact and applied on cache hits, so
+    s3/gs operations never target a bucketless path."""
+    a = ArrowFS()
+    try:
+        fs1, native = a._resolve("gs://bucket/key/x.bin")
+    except Exception:
+        pytest.skip("pyarrow GcsFileSystem unavailable in this build")
+    assert native == "bucket/key/x.bin"
+    # cache hit: same handle, path rebuilt under the recorded convention
+    fs2, native2 = a._resolve("gs://bucket/other/y.bin")
+    assert fs2 is fs1
+    assert native2 == "bucket/other/y.bin"
+    _, root = a._resolve("gs://bucket")
+    assert root == "bucket"
+    # host-authority scheme: authority dropped, absolute native path
+    _, local = a._resolve("file:///tmp/hcs_zz")
+    assert local == "/tmp/hcs_zz"
+    _, local2 = a._resolve("file:///tmp/hcs_zz2")  # cached branch
+    assert local2 == "/tmp/hcs_zz2"
+
+
+def test_bare_destination_stays_local_under_remote_default_fs(
+    spark, tree, tmp_path, restore_hadoop_conf
+):
+    """ADVICE r6: only the source qualifies against fs.defaultFS. A
+    namespace whose defaultFS points at a (here unreachable) hdfs://
+    cluster must not redirect a bare destination path to the remote store
+    — the reference's localPath always targets the local filesystem."""
+    src, _ = tree
+    dst = tmp_path / "advr6" / "one.bin"
+    eng = CopyJobEngine(spark)
+    eng.configure_namespace("nsr", {"fs.defaultFS": "hdfs://nn.invalid:8020"})
+    rid = eng.submit(
+        CopyRequest("nsr", [CopyItem("file://" + str(src / "one.bin"), str(dst))])
+    )
+    st = eng.status(rid)
+    assert st["status"] == "COMPLETED"
+    assert st["items"][0]["checksumVerified"] is True
+    assert dst.read_bytes() == b"x"
+
+
+def test_distributed_listing_matches_driver_walk(spark, tmp_path):
+    """VERDICT r6 #6: above the top-level-entry threshold, enumeration
+    fans out to executors; the listing, the copy, and the rollup must be
+    identical to the driver-walk path."""
+    import random
+
+    rng = random.Random(1234)
+    src = tmp_path / "deep_src"
+    files = {}
+    for d in range(6):  # 6 top-level dirs + 2 top-level files = 8 entries
+        for f in range(4):
+            rel = f"dir{d}/sub{f % 2}/f{f}.bin"
+            p = src / rel
+            p.parent.mkdir(parents=True, exist_ok=True)
+            data = bytes(rng.getrandbits(8) for _ in range(rng.randrange(1, 4096)))
+            p.write_bytes(data)
+            files[rel] = data
+    for t in range(2):
+        (src / f"top{t}.bin").write_bytes(b"t" * (t + 1))
+        files[f"top{t}.bin"] = b"t" * (t + 1)
+
+    # the two engines differ ONLY in the listing path
+    eng_dist = CopyJobEngine(spark, distributed_listing_threshold=2)
+    eng_driver = CopyJobEngine(spark, distributed_listing_threshold=10**9)
+    listing_dist = eng_dist._enumerate_with_sizes(fs_for(str(src)), str(src))
+    listing_driver = eng_driver._enumerate_with_sizes(fs_for(str(src)), str(src))
+    assert listing_dist == listing_driver
+    assert len(listing_dist) == len(files)
+
+    results = []
+    for eng, sub in ((eng_dist, "out_dist"), (eng_driver, "out_driver")):
+        dst = tmp_path / sub
+        rid = eng.submit(CopyRequest("local", [CopyItem(str(src), str(dst))]))
+        st = eng.status(rid)
+        item = st["items"][0]
+        results.append(
+            (st["status"], item["bytesCopied"], item["checksumVerified"])
+        )
+        for rel, data in files.items():
+            assert (dst / rel).read_bytes() == data, rel
+    assert results[0] == results[1]
+    assert results[0][0] == "COMPLETED"
+    assert results[0][1] == sum(len(d) for d in files.values())
