@@ -80,6 +80,44 @@ def main() -> None:
             oracle_total += dt
     con.close()
 
+    # BENCH-6 (BASELINE.md): streaming tumbling-window agg over events
+    # replayed as ~20 file micro-batches (maxFilesPerTrigger=1), budget
+    # <= 120 s end-to-end, final table == batch q61. The replay WRITE is
+    # fixture prep and excluded from the timed wall; the timed span is
+    # stream start -> processAllAvailable (all micro-batches consumed).
+    import shutil  # noqa: E402
+    import tempfile  # noqa: E402
+
+    from hadoop_copier_spark.streaming import (  # noqa: E402
+        replay_events_time_buckets,
+        stream_tumbling_counts,
+    )
+
+    replay_root = tempfile.mkdtemp(prefix="hcs_bench6_")
+    streaming_wall, n_batches, stream_matches = -1.0, -1, False
+    try:
+        src = replay_events_time_buckets(
+            spark, sf_dir, os.path.join(replay_root, "src"), n_chunks=20
+        )
+        t0 = time.perf_counter()
+        q = stream_tumbling_counts(spark, src, "bench6_tumb")
+        q.processAllAvailable()
+        streaming_wall = time.perf_counter() - t0
+        n_batches = int((q.lastProgress or {}).get("batchId", -2)) + 1
+        q.stop()
+        got = sorted(
+            tuple(r)
+            for r in spark.sql(
+                "SELECT w_start_sec, event_type, n, sum_val_cents FROM bench6_tumb"
+            ).collect()
+        )
+        want = sorted(tuple(r) for r in REGISTRY["q61"].fn(spark, sf_dir).collect())
+        stream_matches = got == want
+    except Exception as e:  # pragma: no cover - bench robustness
+        print(f"bench(streaming): FAILED: {e}", file=sys.stderr)
+    finally:
+        shutil.rmtree(replay_root, ignore_errors=True)
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -91,6 +129,9 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "oracle_wall_sec": round(oracle_total, 3),
                 "oracle_queries": oracle_timings,
+                "streaming_wall_sec": round(streaming_wall, 3),
+                "streaming_micro_batches": n_batches,
+                "streaming_equals_batch_q61": stream_matches,
             }
         )
     )

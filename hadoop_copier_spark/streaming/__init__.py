@@ -5,7 +5,7 @@ provides the actual streaming jobs plus deterministic file-replay tooling,
 and tests/test_streaming.py asserts stream results == batch results.
 """
 
-from .replay import replay_events_chunks, EVENTS_SCHEMA  # noqa: F401
+from .replay import replay_events_chunks, replay_events_time_buckets, EVENTS_SCHEMA  # noqa: F401
 from .jobs import (  # noqa: F401
     stream_tumbling_counts,
     stream_dedup,

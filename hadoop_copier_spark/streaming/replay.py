@@ -55,3 +55,36 @@ def replay_events_chunks(
         )
         paths.append(path)
     return paths
+
+
+def replay_events_time_buckets(
+    spark: SparkSession, sf_dir: str, out_dir: str, n_chunks: int = 20
+) -> str:
+    """One-pass replay writer (BENCH-6): bucket events into ``n_chunks``
+    approximately-equal TIME ranges via approxQuantile cut points and
+    write every bucket in a single partitionBy job — no global sort and
+    no single-partition window, so this is the replay writer you would
+    actually run at 100 TB (replay_events_chunks's exact row_number
+    split is for tests that need exact micro-batch boundaries). Returns
+    ``out_dir``; chunk files land under chunk=i subdirectories, which the
+    file source consumes one per trigger under maxFilesPerTrigger=1
+    (recursiveFileLookup ignores the partition column, so the streamed
+    schema stays EVENTS_SCHEMA)."""
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "__sec", F.unix_timestamp("ts")
+    )
+    cuts = e.stat.approxQuantile(
+        "__sec", [i / n_chunks for i in range(1, n_chunks)], 0.001
+    )
+    bucket = F.lit(0)
+    for c in cuts:
+        bucket = bucket + (F.col("__sec") > F.lit(c)).cast("int")
+    (
+        e.withColumn("chunk", bucket)
+        .drop("__sec")
+        .repartition("chunk")
+        .write.mode("overwrite")
+        .partitionBy("chunk")
+        .parquet(out_dir)
+    )
+    return out_dir

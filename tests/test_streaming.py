@@ -517,3 +517,26 @@ def test_streaming_cdc_upsert_foreachbatch(spark, tmp_path):
         for r in latest_per_user(load_table(spark, SF, "events")).collect()
     }
     assert got == expected
+
+
+def test_time_bucket_replay_streams_to_same_result_as_batch(spark, tmp_path):
+    """BENCH-6 path: the one-pass time-bucket replay writer (no global
+    sort) feeds the tumbling-window stream to the exact batch-q61 table,
+    with one micro-batch per chunk file under maxFilesPerTrigger=1."""
+    from hadoop_copier_spark.queries import REGISTRY
+    from hadoop_copier_spark.streaming import replay_events_time_buckets
+
+    src = replay_events_time_buckets(spark, SF, str(tmp_path / "tb"), n_chunks=5)
+    q = stream_tumbling_counts(spark, src, "t_tb_tumb")
+    try:
+        q.processAllAvailable()
+        n_batches = int((q.lastProgress or {}).get("batchId", -2)) + 1
+        got = sorted(
+            (r["w_start_sec"], r["event_type"], r["n"], r["sum_val_cents"])
+            for r in _rows(spark, "t_tb_tumb")
+        )
+    finally:
+        q.stop()
+    want = sorted(tuple(r) for r in REGISTRY["q61"].fn(spark, SF).collect())
+    assert got == want
+    assert n_batches >= 5  # one micro-batch per chunk file (+ possible empty tail)
