@@ -533,3 +533,113 @@ def xh_repetition(spark, sf_dir):
             "dup_bigram_frac"
         ),
     ).orderBy("doc_id")
+
+
+@register(
+    "xh_dup_rate_by_source",
+    oracle="""SELECT source,
+       COUNT(*) AS n_docs,
+       COUNT(DISTINCT md5(text)) AS n_unique,
+       CAST(FLOOR((1000000 * (COUNT(*) - COUNT(DISTINCT md5(text)))) / COUNT(*) + 0.5) AS BIGINT) AS dup_ppm
+FROM documents GROUP BY source ORDER BY source""",
+    tags=("llm", "dedup", "profile"),
+)
+def xh_dup_rate_by_source(spark, sf_dir):
+    """Per-source duplication profile — the curation dashboard number that
+    decides which crawl sources get re-fetched vs dropped: doc count,
+    distinct-content count, and duplication rate in exact ppm (BIGINT;
+    the 1e6-scaled numerator is exact integer arithmetic, the single
+    division is a mirrored IEEE op). Spark plans COUNT(DISTINCT) as the
+    two-phase expand aggregate keyed on (source, hash) — uniformly
+    distributed however few sources there are, so a 100 TB corpus with
+    five sources still shuffles evenly."""
+    d = tbl(spark, sf_dir, "documents")
+    n = F.count(F.lit(1))
+    u = F.count_distinct(F.md5("text"))
+    return (
+        d.groupBy("source")
+        .agg(
+            n.alias("n_docs"),
+            u.alias("n_unique"),
+            F.floor((F.lit(1000000) * (n - u)) / n + F.lit(0.5))
+            .cast("bigint")
+            .alias("dup_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "xh_keep_best",
+    oracle="""WITH r AS (
+  SELECT doc_id, source, md5(text) AS text_hash,
+         ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY source, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY md5(text)) AS n_copies
+  FROM documents)
+SELECT text_hash, doc_id AS keep_id, source AS keep_source, n_copies
+FROM r WHERE rn = 1 ORDER BY text_hash""",
+    tags=("llm", "dedup", "canonical"),
+)
+def xh_keep_best(spark, sf_dir):
+    """Canonical-document selection: exact-duplicate groups keep ONE
+    representative chosen by source priority then doc_id — q56 keeps the
+    lowest id, this keeps the best-provenance copy, which is what a real
+    curation pipeline does when the same page arrives from multiple
+    crawls. One shuffle on the 128-bit content hash (uniform by
+    construction); both window functions share the partition key so the
+    rank and the group size ride the same exchange."""
+    from pyspark.sql import Window as W
+
+    d = tbl(spark, sf_dir, "documents").withColumn("text_hash", F.md5("text"))
+    w = W.partitionBy("text_hash").orderBy("source", "doc_id")
+    wall = W.partitionBy("text_hash")
+    return (
+        d.select(
+            "text_hash",
+            "doc_id",
+            "source",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(wall).alias("n_copies"),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "text_hash",
+            F.col("doc_id").alias("keep_id"),
+            F.col("source").alias("keep_source"),
+            "n_copies",
+        )
+        .orderBy("text_hash")
+    )
+
+
+@register(
+    "xh_doc_freq",
+    oracle="""SELECT token, COUNT(*) AS df
+FROM (SELECT doc_id,
+             unnest(list_distinct(string_split_regex(lower(text), '\\s+'))) AS token
+      FROM documents)
+WHERE token <> ''
+GROUP BY token ORDER BY df DESC, token LIMIT 100""",
+    tags=("llm", "text", "idf"),
+)
+def xh_doc_freq(spark, sf_dir):
+    """Document frequency (the exact-integer core of IDF, hash-checkable
+    unlike xp_tfidf's ln()): tokens are DISTINCT-ed inside each document
+    with array_distinct BEFORE the explode — a map-side collapse that cuts
+    the shuffled row count to one row per (doc, distinct token) — then a
+    partial-agg count and a top-100 TakeOrdered. Same repartition-first
+    rationale as q57 (SCALE.md principle 7b)."""
+    n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    d = tbl(spark, sf_dir, "documents").repartition(n, "doc_id")
+    return (
+        d.select(
+            F.explode(
+                F.array_distinct(F.split(F.lower("text"), r"\s+"))
+            ).alias("token")
+        )
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.col("df").desc(), "token")
+        .limit(100)
+    )
