@@ -612,6 +612,114 @@ def xh_keep_best(spark, sf_dir):
     )
 
 
+_MIX_CASE_SQL = """CASE lang WHEN 'en' THEN 1000000 WHEN 'de' THEN 500000
+            WHEN 'es' THEN 500000 WHEN 'fr' THEN 250000
+            WHEN 'zh' THEN 250000 ELSE 100000 END"""
+
+
+@register(
+    "xh_weighted_mix",
+    oracle=f"""SELECT doc_id, lang, source, bucket FROM (
+  SELECT doc_id, lang, source,
+         {_H60_SQL.format(s="doc_id::VARCHAR || ':' || text")} % 1000000 AS bucket,
+         {_MIX_CASE_SQL} AS rate
+  FROM documents)
+WHERE bucket < rate ORDER BY doc_id""",
+    tags=("llm", "sampling", "mix"),
+)
+def xh_weighted_mix(spark, sf_dir):
+    """Deterministic corpus mixing: each language gets a target sampling
+    rate in ppm (en kept whole, de/es at 1/2, fr/zh at 1/4, everything
+    else at 1/10 — the up/down-weighting step that turns raw crawl
+    proportions into a training mixture) and a document survives iff its
+    60-bit content hash lands below the rate. Hash-gated sampling, not
+    rand(): the SAME documents are selected on every run, on any cluster
+    layout, and re-running over an appended corpus never flips earlier
+    decisions. Pure scan -> project -> filter, no shuffle except the
+    output sort; at 100 TB this is a map-only pass whose selectivity is
+    exactly the configured mixture. Queued for the r8 driver window per
+    the pinned rotation policy (aliases.py)."""
+    bucket = (
+        _h60(F.concat_ws(":", F.col("doc_id").cast("string"), F.col("text")))
+        % F.lit(1000000)
+    ).alias("bucket")
+    rate = (
+        F.when(F.col("lang") == "en", 1000000)
+        .when(F.col("lang") == "de", 500000)
+        .when(F.col("lang") == "es", 500000)
+        .when(F.col("lang") == "fr", 250000)
+        .when(F.col("lang") == "zh", 250000)
+        .otherwise(100000)
+    )
+    d = tbl(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", "lang", "source", bucket, rate.alias("rate"))
+        .filter(F.col("bucket") < F.col("rate"))
+        .select("doc_id", "lang", "source", "bucket")
+        .orderBy("doc_id")
+    )
+
+
+_CHUNK = 16  # tokens per dedup chunk (exact-substring dedup granularity)
+
+
+@register(
+    "xh_chunk_dedup",
+    oracle=f"""WITH t AS (SELECT doc_id, {_TOKENS_SQL} AS tk FROM documents),
+nz AS (SELECT doc_id, tk FROM t WHERE len(tk) > 0),
+c AS (SELECT doc_id,
+             unnest(range(CAST(ceil(len(tk) / {_CHUNK}.0) AS BIGINT))) AS chunk_idx,
+             tk
+      FROM nz),
+h AS (SELECT doc_id, chunk_idx,
+             {_H60_SQL.format(s=f"array_to_string(tk[chunk_idx*{_CHUNK}+1 : chunk_idx*{_CHUNK}+{_CHUNK}], ' ')")} AS h
+      FROM c),
+r AS (SELECT doc_id, chunk_idx,
+             ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, chunk_idx) AS rn
+      FROM h)
+SELECT doc_id, COUNT(*) AS n_chunks, COUNT(*) FILTER (WHERE rn = 1) AS n_kept
+FROM r GROUP BY doc_id ORDER BY doc_id""",
+    tags=("llm", "dedup", "substring"),
+)
+def xh_chunk_dedup(spark, sf_dir):
+    """Exact substring dedup at chunk granularity (the scalable cousin of
+    suffix-array dedup used on crawl corpora): each document is cut into
+    consecutive 16-token chunks, every chunk is hashed, and across the
+    WHOLE corpus only the first occurrence of each distinct chunk — by
+    (doc_id, chunk_idx) — is kept. Output is the per-document survival
+    profile (total vs kept chunks), i.e. how much of each document is
+    boilerplate already seen elsewhere. One shuffle keyed on the 60-bit
+    chunk hash (uniform by construction; duplicate groups are tiny, so
+    the per-hash row_number window never skews), then a partial-agg
+    rollup back to doc_id. Queued for the r8 driver window per the
+    pinned rotation policy (aliases.py)."""
+    from pyspark.sql import Window as W
+
+    t = _with_tokens(tbl(spark, sf_dir, "documents")).filter(F.size("tk") > 0)
+    chunks = F.transform(
+        F.sequence(
+            F.lit(0).cast("long"),
+            F.ceil(F.size("tk") / F.lit(float(_CHUNK))) - 1,
+        ),
+        lambda i: F.concat_ws(
+            " ", F.slice(F.col("tk"), i.cast("int") * _CHUNK + 1, _CHUNK)
+        ),
+    )
+    c = t.select("doc_id", F.posexplode(chunks).alias("chunk_idx", "chunk"))
+    w = W.partitionBy("h").orderBy("doc_id", "chunk_idx")
+    r = c.select(
+        "doc_id", "chunk_idx", _h60(F.col("chunk")).alias("h")
+    ).withColumn("rn", F.row_number().over(w))
+    return (
+        r.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.count(F.when(F.col("rn") == 1, 1)).alias("n_kept"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 @register(
     "xh_doc_freq",
     oracle="""SELECT token, COUNT(*) AS df

@@ -281,3 +281,60 @@ def q40(spark, sf_dir):
         )
         .orderBy("o_custkey", "o_orderkey")
     )
+
+
+@register(
+    "xh_scd2_intervals",
+    oracle="""WITH r AS (
+  SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey)
+       - ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderstatus
+                            ORDER BY o_orderdate, o_orderkey) AS grp
+  FROM orders)
+SELECT o_custkey, o_orderstatus,
+       MIN(o_orderdate) AS valid_from,
+       MAX(o_orderdate) AS valid_to,
+       COUNT(*) AS n_orders,
+       MIN(o_orderkey) AS first_orderkey
+FROM r GROUP BY o_custkey, o_orderstatus, grp
+ORDER BY o_custkey, valid_from, first_orderkey""",
+    tags=("window", "temporal", "scd2"),
+)
+def xh_scd2_intervals(spark, sf_dir):
+    """Slowly-changing-dimension (type 2) interval build via the classic
+    gaps-and-islands subtraction: per customer, consecutive orders sharing
+    a status collapse into one [valid_from, valid_to] run — the change
+    history a dimension table keeps when an attribute flips back and
+    forth. Both row_numbers share the o_custkey partition prefix, so
+    Spark plans ONE hash exchange on o_custkey with two in-partition
+    sorts, then a partial-agg rollup on (custkey, status, grp); no global
+    sort until the final output ORDER BY. (first_orderkey is globally
+    unique, making the output order total.) Queued for the r8 driver
+    window per the pinned rotation policy (aliases.py)."""
+    o = tbl(spark, sf_dir, "orders")
+    w_all = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_st = W.partitionBy("o_custkey", "o_orderstatus").orderBy(
+        "o_orderdate", "o_orderkey"
+    )
+    r = o.select(
+        "o_custkey",
+        "o_orderstatus",
+        "o_orderdate",
+        "o_orderkey",
+        (F.row_number().over(w_all) - F.row_number().over(w_st)).alias("grp"),
+    )
+    return (
+        r.groupBy("o_custkey", "o_orderstatus", "grp")
+        .agg(
+            F.min("o_orderdate").alias("valid_from"),
+            F.max("o_orderdate").alias("valid_to"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_orderkey").alias("first_orderkey"),
+        )
+        .select(
+            "o_custkey", "o_orderstatus", "valid_from", "valid_to",
+            "n_orders", "first_orderkey",
+        )
+        .orderBy("o_custkey", "valid_from", "first_orderkey")
+    )
