@@ -751,3 +751,107 @@ def xh_doc_freq(spark, sf_dir):
         .orderBy(F.col("df").desc(), "token")
         .limit(100)
     )
+
+
+_FUNNEL_STAGE_SQL = f"""CASE
+      WHEN n_chars < 80 THEN '1_too_short'
+      WHEN len(tk) < 20 THEN '2_few_tokens'
+      WHEN len(list_distinct(tk)) * 10 < len(tk) * 3 THEN '3_repetitive'
+      WHEN lang NOT IN ('en','de','es','fr','zh') THEN '4_bad_lang'
+      ELSE '5_pass' END"""
+
+
+@register(
+    "xh_filter_funnel",
+    oracle=f"""WITH t AS (SELECT doc_id, lang, n_chars, {_TOKENS_SQL} AS tk
+           FROM documents)
+SELECT stage, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM (SELECT n_chars, {_FUNNEL_STAGE_SQL} AS stage FROM t)
+GROUP BY stage ORDER BY stage""",
+    tags=("llm", "quality", "funnel"),
+)
+def xh_filter_funnel(spark, sf_dir):
+    """Quality-filter cascade with funnel attribution: every document is
+    counted under the FIRST rule it fails (too short -> too few tokens ->
+    repetitive -> language not allowed -> pass) — the per-stage rejection
+    report a curation pipeline emits so rule changes can be attributed to
+    corpus loss. All predicates are exact integer arithmetic (the
+    repetition ratio is the cross-multiplied distinct-token test, no
+    float division). Scan -> project -> 5-group partial agg: only five
+    rows cross the shuffle at any corpus size. Queued for the r8 driver
+    window per the pinned rotation policy (aliases.py)."""
+    j = tbl(spark, sf_dir, "documents").select(
+        "lang",
+        "n_chars",
+        F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "").alias(
+            "tk"
+        ),
+    )
+    stage = (
+        F.when(F.col("n_chars") < 80, "1_too_short")
+        .when(F.size("tk") < 20, "2_few_tokens")
+        .when(
+            F.size(F.array_distinct("tk")) * 10 < F.size("tk") * 3,
+            "3_repetitive",
+        )
+        .when(~F.col("lang").isin("en", "de", "es", "fr", "zh"), "4_bad_lang")
+        .otherwise("5_pass")
+    )
+    return (
+        j.select(stage.alias("stage"), "n_chars")
+        .groupBy("stage")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+        .orderBy("stage")
+    )
+
+
+@register(
+    "xh_outlier_trim",
+    oracle="""WITH r AS (
+  SELECT lang, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY lang) AS cnt
+  FROM documents)
+SELECT lang, COUNT(*) AS n_kept,
+       MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM r
+WHERE rn > cnt * 2 // 100 AND rn <= cnt - cnt * 2 // 100
+GROUP BY lang ORDER BY lang""",
+    tags=("llm", "quality", "trim"),
+)
+def xh_outlier_trim(spark, sf_dir):
+    """Per-language outlier trim: drop the shortest and longest 2% of
+    documents per language by RANK, not by a float quantile — the
+    rank-based cut is exact integer arithmetic, so both engines (and
+    every re-run) cut at identical rows, where percentile interpolation
+    would be float-tie-fragile. Both windows share the lang partition
+    key: one hash exchange carries the row_number, the group count, AND
+    the final per-lang aggregate. Queued for the r8 driver window per
+    the pinned rotation policy (aliases.py)."""
+    from pyspark.sql import Window as W
+
+    d = tbl(spark, sf_dir, "documents")
+    w = W.partitionBy("lang").orderBy("n_chars", "doc_id")
+    wall = W.partitionBy("lang")
+    k = (F.col("cnt") * 2 - (F.col("cnt") * 2) % 100) / 100  # cnt*2 // 100
+    r = d.select(
+        "lang",
+        "n_chars",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wall).alias("cnt"),
+    )
+    return (
+        r.filter((F.col("rn") > k) & (F.col("rn") <= F.col("cnt") - k))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+        .orderBy("lang")
+    )

@@ -256,3 +256,55 @@ def test_no_unplanned_nested_loop_or_cartesian_joins(spark, sf_smoke):
         if marks:
             offenders.append((name, marks))
     assert not offenders, offenders
+
+
+def _explain_simple(spark, sf_oracle, name):
+    # simple mode inlines exchange arguments ("Exchange hashpartitioning(
+    # o_custkey ...)"), which the counting assertions below need; formatted
+    # mode moves them to the detail section.
+    return explain_str(REGISTRY[name].fn(spark, sf_oracle), "simple")
+
+
+def test_scd2_single_custkey_exchange(spark, sf_oracle):
+    """xh_scd2_intervals: both gaps-and-islands row_numbers share the
+    o_custkey partition prefix, so the whole query must ride ONE hash
+    exchange (custkey) — the (custkey, status) window and the
+    (custkey, status, grp) aggregate reuse it — plus only the final
+    ORDER BY range exchange."""
+    text = _explain_simple(spark, sf_oracle, "xh_scd2_intervals")
+    assert text.count("Exchange hashpartitioning") == 1, text[:1200]
+    assert text.count("Exchange rangepartitioning") == 1, text[:1200]
+
+
+def test_weighted_mix_is_map_only(spark, sf_oracle):
+    """xh_weighted_mix: the mixture gate is scan -> project -> filter; at
+    100 TB it must stay a map-only pass — no hash exchange anywhere, only
+    the output ORDER BY's range exchange."""
+    text = _explain_simple(spark, sf_oracle, "xh_weighted_mix")
+    assert "Exchange hashpartitioning" not in text, text[:1200]
+
+
+def test_chunk_dedup_window_partitions_on_hash(spark, sf_oracle):
+    """xh_chunk_dedup: the first-occurrence window partitions on the
+    chunk hash (uniform tiny groups), never on a low-cardinality key or
+    the whole table."""
+    text = _explain_simple(spark, sf_oracle, "xh_chunk_dedup")
+    assert "Exchange SinglePartition" not in text
+    wins = [l for l in text.splitlines() if "Window [" in l]
+    assert wins and all("windowspecdefinition(h#" in w for w in wins), wins
+
+
+def test_filter_funnel_no_join_five_row_shuffle(spark, sf_oracle):
+    """xh_filter_funnel: stage attribution is computed inline on the scan
+    (no self-join back to documents) and only the 5-group partial agg
+    shuffles."""
+    text = _explain_simple(spark, sf_oracle, "xh_filter_funnel")
+    assert "Join" not in text, text[:1200]
+    assert text.count("Exchange hashpartitioning") == 1, text[:1200]
+
+
+def test_outlier_trim_single_lang_exchange(spark, sf_oracle):
+    """xh_outlier_trim: rank, group count, and the final per-lang
+    aggregate all share the lang partition key — one hash exchange."""
+    text = _explain_simple(spark, sf_oracle, "xh_outlier_trim")
+    assert text.count("Exchange hashpartitioning") == 1, text[:1200]
