@@ -855,3 +855,106 @@ def xh_outlier_trim(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "xh_incremental_dedup",
+    oracle=f"""WITH hist AS (
+  SELECT DISTINCT md5(text) AS th FROM documents WHERE doc_id % 10 < 8),
+newb AS (
+  SELECT doc_id, source, md5(text) AS th,
+         ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+  FROM documents WHERE doc_id % 10 >= 8),
+j AS (SELECT n.source, n.rn, (h.th IS NOT NULL) AS in_hist
+      FROM newb n LEFT JOIN hist h ON n.th = h.th)
+SELECT source,
+       COUNT(*) AS n_new,
+       COUNT(*) FILTER (WHERE in_hist) AS n_dup_hist,
+       COUNT(*) FILTER (WHERE NOT in_hist AND rn > 1) AS n_dup_batch,
+       COUNT(*) FILTER (WHERE NOT in_hist AND rn = 1) AS n_kept
+FROM j GROUP BY source ORDER BY source""",
+    tags=("llm", "dedup", "incremental"),
+)
+def xh_incremental_dedup(spark, sf_dir):
+    """Incremental (crawl-refresh) dedup: a new batch (doc_id % 10 >= 8
+    — the fixture's stand-in for 'this week's crawl') is deduped against
+    the historical corpus AND within itself, attributing every new
+    document to exactly one of {kept, dup-of-history, dup-within-batch}.
+    This is the steady-state shape of corpus maintenance: history is
+    never rescanned per document — its distinct content hashes are
+    aggregated once, and because the batch-side window and the
+    history join both key on the SAME uniform content hash, the join
+    rides the window's existing partitioning (no extra exchange between
+    them). Queued for the r8 driver window per the pinned rotation
+    policy (aliases.py)."""
+    from pyspark.sql import Window as W
+
+    d = tbl(spark, sf_dir, "documents")
+    hist = (
+        d.filter(F.col("doc_id") % 10 < 8)
+        .select(F.md5("text").alias("th"))
+        .distinct()
+        .withColumn("in_hist", F.lit(True))
+    )
+    w = W.partitionBy("th").orderBy("doc_id")
+    newb = (
+        d.filter(F.col("doc_id") % 10 >= 8)
+        .select("doc_id", "source", F.md5("text").alias("th"))
+        .withColumn("rn", F.row_number().over(w))
+    )
+    j = newb.join(hist, "th", "left").select(
+        "source", "rn", F.coalesce("in_hist", F.lit(False)).alias("in_hist")
+    )
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_new"),
+            F.count(F.when(F.col("in_hist"), 1)).alias("n_dup_hist"),
+            F.count(F.when(~F.col("in_hist") & (F.col("rn") > 1), 1)).alias(
+                "n_dup_batch"
+            ),
+            F.count(F.when(~F.col("in_hist") & (F.col("rn") == 1), 1)).alias(
+                "n_kept"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+_SAMPLE_K = 10
+
+
+@register(
+    "xh_consistent_sample",
+    oracle=f"""WITH r AS (
+  SELECT lang, doc_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY {_H60_SQL.format(s="doc_id::VARCHAR || ':' || text")}, doc_id
+         ) AS rn
+  FROM documents)
+SELECT lang, doc_id FROM r WHERE rn <= {_SAMPLE_K} ORDER BY lang, doc_id""",
+    tags=("llm", "sampling", "stratified"),
+)
+def xh_consistent_sample(spark, sf_dir):
+    """Exact k-per-stratum consistent sample: within each language the
+    documents are ranked by a 60-bit content hash and the lowest k win —
+    the distributed form of 'bottom-k by hash' reservoir sampling.
+    Unlike rand()-based sampling the selection is a pure function of the
+    data, so eval sets drawn this way are reproducible across reruns and
+    cluster layouts, and mostly stable under corpus growth (a new doc
+    displaces at most one of the k). One lang-keyed exchange; the filter
+    discards everything beyond k inside each partition before the output
+    sort. Queued for the r8 driver window per the pinned rotation policy
+    (aliases.py)."""
+    from pyspark.sql import Window as W
+
+    d = tbl(spark, sf_dir, "documents")
+    h = _h60(F.concat_ws(":", F.col("doc_id").cast("string"), F.col("text")))
+    w = W.partitionBy("lang").orderBy(h.alias("h"), F.col("doc_id"))
+    return (
+        d.select("lang", "doc_id", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= _SAMPLE_K)
+        .select("lang", "doc_id")
+        .orderBy("lang", "doc_id")
+    )

@@ -1,0 +1,93 @@
+"""Behavioral invariants of the round-7 curation operators — properties
+the oracle hash check can't express because they compare runs across
+DIFFERENT corpora:
+
+- weighted mix: keep/drop decisions are append-stable (growing the corpus
+  never flips an earlier decision),
+- consistent sample: bottom-k-by-hash is subset-stable under growth
+  (survivors of the grown corpus that existed before were all in the
+  original sample),
+- chunk dedup: a planted full copy of an existing document contributes
+  ZERO kept chunks (every chunk already occurred at a lower doc_id).
+
+These are exactly the guarantees a training pipeline relies on when the
+corpus is re-curated after a new crawl lands.
+"""
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from hadoop_copier_spark.queries import REGISTRY
+from hadoop_copier_spark.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def grown_corpus(spark, sf_smoke, tmp_path_factory):
+    """Two corpus dirs: A = sf0.001 documents as-is; B = A plus appended
+    rows (fresh doc_ids: a full copy of an existing doc and two novel
+    docs). Returns (dir_a, dir_b, copied_src_id, new_ids)."""
+    base = load_table(spark, sf_smoke, "documents")
+    root = tmp_path_factory.mktemp("grown")
+    dir_a, dir_b = str(root / "a"), str(root / "b")
+    base.write.parquet(f"{dir_a}/documents.parquet")
+
+    max_id = base.agg(F.max("doc_id")).collect()[0][0]
+    src = base.orderBy("doc_id").limit(1).collect()[0]
+    extra = spark.createDataFrame(
+        [
+            (max_id + 1, src.text, src.lang, src.source, src.n_chars),
+            (max_id + 2, "novel tokens appended row one", "en", "srcX", 29),
+            (max_id + 3, "novel tokens appended row two", "fr", "srcX", 29),
+        ],
+        schema=base.schema,
+    )
+    base.unionByName(extra).write.parquet(f"{dir_b}/documents.parquet")
+    yield dir_a, dir_b, src.doc_id, {max_id + 1, max_id + 2, max_id + 3}
+    shutil.rmtree(str(root), ignore_errors=True)
+
+
+def test_weighted_mix_append_stable(spark, grown_corpus):
+    dir_a, dir_b, _, new_ids = grown_corpus
+    fn = REGISTRY["xh_weighted_mix"].fn
+    kept_a = {r.doc_id for r in fn(spark, dir_a).collect()}
+    kept_b = {r.doc_id for r in fn(spark, dir_b).collect()}
+    # every pre-existing decision unchanged; only new ids may differ
+    assert kept_b - new_ids == kept_a
+
+
+def test_consistent_sample_subset_stable(spark, grown_corpus):
+    dir_a, dir_b, _, new_ids = grown_corpus
+    fn = REGISTRY["xh_consistent_sample"].fn
+    sample_a = {(r.lang, r.doc_id) for r in fn(spark, dir_a).collect()}
+    sample_b = {(r.lang, r.doc_id) for r in fn(spark, dir_b).collect()}
+    # bottom-k by hash: grown-corpus survivors that predate the growth
+    # were necessarily already sampled (a new doc can only displace, never
+    # promote), and each appended doc displaces at most one sample slot
+    # in its own language
+    old_survivors = {p for p in sample_b if p[1] not in new_ids}
+    assert old_survivors <= sample_a
+    assert len(sample_a - sample_b) <= len(new_ids)
+
+
+def test_chunk_dedup_planted_copy_keeps_nothing(spark, grown_corpus):
+    dir_a, dir_b, copied_src, new_ids = grown_corpus
+    copy_id = max(new_ids) - 2  # max_id + 1 row: the full copy
+    out = {r.doc_id: r for r in REGISTRY["xh_chunk_dedup"].fn(spark, dir_b).collect()}
+    planted = out[copy_id]
+    original = out[copied_src]
+    assert planted.n_chunks == original.n_chunks
+    assert planted.n_kept == 0  # every chunk already seen at a lower doc_id
+
+
+def test_incremental_dedup_partition_is_exhaustive(spark, sf_smoke):
+    """Every new-batch doc lands in exactly one bucket: kept + dup_hist +
+    dup_batch == n_new, and totals reconcile with the raw batch split."""
+    rows = REGISTRY["xh_incremental_dedup"].fn(spark, sf_smoke).collect()
+    assert rows, "fixture has no doc_id % 10 >= 8 docs?"
+    for r in rows:
+        assert r.n_kept + r.n_dup_hist + r.n_dup_batch == r.n_new
+    d = load_table(spark, sf_smoke, "documents")
+    n_new_raw = d.filter(F.col("doc_id") % 10 >= 8).count()
+    assert sum(r.n_new for r in rows) == n_new_raw

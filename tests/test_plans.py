@@ -308,3 +308,13 @@ def test_outlier_trim_single_lang_exchange(spark, sf_oracle):
     aggregate all share the lang partition key — one hash exchange."""
     text = _explain_simple(spark, sf_oracle, "xh_outlier_trim")
     assert text.count("Exchange hashpartitioning") == 1, text[:1200]
+
+
+def test_incremental_dedup_join_rides_window_partitioning(spark, sf_oracle):
+    """xh_incremental_dedup: history-distinct, batch window, and final
+    source agg each shuffle once on their key — but the history LEFT
+    JOIN itself must reuse the window's content-hash partitioning (no
+    fourth exchange)."""
+    text = _explain_simple(spark, sf_oracle, "xh_incremental_dedup")
+    assert text.count("Exchange hashpartitioning") == 3, text[:1500]
+    assert "Exchange SinglePartition" not in text
