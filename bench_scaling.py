@@ -13,6 +13,10 @@ the base corpus — the worst case for the pair-forming stages) and times
               count^2 per bucket, which is exactly what this probes)
   cc        — connected components over the found pairs (expect ~linear
               in edges, O(log n) rounds)
+  chunk     — xh_chunk_dedup, 16-token chunk-granular substring dedup
+              (expect ~linear in total chunks: the per-hash window costs
+              O(group size log group size) and replication multiplies
+              group sizes, which is exactly the term this probes)
 
 Prints one JSON line with wall seconds and the x16/x1 ratio per op
 (linear => ~16, and the ratio column in bench/scaling_results.json is
@@ -39,6 +43,7 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from hadoop_copier_spark.operators.components import connected_components  # noqa: E402
 from hadoop_copier_spark.operators.dedup import near_dup_pairs  # noqa: E402
+from hadoop_copier_spark.queries import REGISTRY  # noqa: E402
 from hadoop_copier_spark.session import get_spark  # noqa: E402
 
 BASE = os.environ.get("SPARK_GRAFT_SCALING_BASE", "/root/testdata/sf0.1")
@@ -57,9 +62,11 @@ def replicate(spark, out_dir: str, factor: int) -> str:
     out = reps[0]
     for r in reps[1:]:
         out = out.unionByName(r)
-    path = os.path.join(out_dir, f"x{factor}")
+    # sf_dir layout (documents.parquet inside) so registry fns run as-is
+    sf_dir = os.path.join(out_dir, f"x{factor}")
+    path = os.path.join(sf_dir, "documents.parquet")
     out.repartition(max(4, factor * 4)).write.mode("overwrite").parquet(path)
-    return path
+    return sf_dir
 
 
 def timed(fn) -> float:
@@ -74,8 +81,8 @@ def main() -> None:
     results = {}
     try:
         for f in FACTORS:
-            path = replicate(spark, tmp, f)
-            d = spark.read.parquet(path)
+            sf_dir = replicate(spark, tmp, f)
+            d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
             n_docs = d.count()  # warm the page cache uniformly
 
             r = {"n_docs": n_docs}
@@ -99,13 +106,16 @@ def main() -> None:
                     pairs_holder["pairs"], src="id_a", dst="id_b"
                 ).count()
             )
+            r["chunk_sec"] = timed(
+                lambda: REGISTRY["xh_chunk_dedup"].fn(spark, sf_dir).count()
+            )
             results[f"x{f}"] = r
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
     ratios = {
         op: round(results["x16"][f"{op}_sec"] / max(results["x1"][f"{op}_sec"], 1e-9), 2)
-        for op in ("exact", "minhash", "cc")
+        for op in ("exact", "minhash", "cc", "chunk")
     }
     print(
         json.dumps(
