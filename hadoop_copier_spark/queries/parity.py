@@ -120,6 +120,44 @@ def p_multimodal_features(spark, sf_dir):
     )
 
 
+@register("xp_video_frame_sample", oracle=None, tags=("parity", "multimodal"))
+def p_video_frame_sample(spark, sf_dir):
+    """P-class: video frame sampling — multi-frame binary payloads fan
+    out 1-to-many inside a single Arrow-batched mapInPandas (every 4th
+    4 KiB frame becomes a row with offset, digest, stub feature). The
+    codec is stubbed; the batch shape, schema, and partitioning are the
+    production plumbing (sources/multimodal.sample_frames). Rows-only
+    driver check; exactness (frame counts, offsets, reassembly) is
+    pinned in tests/test_sources.py."""
+    from ..sources.multimodal import make_video_rows, sample_frames
+
+    df = make_video_rows(spark, sf_dir, n=32)
+    return (
+        sample_frames(df, frame_bytes=4096, every_n=4)
+        .select("sample_id", "frame_idx", "frame_offset", "n_frames", "frame_sha1")
+        .orderBy("sample_id", "frame_idx")
+    )
+
+
+@register("xp_image_resize", oracle=None, tags=("parity", "multimodal"))
+def p_image_resize(spark, sf_dir):
+    """P-class: binary->binary image resize via mapInPandas — Pillow
+    re-encode when available, deterministic evenly-spaced byte resample
+    otherwise; output payload is exactly width*height bytes either way
+    (sources/multimodal.resize_images). Map-only: a thumbnail stage at
+    100 TB is a pure scan->transform->write pass."""
+    from ..sources.multimodal import make_multimodal_rows, resize_images
+
+    df = make_multimodal_rows(spark, sf_dir, n=64).filter(
+        F.col("modality") == "image"
+    )
+    return (
+        resize_images(df, width=8, height=8)
+        .select("sample_id", F.md5("content").alias("content_md5"), "n_bytes")
+        .orderBy("sample_id")
+    )
+
+
 @register("xp_layout_maintenance", oracle=None, tags=("parity", "layout"))
 def p_layout_maintenance(spark, sf_dir):
     """P-class: layout maintenance end-to-end — fragment the events table

@@ -125,3 +125,125 @@ def decode_and_featurize(df: DataFrame) -> DataFrame:
             yield out[["sample_id", "modality", "n_bytes", "sha1", "mean_byte", "feature"]]
 
     return df.mapInPandas(extract, schema=FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = (
+    "sample_id long, frame_idx int, frame_offset long, n_frames int, "
+    "frame_sha1 string, feature array<float>"
+)
+
+_FRAME_COLS = [
+    "sample_id", "frame_idx", "frame_offset", "n_frames", "frame_sha1",
+    "feature",
+]
+
+
+def make_video_rows(spark: SparkSession, sf_dir: str, n: int = 32) -> DataFrame:
+    """Deterministic synthetic video rows: payload = repeated utf-8 text
+    (so every sample spans multiple fixed-size frames), video/mp4 mime."""
+    from ..tables import load_table
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < n)
+    return d.select(
+        F.col("doc_id").alias("sample_id"),
+        F.lit("video").alias("modality"),
+        F.encode(F.repeat("text", 40), "utf-8").alias("content"),
+        F.struct(
+            F.lit("video/mp4").alias("mime"),
+            F.lit(640).cast("int").alias("width"),
+            F.lit(480).cast("int").alias("height"),
+            F.substring("text", 1, 32).alias("caption"),
+        ).alias("meta"),
+    )
+
+
+def sample_frames(
+    df: DataFrame, frame_bytes: int = 4096, every_n: int = 4
+) -> DataFrame:
+    """Video frame sampling as 1-to-many ``mapInPandas``: each payload is
+    walked as a stream of fixed-size frames (the stub for a real codec's
+    keyframe/GOP walk — swap ``_iter`` for a decoder when one exists) and
+    every ``every_n``-th frame becomes ONE OUTPUT ROW with its offset,
+    digest, and an 8-dim stub feature. The Spark-side shape is the real
+    one: bytes never leave the executors, a batch of videos fans out to a
+    batch of frames inside a single Arrow exchange, and the output is a
+    plain DataFrame any downstream operator (dedup, ANN, filtering) can
+    consume. Scale: map-only; output row count = total_frames/every_n,
+    partitioning inherited from the input."""
+
+    def frames(batches):
+        for pdf in batches:
+            rows = []
+            for sid, content in zip(pdf["sample_id"], pdf["content"]):
+                b = b"" if content is None else bytes(content)
+                n_frames = (len(b) + frame_bytes - 1) // frame_bytes
+                for i in range(0, n_frames, every_n):
+                    fb = b[i * frame_bytes:(i + 1) * frame_bytes]
+                    rows.append(
+                        {
+                            "sample_id": sid,
+                            "frame_idx": i,
+                            "frame_offset": i * frame_bytes,
+                            "n_frames": n_frames,
+                            "frame_sha1": hashlib.sha1(fb).hexdigest(),
+                            "feature": decode_feature(fb, "video"),
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=_FRAME_COLS)
+
+    return df.mapInPandas(frames, schema=FRAME_SCHEMA)
+
+
+RESIZED_SCHEMA = "sample_id long, content binary, width int, height int, n_bytes long"
+
+
+def resize_images(df: DataFrame, width: int = 8, height: int = 8) -> DataFrame:
+    """Image resize as binary->binary ``mapInPandas``: Pillow-decoded
+    resize + PNG re-encode when the library and payload allow it
+    (capability-checked like ``decode_feature``); otherwise an
+    evenly-spaced byte resample produces a deterministic width*height
+    payload of the same shape. Either way the output is a new binary
+    column sized to the target — the plumbing a thumbnail/tiling stage
+    uses at scale (map-only, no shuffle, bytes stay on executors)."""
+
+    def resize(batches):
+        for pdf in batches:
+            out = []
+            for sid, content in zip(pdf["sample_id"], pdf["content"]):
+                b = b"" if content is None else bytes(content)
+                resized = None
+                if _HAS_PIL:  # pragma: no cover - needs Pillow
+                    try:
+                        import io
+
+                        from PIL import Image
+
+                        with Image.open(io.BytesIO(b)) as im:
+                            buf = io.BytesIO()
+                            im.resize((width, height)).save(buf, format="PNG")
+                            resized = buf.getvalue()
+                    except Exception:
+                        resized = None
+                if resized is None:
+                    # deterministic stub: evenly-spaced byte resample to
+                    # exactly width*height bytes (empty payload -> zeros)
+                    target = width * height
+                    if b:
+                        step = len(b) / target
+                        resized = bytes(b[int(k * step)] for k in range(target))
+                    else:
+                        resized = bytes(target)
+                out.append(
+                    {
+                        "sample_id": sid,
+                        "content": resized,
+                        "width": width,
+                        "height": height,
+                        "n_bytes": len(resized),
+                    }
+                )
+            yield pd.DataFrame(
+                out, columns=["sample_id", "content", "width", "height", "n_bytes"]
+            )
+
+    return df.mapInPandas(resize, schema=RESIZED_SCHEMA)
