@@ -62,3 +62,56 @@ def test_salted_join_equals_plain_join(spark, sf_oracle):
         "l_orderkey", "l_partkey", "p_name"
     )
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_aqe_skew_join_split_is_planned(spark):
+    """AQE's runtime skew handling is a load-bearing scale claim
+    (SCALE.md fact-fact join row): verify it actually fires. A join
+    whose left side is 90% one key, run with broadcast off and test-low
+    skew thresholds, must execute with the SortMergeJoin marked
+    ``skew=true`` — AQE split the hot partition into parallel subtasks
+    instead of letting one reducer own it."""
+    keep = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.adaptive.enabled",
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.enabled",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32k"
+        )
+        spark.conf.set(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes", "16k"
+        )
+        left = spark.range(0, 200_000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(0))
+            .otherwise(F.col("id") % 100)
+            .alias("k"),
+            F.concat(F.lit("payload-"), F.col("id").cast("string")).alias("v"),
+        )
+        right = spark.range(0, 100).select(
+            F.col("id").alias("k"), F.lit("dim").alias("d")
+        )
+        joined = left.join(right, "k")
+        # count()/write() spawn separate QueryExecutions and would leave
+        # joined's own AQE plan unfinalized — collect() drives this one
+        assert len(joined.collect()) == 200_000
+        text = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in text, text[:300]
+        assert "skew=true" in text, text[:1500]
+    finally:
+        for k, v in keep.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
