@@ -158,6 +158,40 @@ def p_image_resize(spark, sf_dir):
     )
 
 
+@register("xp_time_travel", oracle=None, tags=("parity", "snapshots"))
+def p_time_travel(spark, sf_dir):
+    """P-class: versioned-snapshot lifecycle (operators/snapshots.py) —
+    write v1, append v2, overwrite v3, rollback to v1 as v4, then
+    time-travel-read EVERY version and emit one row per version with its
+    exact row count and key checksum. Reproducible-corpus reads are the
+    point: v1 and the rollback v4 must agree byte-for-byte even though
+    an overwrite happened in between (asserted here via matching
+    checksums; full semantics pinned in tests/test_snapshots.py)."""
+    from ..operators.snapshots import read_snapshot, rollback, write_snapshot
+
+    base = tempfile.mkdtemp(prefix="hcs_tt_")
+    t = os.path.join(base, "tbl")
+    c = tbl(spark, sf_dir, "customer")
+    write_snapshot(c.filter(F.col("c_custkey") % 3 == 0), t)
+    write_snapshot(c.filter(F.col("c_custkey") % 3 == 1), t, mode="append")
+    write_snapshot(c.filter(F.col("c_custkey") % 3 == 2), t, mode="overwrite")
+    v4 = rollback(t, to_version=1)
+    rows = []
+    for v in range(1, v4 + 1):
+        snap = read_snapshot(spark, t, v).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("c_custkey").alias("key_sum"),
+        ).collect()[0]
+        rows.append((v, snap.n, snap.key_sum))
+    assert rows[0][1:] == rows[3][1:], "rollback must reproduce v1 exactly"
+    return (
+        spark.createDataFrame(
+            spark.sparkContext.parallelize(rows, 1),
+            "version int, n_rows long, key_sum long",
+        ).orderBy("version")
+    )
+
+
 @register("xp_layout_maintenance", oracle=None, tags=("parity", "layout"))
 def p_layout_maintenance(spark, sf_dir):
     """P-class: layout maintenance end-to-end — fragment the events table

@@ -1,0 +1,102 @@
+"""Versioned-snapshot table semantics (operators/snapshots.py): atomic
+manifest commits, exact time travel under append/overwrite, append-only
+rollback, and vacuum that never touches a kept version's data."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from hadoop_copier_spark.operators.snapshots import (
+    list_versions,
+    read_snapshot,
+    rollback,
+    vacuum,
+    write_snapshot,
+)
+from hadoop_copier_spark.tables import load_table
+
+
+@pytest.fixture()
+def nation(spark, sf_oracle):
+    return load_table(spark, sf_oracle, "nation")
+
+
+def _ids(df):
+    return sorted(r.n_nationkey for r in df.select("n_nationkey").collect())
+
+
+def test_time_travel_exact_across_append_and_overwrite(spark, nation, tmp_path):
+    t = str(tmp_path / "tbl")
+    first = nation.filter(F.col("n_nationkey") < 10)
+    extra = nation.filter((F.col("n_nationkey") >= 10) & (F.col("n_nationkey") < 15))
+    fresh = nation.filter(F.col("n_nationkey") >= 20)
+
+    v1 = write_snapshot(first, t)
+    v2 = write_snapshot(extra, t, mode="append")
+    v3 = write_snapshot(fresh, t, mode="overwrite")
+    assert (v1, v2, v3) == (1, 2, 3)
+    assert list_versions(t) == [1, 2, 3]
+
+    # each version returns exactly its corpus, regardless of later writes
+    assert _ids(read_snapshot(spark, t, 1)) == _ids(first)
+    assert _ids(read_snapshot(spark, t, 2)) == _ids(first.unionByName(extra))
+    assert _ids(read_snapshot(spark, t, 3)) == _ids(fresh)
+    assert _ids(read_snapshot(spark, t)) == _ids(fresh)  # default = latest
+
+    # append reuses v1's files untouched — no rewrite of history
+    import json
+
+    m1 = json.load(open(os.path.join(t, "_manifests", "v000001.json")))
+    m2 = json.load(open(os.path.join(t, "_manifests", "v000002.json")))
+    assert set(m1["files"]) < set(m2["files"])
+
+
+def test_rollback_is_append_only(spark, nation, tmp_path):
+    t = str(tmp_path / "tbl")
+    good = nation.filter(F.col("n_nationkey") < 5)
+    bad = nation.filter(F.col("n_nationkey") >= 23)
+    write_snapshot(good, t)
+    write_snapshot(bad, t, mode="overwrite")
+    v3 = rollback(t, to_version=1)
+    assert v3 == 3 and list_versions(t) == [1, 2, 3]
+    assert _ids(read_snapshot(spark, t)) == _ids(good)
+    assert _ids(read_snapshot(spark, t, 2)) == _ids(bad)  # still inspectable
+
+
+def test_vacuum_removes_only_unreferenced_data(spark, nation, tmp_path):
+    t = str(tmp_path / "tbl")
+    for lo in (0, 5, 10):
+        write_snapshot(
+            nation.filter(F.col("n_nationkey") >= lo), t, mode="overwrite"
+        )
+    removed = vacuum(t, keep_last=2)
+    assert removed, "v1's data dir should be gone"
+    assert list_versions(t) == [2, 3]
+    # kept versions read exactly as before the vacuum
+    assert _ids(read_snapshot(spark, t, 2)) == sorted(range(5, 25))
+    assert _ids(read_snapshot(spark, t, 3)) == sorted(range(10, 25))
+    with pytest.raises(FileNotFoundError):
+        read_snapshot(spark, t, 1)
+
+
+def test_duplicate_version_commit_refused(nation, tmp_path):
+    from hadoop_copier_spark.operators.snapshots import _commit_manifest
+
+    t = str(tmp_path / "tbl")
+    write_snapshot(nation, t)
+    with pytest.raises(ValueError, match="already committed"):
+        _commit_manifest(
+            t, {"version": 1, "files": [], "n_files": 0, "schema": "{}"}
+        )
+
+
+def test_readers_never_depend_on_directory_listing(spark, nation, tmp_path):
+    """A stray half-written data dir (a crashed writer) must be invisible
+    to every committed version."""
+    t = str(tmp_path / "tbl")
+    write_snapshot(nation.filter(F.col("n_nationkey") < 7), t)
+    junk = os.path.join(t, "data", "v999999-deadbeef")
+    os.makedirs(junk)
+    nation.limit(3).write.parquet(os.path.join(junk, "orphan.parquet"))
+    assert _ids(read_snapshot(spark, t)) == list(range(7))
