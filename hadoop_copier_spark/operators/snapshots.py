@@ -106,13 +106,16 @@ def _write_data(df: DataFrame, table_dir: str, version: int) -> list[str]:
 
 
 def write_snapshot(
-    df: DataFrame, table_dir: str, mode: str = "overwrite"
+    df: DataFrame, table_dir: str, mode: str = "overwrite",
+    meta: dict | None = None,
 ) -> int:
     """Commit ``df`` as the next table version; returns the version.
 
     ``overwrite``: the new version's file set is exactly this write.
     ``append``:    the new version = previous version's files (reused
                    in place, never rewritten) + this write's files.
+    ``meta``: extra keys recorded in the manifest (e.g. a streaming
+              batch id for idempotent sinks).
     """
     if mode not in ("overwrite", "append"):
         raise ValueError(f"mode must be overwrite|append, got {mode!r}")
@@ -121,18 +124,26 @@ def write_snapshot(
     files = _write_data(df, table_dir, version)
     if mode == "append" and versions:
         files = _read_manifest(table_dir, versions[-1])["files"] + files
-    _commit_manifest(
-        table_dir,
-        {
-            "version": version,
-            "mode": mode,
-            "files": files,
-            "n_files": len(files),
-            "committed_at": time.time(),
-            "schema": df.schema.json(),
-        },
-    )
+    manifest = {
+        "version": version,
+        "mode": mode,
+        "files": files,
+        "n_files": len(files),
+        "committed_at": time.time(),
+        "schema": df.schema.json(),
+    }
+    if meta:
+        manifest["meta"] = meta
+    _commit_manifest(table_dir, manifest)
     return version
+
+
+def version_metas(table_dir: str) -> dict[int, dict]:
+    """{version: manifest 'meta' dict} for every committed version."""
+    return {
+        v: _read_manifest(table_dir, v).get("meta", {})
+        for v in list_versions(table_dir)
+    }
 
 
 def read_snapshot(

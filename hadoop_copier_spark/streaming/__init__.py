@@ -6,6 +6,7 @@ and tests/test_streaming.py asserts stream results == batch results.
 """
 
 from .replay import replay_events_chunks, replay_events_time_buckets, EVENTS_SCHEMA  # noqa: F401
+from .snapshot_sink import committed_batch_ids, snapshot_batch_writer  # noqa: F401
 from .jobs import (  # noqa: F401
     stream_tumbling_counts,
     stream_dedup,
