@@ -481,3 +481,64 @@ def xp_training_pipeline(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "xh_embed_quantize",
+    oracle="""WITH m AS (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+  FROM embeddings),
+q AS (
+  SELECT vec_id, maxabs,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / maxabs + 0.5) AS BIGINT)) AS qv
+  FROM m WHERE maxabs > 0)
+SELECT vec_id, len(qv) AS n_dims,
+       CAST(list_min(qv) AS BIGINT) AS q_min,
+       CAST(list_max(qv) AS BIGINT) AS q_max,
+       CAST(list_sum(qv) AS BIGINT) AS q_sum,
+       CAST(list_sum(list_transform(qv, v -> abs(v))) AS BIGINT) AS q_l1,
+       maxabs / 127.0 AS scale
+FROM q ORDER BY vec_id""",
+    tags=("llm", "embedding", "quantize"),
+)
+def xh_embed_quantize(spark, sf_dir):
+    """Symmetric int8 embedding quantization — the memory-compression
+    step a vector store applies before ANN serving (4x smaller than
+    float32, dot products in integer SIMD). Per vector: scale =
+    max|x|/127, q_i = round(x_i/scale) — every op is a mirrored IEEE
+    tree (float->double casts are exact, one multiply/divide/floor per
+    element), so the quantized integers hash-match DuckDB exactly, and
+    the emitted per-vector profile (range, sum, L1 mass, scale) is what
+    a quantization-quality monitor tracks. Map-only over the embeddings
+    scan (the array is materialized before its lambda consumers — the
+    CSE pitfall in SCALE.md); only the output sort shuffles. Queued for
+    the r8 driver window per the pinned rotation policy (aliases.py)."""
+    e = tbl(spark, sf_dir, "embeddings")
+    m = e.withColumn(
+        "maxabs",
+        F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double")))),
+    ).filter(F.col("maxabs") > 0)
+    q = m.withColumn(
+        "qv",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(
+                x.cast("double") * F.lit(127.0) / F.col("maxabs") + F.lit(0.5)
+            ).cast("long"),
+        ),
+    )
+    zero = F.lit(0).cast("long")
+    return (
+        q.select(
+            "vec_id",
+            F.size("qv").alias("n_dims"),
+            F.array_min("qv").cast("long").alias("q_min"),
+            F.array_max("qv").cast("long").alias("q_max"),
+            F.aggregate("qv", zero, lambda a, v: a + v).alias("q_sum"),
+            F.aggregate("qv", zero, lambda a, v: a + F.abs(v)).alias("q_l1"),
+            (F.col("maxabs") / F.lit(127.0)).alias("scale"),
+        )
+        .orderBy("vec_id")
+    )
