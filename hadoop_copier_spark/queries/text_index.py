@@ -1,0 +1,313 @@
+"""Text-indexing / language-analysis operators (round 7, part 2): n-gram
+language identification, inverted-index build, and sketch-based heavy
+hitters.
+
+These close out the text-analysis surface the north star mandates
+("language-ID (n-gram heuristic), quality scoring, token counting,
+document fingerprinting"): quality/tokens/fingerprints landed in rounds
+4-5 (queries/dedup_oracle.py); this module adds the language-ID
+classifier plus the two index structures a contamination-search /
+corpus-analytics stack needs:
+
+* ``xh_langid_ngram`` — Cavnar-Trenkle-style profile classifier: learn a
+  top-k token profile per language from the corpus itself, classify every
+  document by profile overlap, emit the confusion matrix vs the labeled
+  ``lang`` column. Exact integer scoring end-to-end, hash-checked.
+* ``xh_inverted_index`` — capped posting lists for the highest-DF tokens
+  (the lookup structure behind "which documents contain this benchmark
+  n-gram?" at interactive latency).
+* ``xh_heavy_hitters`` — two-pass Misra-Gries frequent-items: bounded
+  per-partition sketches (mapInPandas, K counters, NO shuffle of the
+  token long tail) propose a candidate superset; a second exact pass over
+  candidates only recovers the true >N/(K+1) set. The output is the
+  exact deterministic heavy-hitter set, so it hash-checks against a
+  plain-aggregation oracle even though the intermediate sketch is
+  partitioning-dependent.
+
+All outputs follow the registry determinism rules (full ordering, BIGINT
+counts, canonicalized lists serialized to strings).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import Window as W
+
+from .base import F, tbl
+from .registry import register
+
+# One tokenizer, spelled identically on both sides (same construction as
+# queries/dedup_oracle.py): lowercase, split on whitespace, drop empties.
+_TOKENS_SQL = "list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')"
+
+
+def _tokens_col():
+    return F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
+
+
+# ---------------------------------------------------------------------------
+# Language identification (n-gram / token-profile heuristic)
+# ---------------------------------------------------------------------------
+
+_PROFILE_K = 20  # tokens per language profile
+
+
+@register(
+    "xh_langid_ngram",
+    oracle=f"""WITH tk AS (
+  SELECT doc_id, lang, unnest({_TOKENS_SQL}) AS token FROM documents
+),
+prof AS (
+  SELECT lang AS plang, token FROM (
+    SELECT lang, token,
+           row_number() OVER (PARTITION BY lang
+                              ORDER BY COUNT(*) DESC, token) AS rn
+    FROM tk GROUP BY lang, token)
+  WHERE rn <= {_PROFILE_K}
+),
+dt AS (SELECT DISTINCT doc_id, token FROM tk),
+ov AS (
+  SELECT dt.doc_id, prof.plang, COUNT(*) AS overlap
+  FROM dt JOIN prof USING (token) GROUP BY 1, 2
+),
+best AS (
+  SELECT doc_id, plang FROM (
+    SELECT doc_id, plang,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY overlap DESC, plang) AS rn
+    FROM ov)
+  WHERE rn = 1
+)
+SELECT d.lang, COALESCE(best.plang, 'und') AS predicted, COUNT(*) AS n_docs
+FROM documents d LEFT JOIN best ON d.doc_id = best.doc_id
+GROUP BY 1, 2 ORDER BY lang, predicted""",
+    tags=("llm", "text", "langid"),
+)
+def xh_langid_ngram(spark, sf_dir):
+    """Language identification by corpus-derived token profiles
+    (Cavnar-Trenkle n-gram profiling, n=1 over whitespace tokens — the
+    classic langid heuristic the north star names). Two phases, both
+    exact-integer so the confusion matrix hash-checks:
+
+    TRAIN: count tokens per (lang, token) — a partial-agg shuffle whose
+    row count is bounded by per-language vocabulary, NOT corpus size —
+    then keep each language's top-{_PROFILE_K} by a window partitioned on
+    ``lang`` (the window sorts vocabularies, never the corpus; with more
+    languages the partition count grows with them).
+
+    CLASSIFY: the profile is O(langs x k) rows — broadcast it, join each
+    document's DISTINCT tokens (array_distinct map-side collapse, the
+    xh_doc_freq discipline), count overlap per (doc, candidate lang),
+    argmax with a deterministic (overlap DESC, lang) tiebreak in a
+    doc_id-partitioned window (<= n_langs rows per partition key). Docs
+    matching no profile token predict 'und'. Output: confusion matrix vs
+    the labeled ``lang`` column — the drift dashboard a curation pipeline
+    watches.
+
+    At 100 TB nothing here holds more than (vocab | langs x k) rows in
+    any single sort or broadcast; the corpus itself is touched by two
+    map-side scans and one bounded aggregate each."""
+    d = tbl(spark, sf_dir, "documents")
+    t = d.select("lang", F.explode(_tokens_col()).alias("token"))
+    wl = W.partitionBy("lang").orderBy(F.col("cnt").desc(), "token")
+    prof = (
+        t.groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("rn", F.row_number().over(wl))
+        .filter(F.col("rn") <= _PROFILE_K)
+        .select(F.col("lang").alias("plang"), "token")
+    )
+    dt = d.select(
+        "doc_id", F.explode(F.array_distinct(_tokens_col())).alias("token")
+    )
+    ov = (
+        dt.join(F.broadcast(prof), "token")
+        .groupBy("doc_id", "plang")
+        .agg(F.count(F.lit(1)).alias("overlap"))
+    )
+    wd = W.partitionBy("doc_id").orderBy(F.col("overlap").desc(), "plang")
+    best = (
+        ov.withColumn("rn", F.row_number().over(wd))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "plang")
+    )
+    return (
+        d.select("doc_id", "lang")
+        .join(best, "doc_id", "left")
+        .select("lang", F.coalesce("plang", F.lit("und")).alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang", "predicted")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Inverted index (capped posting lists)
+# ---------------------------------------------------------------------------
+
+_POSTING_CAP = 20  # doc ids materialized per token
+_INDEX_TOP = 50  # tokens emitted
+
+
+@register(
+    "xh_inverted_index",
+    oracle=f"""WITH dt AS (
+  SELECT doc_id, unnest(list_distinct({_TOKENS_SQL})) AS token FROM documents
+),
+r AS (
+  SELECT token, doc_id,
+         row_number() OVER (PARTITION BY token ORDER BY doc_id) AS rn
+  FROM dt WHERE token <> ''
+)
+SELECT token, COUNT(*) AS df,
+       string_agg(CASE WHEN rn <= {_POSTING_CAP}
+                       THEN CAST(doc_id AS VARCHAR) END,
+                  ',' ORDER BY doc_id) AS postings
+FROM r GROUP BY token
+ORDER BY df DESC, token LIMIT {_INDEX_TOP}""",
+    tags=("llm", "text", "index"),
+)
+def xh_inverted_index(spark, sf_dir):
+    """Inverted-index build: per token, document frequency plus a capped,
+    sorted posting list (first {_POSTING_CAP} doc ids) — the structure
+    behind interactive "which documents contain X?" lookups (benchmark-
+    contamination triage, targeted takedown) without rescanning the
+    corpus. Tokens are DISTINCT-ed per document map-side
+    (array_distinct before the explode, the xh_doc_freq discipline), so
+    the shuffle carries one row per (doc, distinct token). The rank
+    window and the aggregate both hash-partition on ``token`` — one
+    exchange feeds both (the xh_outlier_trim shared-exchange pattern) —
+    and only the capped lists plus a top-{_INDEX_TOP} TakeOrdered leave
+    the executors. Posting ids are sorted NUMERICALLY before string
+    serialization on both sides (sort_array on BIGINT <-> ORDER BY
+    doc_id) — lexicographic agg order would diverge at doc_id 10."""
+    d = tbl(spark, sf_dir, "documents")
+    dt = (
+        d.select(
+            "doc_id",
+            F.explode(F.array_distinct(_tokens_col())).alias("token"),
+        )
+        .filter(F.col("token") != "")
+    )
+    w = W.partitionBy("token").orderBy("doc_id")
+    r = dt.withColumn("rn", F.row_number().over(w))
+    postings = F.concat_ws(
+        ",",
+        F.transform(
+            F.sort_array(
+                F.collect_list(
+                    F.when(F.col("rn") <= _POSTING_CAP, F.col("doc_id"))
+                )
+            ),
+            lambda x: x.cast("string"),
+        ),
+    )
+    return (
+        r.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"), postings.alias("postings"))
+        .orderBy(F.col("df").desc(), "token")
+        .limit(_INDEX_TOP)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Heavy hitters (Misra-Gries sketch + exact second pass)
+# ---------------------------------------------------------------------------
+
+_MG_COUNTERS = 49  # K counters => guaranteed superset of count > N/(K+1)
+
+
+def mg_candidates(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Per-partition weighted Misra-Gries over a ``token`` column.
+
+    Maintains at most ``_MG_COUNTERS`` counters across the partition's
+    Arrow batches (each batch pre-reduced by value_counts, so the Python
+    dict sees vocabulary-sized work, not token-stream-sized). When the
+    counter set overflows, the (K+1)-th largest value m is subtracted
+    from every counter and non-positive ones dropped — the batched form
+    of the classic decrement-all step: each round removes >= m*(K+1)
+    stream mass, so any token's total undercount is < N_p/(K+1), giving
+    the superset guarantee the second exact pass relies on."""
+    counters: dict = {}
+    k = _MG_COUNTERS
+    for pdf in it:
+        for tok, c in pdf["token"].value_counts().items():
+            counters[tok] = counters.get(tok, 0) + int(c)
+        if len(counters) > k:
+            vals = sorted(counters.values(), reverse=True)
+            m = vals[k]
+            counters = {t: c - m for t, c in counters.items() if c > m}
+    yield pd.DataFrame({"token": list(counters.keys())})
+
+
+def _partial_count(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """One BIGINT row per partition: its token count. Folded to a global
+    total via coalesce(1) + sum — a narrow merge of O(partitions) 1-row
+    streams, never an `Exchange SinglePartition` (the suite-wide scale
+    invariant, tests/test_plans.py)."""
+    n = 0
+    for pdf in it:
+        n += len(pdf)
+    yield pd.DataFrame({"n": [n]})
+
+
+@register(
+    "xh_heavy_hitters",
+    oracle=f"""WITH tk AS (
+  SELECT unnest({_TOKENS_SQL}) AS token FROM documents
+),
+c AS (SELECT token, COUNT(*) AS cnt FROM tk GROUP BY token),
+n AS (SELECT COUNT(*) AS total FROM tk)
+SELECT token, cnt FROM c, n WHERE cnt * {_MG_COUNTERS + 1} > total
+ORDER BY cnt DESC, token""",
+    tags=("llm", "text", "sketch"),
+)
+def xh_heavy_hitters(spark, sf_dir):
+    """Frequent tokens above a 1/(K+1) = 1/50 frequency threshold via
+    the two-pass Misra-Gries pattern — the scale path for "what dominates
+    my corpus?" when the exact token aggregate (q57) would shuffle a
+    100 TB long tail:
+
+    PASS 1 (sketch): ``mapInPandas`` keeps K={_MG_COUNTERS} bounded
+    counters per partition; only O(partitions x K) candidate rows leave
+    the executors. Union-of-sketches guarantee: any token with global
+    count > N/(K+1) exceeds the local threshold in at least one
+    partition, so the candidate set is a SUPERSET of the true heavy
+    hitters (property-pinned in tests/test_curation_props.py).
+
+    PASS 2 (exact): candidates broadcast back over the token stream; only
+    candidate tokens are aggregated, and the N/(K+1) filter (computed via
+    a 1-row broadcast total, never a collect) trims sketch-dependent
+    extras. The emitted set is therefore EXACTLY the true heavy hitters —
+    deterministic regardless of partitioning — which is what lets a
+    sketch-based plan hash-check against the plain-aggregation oracle.
+
+    Plan shape (pinned by the suite-wide invariants): the global total is
+    per-partition partial counts folded through coalesce(1) — no
+    `Exchange SinglePartition` anywhere — and the 1-row total attaches
+    via a broadcast nested-loop join whose build side is PROVABLY one row
+    (allowlisted with the other bounded-side joins in
+    tests/test_plans.py: a 1-row broadcast is the optimal physical plan
+    for attaching a global scalar)."""
+    d = tbl(spark, sf_dir, "documents")
+    toks = d.select(F.explode(_tokens_col()).alias("token"))
+    cand = toks.mapInPandas(mg_candidates, schema="token string").distinct()
+    exact = (
+        toks.join(F.broadcast(cand), "token")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    total = (
+        toks.mapInPandas(_partial_count, schema="n bigint")
+        .coalesce(1)
+        .agg(F.sum("n").alias("total"))
+    )
+    return (
+        exact.join(F.broadcast(total))
+        .filter(F.col("cnt") * (_MG_COUNTERS + 1) > F.col("total"))
+        .select("token", "cnt")
+        .orderBy(F.col("cnt").desc(), "token")
+    )

@@ -91,3 +91,47 @@ def test_incremental_dedup_partition_is_exhaustive(spark, sf_smoke):
     d = load_table(spark, sf_smoke, "documents")
     n_new_raw = d.filter(F.col("doc_id") % 10 >= 8).count()
     assert sum(r.n_new for r in rows) == n_new_raw
+
+
+def test_mg_candidates_superset_and_bounded(spark, sf_smoke):
+    """Misra-Gries stage-1 guarantee (queries/text_index.py): for ANY
+    partitioning, the candidate union (a) contains every token with true
+    count > N/(K+1), (b) stays within partitions x K rows. Exercised at
+    1, 3 and 16 partitions so the bound is partitioning-independent, not
+    an artifact of one layout."""
+    from hadoop_copier_spark.queries.text_index import (
+        _MG_COUNTERS,
+        _tokens_col,
+        mg_candidates,
+    )
+
+    d = load_table(spark, sf_smoke, "documents")
+    toks = d.select(F.explode(_tokens_col()).alias("token"))
+    exact = {r.token: r.cnt for r in toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    total = sum(exact.values())
+    true_hh = {t for t, c in exact.items() if c * (_MG_COUNTERS + 1) > total}
+    assert true_hh, "fixture corpus should have heavy hitters"
+    for parts in (1, 3, 16):
+        cand = {
+            r.token
+            for r in toks.repartition(parts)
+            .mapInPandas(mg_candidates, schema="token string")
+            .collect()
+        }
+        assert true_hh <= cand, f"parts={parts}: lost a true heavy hitter"
+        assert len(cand) <= parts * _MG_COUNTERS
+
+
+def test_heavy_hitters_exact_under_any_partitioning(spark, sf_smoke):
+    """Stage-2 determinism: the registered query's OUTPUT is the exact
+    true heavy-hitter set — identical rows under different shuffle
+    partition settings even though the intermediate sketch differs."""
+    q = REGISTRY["xh_heavy_hitters"]
+    base = [tuple(r) for r in q.fn(spark, sf_smoke).collect()]
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        alt = [tuple(r) for r in q.fn(spark, sf_smoke).collect()]
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert base == alt and base

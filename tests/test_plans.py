@@ -237,10 +237,16 @@ def test_no_unplanned_nested_loop_or_cartesian_joins(spark, sf_smoke):
     a provably bounded side — the declared cross join (q19: region x
     nation, both tiny dims), the contract theta join (q20: supplier self
     join, dim-sized), brute-force cosine with the query side broadcast
-    (q59), and the embedding near-dup twins' declared bounded cross join.
+    (q59), the embedding near-dup twins' declared bounded cross join, and
+    xh_heavy_hitters' 1-ROW global-total broadcast (attaching a global
+    scalar to a bounded candidate set — the build side is provably a
+    single row, so the nested loop is the optimal physical plan).
     Any other query acquiring a BNLJ/CartesianProduct is a planning
     regression that dies at scale."""
-    allowed = {"q19", "q20", "q59", "xh_embedding_neardup", "xp_embedding_neardup"}
+    allowed = {
+        "q19", "q20", "q59", "xh_embedding_neardup", "xp_embedding_neardup",
+        "xh_heavy_hitters",
+    }
     offenders = []
     for name, q in sorted(REGISTRY.items()):
         if "alias" in q.tags or name in allowed:
