@@ -1,0 +1,240 @@
+"""Product/time-series analytics over the event stream (round 7, part 3):
+sequential funnels, cohort retention, and OHLC bars.
+
+The reference's status rollup (m/service/CopyTaskService.java:108-127) is
+the only "analytics" it performs; a real analytics engine is expected to
+answer the classic event-stream questions too. These three are the
+canonical shapes — each one a pattern that composes differently from
+anything already in the registry:
+
+* ``xh_event_funnel`` — STRICTLY-ORDERED multi-stage conversion
+  (signup, then a click after it, then a purchase after that), reported
+  per signup day. Sequential dependence (stage N+1's filter needs stage
+  N's timestamp) is expressed as a cascade of per-user min-aggregates
+  and re-joins — all keyed on user_id, so every exchange in the chain
+  reuses one partitioning.
+* ``xh_cohort_retention`` — users bucketed by first-seen ISO week, then
+  (cohort, week-offset) activity counts: the retention triangle.
+* ``xh_ohlc_bars`` — 15-minute open/high/low/close/volume bars per
+  event type: first/last-in-bucket via two row_number windows that share
+  ONE (bar, type) exchange with the final aggregate.
+
+Determinism: timestamps reduce to epoch seconds (BIGINT) after
+date_trunc('second') — the q61/q63 idiom — money to integer cents, and
+ratios to exact ppm via integer floor division, so every output cell is
+serializer-proof and the DuckDB mirrors hash-match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+
+from .base import F, cents, tbl
+from .registry import register
+
+# Shared second-granularity epoch spelling (q63 precedent): ns-parquet
+# timestamps truncate identically in both engines at second granularity.
+_SEC_SQL = "CAST(epoch(date_trunc('second', ts)) AS BIGINT)"
+
+
+def _sec():
+    return F.unix_timestamp(F.date_trunc("second", F.col("ts"))).cast("bigint")
+
+
+@register(
+    "xh_event_funnel",
+    oracle=f"""WITH e AS (
+  SELECT user_id, event_type, {_SEC_SQL} AS sec FROM events
+),
+ta AS (SELECT user_id, MIN(sec) AS t_a FROM e
+       WHERE event_type = 'signup' GROUP BY 1),
+tb AS (SELECT e.user_id, MIN(sec) AS t_b FROM e JOIN ta USING (user_id)
+       WHERE event_type = 'click' AND sec > t_a GROUP BY 1),
+tc AS (SELECT e.user_id, MIN(sec) AS t_c FROM e JOIN tb USING (user_id)
+       WHERE event_type = 'purchase' AND sec > t_b GROUP BY 1)
+SELECT (t_a // 86400) * 86400 AS signup_day,
+       COUNT(*) AS n_signup,
+       COUNT(t_b) AS n_click_after,
+       COUNT(t_c) AS n_purchase_after,
+       (COUNT(t_c) * 1000000) // COUNT(*) AS purchase_ppm
+FROM ta LEFT JOIN tb USING (user_id) LEFT JOIN tc USING (user_id)
+GROUP BY 1 ORDER BY 1""",
+    tags=("events", "funnel", "analytics"),
+)
+def xh_event_funnel(spark, sf_dir):
+    """Strict-sequence conversion funnel: per user, the first signup,
+    the first click STRICTLY AFTER it, and the first purchase strictly
+    after that — then daily conversion counts plus an exact-ppm
+    purchase rate (integer floor division, never a float ratio).
+    Order sensitivity is what distinguishes a funnel from three filters:
+    a click before the signup does not count.
+
+    Plan (verified by explain): each stage's event_type equality is
+    PUSHED TO THE PARQUET SCAN (every branch reads only its own event
+    type — at 100 TB with type-partitioned storage that is partition
+    pruning), each per-user min is a partial->final aggregate, and the
+    stage frames (one row per converting user — dimension-sized, never
+    event-sized) attach via BroadcastHashJoin, demoting to a shuffled
+    join automatically if the user dimension outgrows the threshold.
+    The final rollup stays day-grouped (never a single global row,
+    which would plan the forbidden single-partition exchange); daily
+    resolution is also what a funnel dashboard actually plots."""
+    e = tbl(spark, sf_dir, "events").select(
+        "user_id", "event_type", _sec().alias("sec")
+    )
+    ta = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("sec").alias("t_a"))
+    )
+    tb = (
+        e.filter(F.col("event_type") == "click")
+        .join(ta, "user_id")
+        .filter(F.col("sec") > F.col("t_a"))
+        .groupBy("user_id")
+        .agg(F.min("sec").alias("t_b"))
+    )
+    tc = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(tb, "user_id")
+        .filter(F.col("sec") > F.col("t_b"))
+        .groupBy("user_id")
+        .agg(F.min("sec").alias("t_c"))
+    )
+    return (
+        ta.join(tb, "user_id", "left")
+        .join(tc, "user_id", "left")
+        .groupBy(
+            F.expr("(t_a div 86400) * 86400").alias("signup_day")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_signup"),
+            F.count("t_b").alias("n_click_after"),
+            F.count("t_c").alias("n_purchase_after"),
+        )
+        .withColumn(
+            "purchase_ppm",
+            F.expr("(n_purchase_after * 1000000) div n_signup"),
+        )
+        .orderBy("signup_day")
+    )
+
+
+_WEEK_SQL = "CAST(epoch(date_trunc('week', ts)) AS BIGINT)"
+
+
+def _week():
+    return F.unix_timestamp(F.date_trunc("week", F.col("ts"))).cast("bigint")
+
+
+@register(
+    "xh_cohort_retention",
+    oracle=f"""WITH e AS (
+  SELECT user_id, {_WEEK_SQL} AS wk FROM events
+),
+first AS (SELECT user_id, MIN(wk) AS cohort_wk FROM e GROUP BY 1),
+act AS (SELECT DISTINCT user_id, wk FROM e)
+SELECT cohort_wk, (wk - cohort_wk) // 604800 AS week_offset,
+       COUNT(*) AS n_users
+FROM act JOIN first USING (user_id)
+GROUP BY 1, 2 ORDER BY 1, 2""",
+    tags=("events", "cohort", "analytics"),
+)
+def xh_cohort_retention(spark, sf_dir):
+    """Cohort retention triangle: users are assigned to the ISO week
+    (Monday-truncated in both engines) of their first event; each later
+    active week increments that cohort's count at the corresponding
+    integer week offset. The week offset is an exact BIGINT subtraction
+    and floor division of epoch seconds — both weeks are week-truncated,
+    so the division is always exact.
+
+    Plan: one user_id exchange serves the first-seen aggregate, the
+    distinct active-week collapse, and the join between them; only
+    (cohorts x offsets) rows reach the final aggregate. This is the
+    weekly-retention dashboard query every growth team runs — and the
+    same gaps-and-islands family as xh_scd2_intervals, expressed with
+    aggregation instead of windows."""
+    e = tbl(spark, sf_dir, "events").select("user_id", _week().alias("wk"))
+    first = e.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    act = e.distinct()
+    return (
+        act.join(first, "user_id")
+        .groupBy(
+            "cohort_wk",
+            F.expr("(wk - cohort_wk) div 604800").alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("cohort_wk", "week_offset")
+    )
+
+
+_BAR_SEC = 900  # 15-minute bars
+
+
+@register(
+    "xh_ohlc_bars",
+    oracle=f"""WITH e AS (
+  SELECT event_type, event_id, {_SEC_SQL} AS sec,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+),
+b AS (SELECT *, (sec // {_BAR_SEC}) * {_BAR_SEC} AS bar_start FROM e),
+r AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY bar_start, event_type
+                            ORDER BY sec, event_id) AS ra,
+         row_number() OVER (PARTITION BY bar_start, event_type
+                            ORDER BY sec DESC, event_id DESC) AS rd
+  FROM b
+)
+SELECT bar_start, event_type,
+       MAX(CASE WHEN ra = 1 THEN cents END) AS open_cents,
+       MAX(cents) AS high_cents,
+       MIN(cents) AS low_cents,
+       MAX(CASE WHEN rd = 1 THEN cents END) AS close_cents,
+       COUNT(*) AS n_events,
+       CAST(SUM(cents) AS BIGINT) AS vol_cents
+FROM r GROUP BY 1, 2 ORDER BY 1, 2""",
+    tags=("events", "timeseries", "analytics"),
+)
+def xh_ohlc_bars(spark, sf_dir):
+    """OHLC/volume bars: per 15-minute bucket and event type, the
+    opening value (earliest by (sec, event_id) — event_id breaks
+    same-second ties deterministically), high, low, closing value,
+    event count and total — the downsampling shape behind every
+    financial/telemetry chart. Values are exact integer cents.
+
+    Plan: the ascending and descending rank windows AND the final
+    aggregate all partition on (bar_start, event_type) — one hash
+    exchange feeds all three (the xh_outlier_trim shared-exchange
+    pattern), each bar sorts only its own bucket's rows, and only
+    per-bar rows leave the shuffle. At 100 TB the bar count grows with
+    time x types, not with event volume."""
+    e = tbl(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        _sec().alias("sec"),
+        cents("value").alias("cents"),
+    )
+    b = e.withColumn(
+        "bar_start", F.expr(f"(sec div {_BAR_SEC}) * {_BAR_SEC}")
+    )
+    wa = W.partitionBy("bar_start", "event_type").orderBy("sec", "event_id")
+    wd = W.partitionBy("bar_start", "event_type").orderBy(
+        F.col("sec").desc(), F.col("event_id").desc()
+    )
+    r = b.withColumn("ra", F.row_number().over(wa)).withColumn(
+        "rd", F.row_number().over(wd)
+    )
+    return (
+        r.groupBy("bar_start", "event_type")
+        .agg(
+            F.max(F.when(F.col("ra") == 1, F.col("cents"))).alias("open_cents"),
+            F.max("cents").alias("high_cents"),
+            F.min("cents").alias("low_cents"),
+            F.max(F.when(F.col("rd") == 1, F.col("cents"))).alias("close_cents"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("cents").cast("bigint").alias("vol_cents"),
+        )
+        .orderBy("bar_start", "event_type")
+    )
