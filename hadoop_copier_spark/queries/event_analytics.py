@@ -1,9 +1,10 @@
-"""Product/time-series analytics over the event stream (round 7, part 3):
-sequential funnels, cohort retention, and OHLC bars.
+"""Product/time-series analytics over the event and order streams
+(round 7, part 3): sequential funnels, cohort retention, OHLC bars,
+transition matrices, and RFM segmentation.
 
 The reference's status rollup (m/service/CopyTaskService.java:108-127) is
 the only "analytics" it performs; a real analytics engine is expected to
-answer the classic event-stream questions too. These three are the
+answer the classic event-stream questions too. These five are the
 canonical shapes — each one a pattern that composes differently from
 anything already in the registry:
 
@@ -18,6 +19,10 @@ anything already in the registry:
 * ``xh_ohlc_bars`` — 15-minute open/high/low/close/volume bars per
   event type: first/last-in-bucket via two row_number windows that share
   ONE (bar, type) exchange with the final aggregate.
+* ``xh_event_transitions`` — the Markov from->to event matrix with
+  exact-ppm row shares (journey / next-step analysis).
+* ``xh_rfm_segments`` — per-market-segment Recency/Frequency/Monetary
+  quintile grid over the order history, exact integer rank cuts.
 
 Determinism: timestamps reduce to epoch seconds (BIGINT) after
 date_trunc('second') — the q61/q63 idiom — money to integer cents, and
@@ -237,4 +242,149 @@ def xh_ohlc_bars(spark, sf_dir):
             F.sum("cents").cast("bigint").alias("vol_cents"),
         )
         .orderBy("bar_start", "event_type")
+    )
+
+
+@register(
+    "xh_event_transitions",
+    oracle=f"""WITH e AS (
+  SELECT user_id, event_id, event_type, {_SEC_SQL} AS sec FROM events
+),
+nx AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY sec, event_id) AS to_type
+  FROM e
+),
+c AS (
+  SELECT from_type, to_type, COUNT(*) AS n FROM nx
+  WHERE to_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT from_type, to_type, n,
+       CAST((n * 1000000) // SUM(n) OVER (PARTITION BY from_type) AS BIGINT)
+         AS share_ppm
+FROM c ORDER BY from_type, to_type""",
+    tags=("events", "markov", "analytics"),
+)
+def xh_event_transitions(spark, sf_dir):
+    """Event-transition (Markov) matrix: for every user journey, each
+    consecutive (event, next event) pair ordered by (sec, event_id),
+    rolled up to from->to counts plus an exact-ppm row share — the
+    "where do users go next?" matrix behind journey analysis and
+    next-step prediction features.
+
+    Plan: one lead() window partitioned per user (each partition sorts
+    only that user's events), a partial->final aggregate down to at most
+    |types|^2 rows, and the ppm share computed by a window over THAT
+    bounded matrix — the corpus is never touched again. Output size is
+    event-vocabulary-squared, independent of event volume."""
+    e = tbl(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", _sec().alias("sec")
+    )
+    wu = W.partitionBy("user_id").orderBy("sec", "event_id")
+    nx = e.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(wu).alias("to_type"),
+    )
+    c = (
+        nx.filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wf = W.partitionBy("from_type")
+    return (
+        c.withColumn("tot", F.sum("n").over(wf))
+        .withColumn("share_ppm", F.expr("(n * 1000000) div tot"))
+        .select("from_type", "to_type", "n", "share_ppm")
+        .orderBy("from_type", "to_type")
+    )
+
+
+@register(
+    "xh_rfm_segments",
+    oracle="""WITH per AS (
+  SELECT o_custkey AS custkey,
+         MAX(CAST(epoch(o_orderdate) AS BIGINT)) AS last_sec,
+         COUNT(*) AS n_orders,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS monetary_cents
+  FROM orders GROUP BY 1
+),
+j AS (
+  SELECT per.*, c.c_mktsegment AS segment
+  FROM per JOIN customer c ON per.custkey = c.c_custkey
+),
+r AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY segment
+                            ORDER BY last_sec DESC, custkey) AS rr,
+         row_number() OVER (PARTITION BY segment
+                            ORDER BY n_orders DESC, custkey) AS rf,
+         row_number() OVER (PARTITION BY segment
+                            ORDER BY monetary_cents DESC, custkey) AS rm,
+         COUNT(*) OVER (PARTITION BY segment) AS seg_n
+  FROM j
+)
+SELECT segment,
+       ((rr - 1) * 5) // seg_n + 1 AS r_score,
+       ((rf - 1) * 5) // seg_n + 1 AS f_score,
+       ((rm - 1) * 5) // seg_n + 1 AS m_score,
+       COUNT(*) AS n_customers,
+       CAST(SUM(monetary_cents) AS BIGINT) AS sum_monetary_cents
+FROM r GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 3, 4""",
+    tags=("orders", "rfm", "analytics"),
+)
+def xh_rfm_segments(spark, sf_dir):
+    """RFM customer segmentation: per market segment, every customer is
+    scored 1 (best quintile) to 5 on Recency (last order date),
+    Frequency (order count) and Monetary (lifetime cents), and the
+    625-cell-max (segment, R, F, M) grid reports customer counts and
+    value — the marketing-segmentation workhorse. Quintiles are EXACT
+    integer rank cuts (((rank-1)*5) div n + 1) with custkey tiebreaks,
+    never float percentiles — the xh_outlier_trim discipline, so the
+    grid is engine- and rerun-stable.
+
+    Plan: the per-customer profile is one partial->final aggregate over
+    orders; the three rank windows and the segment count all share ONE
+    segment hash exchange (ranking sorts the CUSTOMER DIMENSION within
+    each segment, never the orders fact), and the final grid aggregate
+    keys on a superset of the segment key so it reuses that exchange
+    too. Only the bounded grid leaves the executors."""
+    o = tbl(spark, sf_dir, "orders")
+    c = tbl(spark, sf_dir, "customer")
+    per = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max(F.unix_timestamp("o_orderdate").cast("bigint")).alias("last_sec"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(cents("o_totalprice")).cast("bigint").alias("monetary_cents"),
+    )
+    j = per.join(
+        c.select(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_mktsegment").alias("segment"),
+        ),
+        "custkey",
+    )
+    rr = W.partitionBy("segment").orderBy(F.col("last_sec").desc(), "custkey")
+    rf = W.partitionBy("segment").orderBy(F.col("n_orders").desc(), "custkey")
+    rm = W.partitionBy("segment").orderBy(
+        F.col("monetary_cents").desc(), "custkey"
+    )
+    r = (
+        j.withColumn("rr", F.row_number().over(rr))
+        .withColumn("rf", F.row_number().over(rf))
+        .withColumn("rm", F.row_number().over(rm))
+        .withColumn("seg_n", F.count(F.lit(1)).over(W.partitionBy("segment")))
+    )
+    return (
+        r.groupBy(
+            "segment",
+            F.expr("((rr - 1) * 5) div seg_n + 1").alias("r_score"),
+            F.expr("((rf - 1) * 5) div seg_n + 1").alias("f_score"),
+            F.expr("((rm - 1) * 5) div seg_n + 1").alias("m_score"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("monetary_cents").cast("bigint").alias("sum_monetary_cents"),
+        )
+        .orderBy("segment", "r_score", "f_score", "m_score")
     )
