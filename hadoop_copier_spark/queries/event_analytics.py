@@ -153,17 +153,22 @@ def xh_cohort_retention(spark, sf_dir):
     and floor division of epoch seconds — both weeks are week-truncated,
     so the division is always exact.
 
-    Plan: one user_id exchange serves the first-seen aggregate, the
-    distinct active-week collapse, and the join between them; only
-    (cohorts x offsets) rows reach the final aggregate. This is the
+    Plan (pinned in tests/test_plans.py): NO join at all — one user_id
+    exchange computes first-seen week AND the distinct active-week set
+    (collect_set: a user's distinct weeks are bounded by the corpus's
+    week count, so the per-row state is calendar-sized metadata, never
+    event-sized) in the same aggregate; exploding that set and
+    re-aggregating moves only (users x active-weeks) rows into the
+    second, final exchange of (cohorts x offsets) groups. This is the
     weekly-retention dashboard query every growth team runs — and the
     same gaps-and-islands family as xh_scd2_intervals, expressed with
     aggregation instead of windows."""
     e = tbl(spark, sf_dir, "events").select("user_id", _week().alias("wk"))
-    first = e.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
-    act = e.distinct()
+    per = e.groupBy("user_id").agg(
+        F.min("wk").alias("cohort_wk"), F.collect_set("wk").alias("wks")
+    )
     return (
-        act.join(first, "user_id")
+        per.select("cohort_wk", F.explode("wks").alias("wk"))
         .groupBy(
             "cohort_wk",
             F.expr("(wk - cohort_wk) div 604800").alias("week_offset"),

@@ -324,3 +324,39 @@ def test_incremental_dedup_join_rides_window_partitioning(spark, sf_oracle):
     text = _explain_simple(spark, sf_oracle, "xh_incremental_dedup")
     assert text.count("Exchange hashpartitioning") == 3, text[:1500]
     assert "Exchange SinglePartition" not in text
+
+
+def test_ohlc_bars_single_shared_exchange(spark, sf_oracle):
+    """xh_ohlc_bars: both rank windows and the bar aggregate partition on
+    (bar_start, event_type) — exactly one hash exchange plus the output
+    sort's range exchange."""
+    text = _explain_simple(spark, sf_oracle, "xh_ohlc_bars")
+    assert text.count("Exchange hashpartitioning") == 1
+    assert "Exchange SinglePartition" not in text
+
+
+def test_rfm_two_exchanges_no_more(spark, sf_oracle):
+    """xh_rfm_segments: the per-customer order profile costs one custkey
+    exchange; the three quintile-rank windows, the segment count window
+    and the grid aggregate all share ONE segment exchange — exactly two
+    hash exchanges total."""
+    text = _explain_simple(spark, sf_oracle, "xh_rfm_segments")
+    assert text.count("Exchange hashpartitioning") == 2
+    assert "Exchange SinglePartition" not in text
+
+
+def test_inverted_index_single_token_exchange(spark, sf_oracle):
+    """xh_inverted_index: the posting-rank window and the df aggregate
+    share one token exchange; tokens are distinct-ed map-side before the
+    explode, so nothing else shuffles."""
+    text = _explain_simple(spark, sf_oracle, "xh_inverted_index")
+    assert text.count("Exchange hashpartitioning") == 1
+
+
+def test_cohort_retention_join_free_two_exchanges(spark, sf_oracle):
+    """xh_cohort_retention: the first-seen week and the distinct-week
+    set come out of ONE user_id aggregate (collect_set) — no join
+    anywhere, exactly two hash exchanges."""
+    text = _explain_simple(spark, sf_oracle, "xh_cohort_retention")
+    assert "Join" not in text
+    assert text.count("Exchange hashpartitioning") == 2
