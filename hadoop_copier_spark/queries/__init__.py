@@ -4,6 +4,7 @@ from .registry import REGISTRY, Query, register  # noqa: F401
 
 from . import aggregates  # noqa: F401,E402
 from . import dedup_oracle  # noqa: F401,E402
+from . import entity_resolution  # noqa: F401,E402
 from . import event_analytics  # noqa: F401,E402
 from . import functions_suite  # noqa: F401,E402
 from . import joins  # noqa: F401,E402
