@@ -11,6 +11,7 @@ from . import joins  # noqa: F401,E402
 from . import llm_ops  # noqa: F401,E402
 from . import parity  # noqa: F401,E402
 from . import pipeline_ops  # noqa: F401,E402
+from . import quality_checks  # noqa: F401,E402
 from . import relational  # noqa: F401,E402
 from . import sorts_setops  # noqa: F401,E402
 from . import streaming_batch  # noqa: F401,E402

@@ -1,0 +1,181 @@
+"""Data-quality validation operators (round 7, part 5): declarative
+constraint profiling and schema-evolution plumbing.
+
+Production pipelines gate every ingest on a constraint profile (the
+Deequ/Great-Expectations pattern): primary-key uniqueness, referential
+integrity, domain membership, derived-column consistency, null budgets.
+``xh_dq_profile`` runs that whole battery as ONE query returning a
+(check, n_violations) table — violations are counted, never exploded,
+so the output is constraint-count-sized at any corpus size.
+
+``xp_schema_evolution`` pins the other ingest-time invariant: a table
+whose files were written under different schema versions (a column
+added mid-stream) must read back as one coherent frame with NULLs for
+the pre-evolution rows (parquet mergeSchema).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from .base import F, tbl
+from .registry import register
+
+
+def _partial_sum(col: str):
+    """Per-partition partial sums of ``col`` (one BIGINT row each),
+    foldable to a global total via coalesce(1) + sum without ever
+    planning an `Exchange SinglePartition` (the text_index.py
+    heavy-hitter pattern; the suite-wide invariant in test_plans.py
+    forbids the single-partition shape even over aggregate state)."""
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        s = 0
+        for pdf in it:
+            s += int(pdf[col].sum())
+        yield pd.DataFrame({"n": [s]})
+
+    return fn
+
+
+@register(
+    "xh_dq_profile",
+    oracle="""SELECT * FROM (
+  SELECT 'customer_null_acctbal' AS chk,
+         CAST(COUNT(*) FILTER (WHERE c_acctbal IS NULL) AS BIGINT) AS n_violations
+  FROM customer
+  UNION ALL
+  SELECT 'documents_nchars_mismatch',
+         CAST(COUNT(*) FILTER (WHERE n_chars <> length(text)) AS BIGINT)
+  FROM documents
+  UNION ALL
+  SELECT 'lineitem_nonpositive_qty',
+         CAST(COUNT(*) FILTER (WHERE l_quantity <= 0) AS BIGINT)
+  FROM lineitem
+  UNION ALL
+  SELECT 'lineitem_orphan_orderkey',
+         CAST(COUNT(*) AS BIGINT)
+  FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+  UNION ALL
+  SELECT 'orders_bad_status_domain',
+         CAST(COUNT(*) FILTER (WHERE o_orderstatus NOT IN ('F','O','P')) AS BIGINT)
+  FROM orders
+  UNION ALL
+  SELECT 'orders_dup_pk_rows',
+         CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+  FROM orders
+) ORDER BY chk""",
+    tags=("quality", "constraints", "dq"),
+)
+def xh_dq_profile(spark, sf_dir):
+    """Constraint battery over the star schema, one row per check:
+
+    - PK uniqueness (orders): duplicate rows = COUNT(*) - COUNT(DISTINCT
+      key) — a single aggregate, no self-join, no groupBy-HAVING pass;
+    - referential integrity (lineitem -> orders): orphan fact rows via a
+      LEFT ANTI join (the FK side builds a hash table of keys only);
+    - domain membership (o_orderstatus in {F,O,P});
+    - derived-column consistency (documents.n_chars == length(text) —
+      catches a corrupted ingest transform);
+    - null budget (customer.c_acctbal) and value sanity
+      (lineitem.l_quantity > 0).
+
+    Every check COUNTS violations inside a partial->final aggregate —
+    violating rows themselves never cross the wire, so the profile costs
+    one scan per table plus constraint-count output rows. The fixtures
+    are clean by construction, so all counts are zero — asserted
+    non-vacuously in tests/test_quality_checks.py by corrupting a copy
+    and watching each check fire."""
+    c = tbl(spark, sf_dir, "customer")
+    d = tbl(spark, sf_dir, "documents")
+    li = tbl(spark, sf_dir, "lineitem")
+    o = tbl(spark, sf_dir, "orders")
+
+    def chk(name, df_agg):
+        return df_agg.select(
+            F.lit(name).alias("chk"), F.col("n").cast("bigint").alias("n_violations")
+        )
+
+    rows = [
+        chk(
+            "customer_null_acctbal",
+            c.agg(F.count(F.when(F.col("c_acctbal").isNull(), 1)).alias("n")),
+        ),
+        chk(
+            "documents_nchars_mismatch",
+            d.agg(
+                F.count(
+                    F.when(F.col("n_chars") != F.length("text"), 1)
+                ).alias("n")
+            ),
+        ),
+        chk(
+            "lineitem_nonpositive_qty",
+            li.agg(F.count(F.when(F.col("l_quantity") <= 0, 1)).alias("n")),
+        ),
+        chk(
+            "lineitem_orphan_orderkey",
+            li.select("l_orderkey")
+            .join(
+                o.select(F.col("o_orderkey").alias("l_orderkey")),
+                "l_orderkey",
+                "left_anti",
+            )
+            .agg(F.count(F.lit(1)).alias("n")),
+        ),
+        chk(
+            "orders_bad_status_domain",
+            o.agg(
+                F.count(
+                    F.when(~F.col("o_orderstatus").isin("F", "O", "P"), 1)
+                ).alias("n")
+            ),
+        ),
+        chk(
+            "orders_dup_pk_rows",
+            # per-key counts -> only VIOLATING keys survive the filter
+            # (a violation-sized frame) -> their excess row counts fold
+            # through partial sums + coalesce(1); COUNT(DISTINCT) would
+            # plan the forbidden single-partition exchange instead.
+            o.groupBy("o_orderkey")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .filter(F.col("cnt") > 1)
+            .select((F.col("cnt") - 1).alias("extra"))
+            .mapInPandas(_partial_sum("extra"), schema="n bigint")
+            .coalesce(1)
+            .agg(F.sum("n").alias("n")),
+        ),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("chk")
+
+
+@register("xp_schema_evolution", oracle=None, tags=("quality", "schema"))
+def xp_schema_evolution(spark, sf_dir):
+    """P-class: schema-evolution round-trip. Writes nation under schema
+    v1 (two columns), appends files under schema v2 (an extra
+    ingest_batch column), and reads the directory back with
+    ``mergeSchema`` — the union schema, with NULLs backfilled for
+    pre-evolution rows. This is the parquet-level behavior every
+    long-lived 100 TB table depends on when columns are added
+    mid-corpus; tests/test_quality_checks.py asserts the merged schema,
+    the null backfill, and row conservation."""
+    import os
+    import tempfile
+
+    n = tbl(spark, sf_dir, "nation")
+    out = tempfile.mkdtemp(prefix="schema_evo_")
+    path = os.path.join(out, "nation_evolving")
+    n.select("n_nationkey", "n_name").write.mode("overwrite").parquet(path)
+    n.select(
+        "n_nationkey", "n_name", F.lit(2).alias("ingest_batch")
+    ).write.mode("append").parquet(path)
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(path)
+        .orderBy("n_nationkey", "ingest_batch")
+    )

@@ -126,8 +126,9 @@ def test_ntile_no_single_partition_exchange(spark, sf_oracle):
     no Window operator at all (rank comes from per-partition offsets)."""
     for name in ("q35", "xh_ntile_scalable"):
         text = _explain(spark, sf_oracle, name)
-        assert "Exchange SinglePartition" not in text, (name, text[:800])
         assert "Window" not in text, name  # rank from offsets, not a window
+        simple = _explain_simple(spark, sf_oracle, name)
+        assert not _single_partition_funnels(simple), (name, simple[:800])
 
 
 def test_correlated_scalar_subquery_decorrelated(spark, sf_oracle):
@@ -197,8 +198,10 @@ def test_pack_sequences_single_partitioned_window(spark, sf_oracle):
     hash exchange on the partition key, and never a single-partition
     funnel."""
     text = _explain(spark, sf_oracle, "xh_pack_sequences")
-    assert "Exchange SinglePartition" not in text
     assert text.count("Window") >= 1
+    assert not _single_partition_funnels(
+        _explain_simple(spark, sf_oracle, "xh_pack_sequences")
+    )
 
 
 def test_gap_fill_partitions_on_user(spark, sf_oracle):
@@ -206,28 +209,53 @@ def test_gap_fill_partitions_on_user(spark, sf_oracle):
     user_id — no single-partition exchange anywhere, and the fill is a
     Window (not a self-join)."""
     text = _explain(spark, sf_oracle, "xh_gap_fill")
-    assert "Exchange SinglePartition" not in text
     assert "Window" in text
+    assert not _single_partition_funnels(
+        _explain_simple(spark, sf_oracle, "xh_gap_fill")
+    )
+
+
+def _single_partition_funnels(text: str):
+    """Offending single-partition exchanges in SIMPLE-mode explain text:
+    every `Exchange SinglePartition` whose direct child is NOT a partial
+    aggregate. The partial->final global aggregate is the one legitimate
+    single-partition shape — only O(partitions) rows of aggregate state
+    cross it; anything else (a global sort, a global window, raw data)
+    funnels the dataset into one task and dies at scale."""
+    bad, lines = [], text.splitlines()
+    for i, ln in enumerate(lines):
+        if "Exchange SinglePartition" in ln:
+            child = lines[i + 1] if i + 1 < len(lines) else ""
+            if "partial_" not in child:
+                bad.append((ln.strip()[:70], child.strip()[:70]))
+    return bad
 
 
 def test_no_query_plans_a_single_partition_exchange(spark, sf_smoke):
-    """Suite-wide scale invariant (round 6): NO registered query may plan
-    an `Exchange SinglePartition` anywhere — the one shape that cannot
-    survive a 100x scale-up. Global totals go partial->final on aggregate
-    state, global top-k is TakeOrderedAndProject, global rank is the
-    range-partitioned fix-up (q35), global order is a range exchange.
-    This sweep pins every current query and every future addition."""
+    """Suite-wide scale invariant (round 6, STRENGTHENED round 7): no
+    registered query may funnel DATA into a single partition. Round 6
+    asserted the literal string `Exchange SinglePartition` over
+    FORMATTED explain output — where the argument renders on its own
+    `Arguments: SinglePartition` line, so the check could never fire.
+    Now inspected for real in simple mode, with exactly one allowed
+    shape: the partial->final global aggregate (child of the exchange is
+    a partial HashAggregate — only aggregate state crosses, the
+    canonical scale-correct plan, e.g. q25/q02). Global top-k is still
+    TakeOrderedAndProject, global rank the range-partitioned fix-up
+    (q35), global order a range exchange — a single-partition exchange
+    above a sort/window/scan is flagged."""
     offenders = []
     for name, q in sorted(REGISTRY.items()):
         if "alias" in q.tags:
             continue
         try:
-            text = explain_str(q.fn(spark, sf_smoke))
+            text = explain_str(q.fn(spark, sf_smoke), "simple")
         except Exception as e:  # plan must at least build
             offenders.append((name, f"explain failed: {e}"))
             continue
-        if "Exchange SinglePartition" in text:
-            offenders.append((name, "Exchange SinglePartition"))
+        bad = _single_partition_funnels(text)
+        if bad:
+            offenders.append((name, bad))
     assert not offenders, offenders
 
 
