@@ -17,6 +17,7 @@ from . import sorts_setops  # noqa: F401,E402
 from . import streaming_batch  # noqa: F401,E402
 from . import subqueries  # noqa: F401,E402
 from . import text_index  # noqa: F401,E402
+from . import tpch_analogs  # noqa: F401,E402
 from . import udfs  # noqa: F401,E402
 from . import windows  # noqa: F401,E402
 

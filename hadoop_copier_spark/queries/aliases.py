@@ -46,15 +46,16 @@ VERDICT r6 #3) has no free slot in this window and queues for r8 as the
 least-recently-verified H query.
 
 R8 QUEUE LEDGER (H queries with no driver row as of this window, in
-rotation order): xh_dedup_clusters (renamed r7), then the twenty-one
+rotation order): xh_dedup_clusters (renamed r7), then the twenty-four
 operators added mid-r7 after this window was pinned — xh_dup_rate_by_source,
 xh_keep_best, xh_doc_freq, xh_weighted_mix, xh_chunk_dedup,
 xh_scd2_intervals, xh_filter_funnel, xh_outlier_trim,
 xh_incremental_dedup, xh_consistent_sample, xh_embed_quantize,
 xh_langid_ngram, xh_inverted_index, xh_heavy_hitters, xh_event_funnel,
 xh_cohort_retention, xh_ohlc_bars, xh_event_transitions,
-xh_rfm_segments, xh_fuzzy_match, xh_dq_profile. All are
-locally oracle-green; per the pinned policy they take the first 22 r8
+xh_rfm_segments, xh_fuzzy_match, xh_dq_profile, xh_tpch_q3, xh_tpch_q5,
+xh_tpch_q10. All are
+locally oracle-green; per the pinned policy they take the first 25 r8
 slots, with the remainder of that window refreshing the then-stalest
 r6 evidence.
 

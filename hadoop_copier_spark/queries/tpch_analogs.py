@@ -1,0 +1,175 @@
+"""TPC-H-shaped multi-way join workloads (round 7, part 6): Q3, Q5 and
+Q10 analogs over the driver fixtures.
+
+q24 already covers TPC-H Q1 (the aggregation spine); these add the
+benchmark's canonical JOIN compositions — the shapes a cost-based
+planner, broadcast selection and partial aggregation have to get right
+together on a 100 TB star schema:
+
+* Q3  (shipping priority): segment-filtered customer ⋈ orders ⋈
+  lineitem, revenue per open order, global top-10.
+* Q5  (local supplier volume): the 6-way chain region ⋈ nation ⋈
+  supplier ⋈ lineitem ⋈ orders ⋈ customer with the extra
+  same-nation (customer = supplier) equi-constraint.
+* Q10 (returned items): per-customer lost revenue over returned
+  lineitems, global top-20.
+
+Revenue follows q24's exact-integer discipline: `disc_price_e4 =
+cents(extprice) x (100 - cents(discount))`, accumulated in
+DECIMAL(38,0) (silent-wrap-proof past 2^63 — the ADVICE r5 overflow
+rule) and emitted as BIGINT; DuckDB's BIGINT sums are exact HUGEINT
+and cast back losslessly. Dates compare as TIMESTAMP literals on both
+sides; orderings end in unique keys.
+"""
+
+from __future__ import annotations
+
+from .base import F, cents, ocents, tbl
+from .registry import register
+
+_REV_SQL = f"SUM({ocents('l_extendedprice')} * (100 - {ocents('l_discount')}))"
+
+
+def _rev_e4():
+    return (
+        F.sum(
+            (
+                cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
+            ).cast("decimal(38,0)")
+        )
+        .cast("bigint")
+        .alias("revenue_e4")
+    )
+
+
+@register(
+    "xh_tpch_q3",
+    oracle=f"""SELECT l.l_orderkey,
+       CAST({_REV_SQL} AS BIGINT) AS revenue_e4,
+       CAST(epoch(o.o_orderdate) AS BIGINT) AS orderdate_sec,
+       o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+  AND l.l_shipdate > TIMESTAMP '1997-01-01'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue_e4 DESC, l_orderkey LIMIT 10""",
+    tags=("tpch", "join", "agg"),
+)
+def xh_tpch_q3(spark, sf_dir):
+    """TPC-H Q3 analog (shipping priority): which open BUILDING-segment
+    orders carry the most pending revenue. Plan: the segment filter
+    prunes customer BEFORE its join (filters push to every scan), the
+    customer keys broadcast into orders, the orders⋈lineitem join is the
+    only fact-fact hash join, revenue partial-aggregates per orderkey,
+    and the global top-10 is TakeOrderedAndProject — k rows per
+    partition to the driver, never a full sort."""
+    c = tbl(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = tbl(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = tbl(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1997-01-01").cast("timestamp")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_rev_e4())
+        .select(
+            "l_orderkey",
+            "revenue_e4",
+            F.unix_timestamp("o_orderdate").cast("bigint").alias("orderdate_sec"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue_e4").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "xh_tpch_q5",
+    oracle=f"""SELECT n.n_name,
+       CAST({_REV_SQL} AS BIGINT) AS revenue_e4
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n.n_name ORDER BY revenue_e4 DESC, n_name""",
+    tags=("tpch", "join", "agg"),
+)
+def xh_tpch_q5(spark, sf_dir):
+    """TPC-H Q5 analog (local supplier volume): revenue where customer
+    and supplier share a nation, rolled up per nation — the 6-way join
+    chain with a cross-table equi-constraint (c_nationkey = s_nationkey)
+    that join REORDERING has to keep cheap. supplier/nation/region are
+    true dimensions and broadcast; orders⋈lineitem is the one shuffled
+    fact join; the nation rollup is a bounded partial->final aggregate."""
+    c = tbl(spark, sf_dir, "customer")
+    o = tbl(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = tbl(spark, sf_dir, "lineitem")
+    s = tbl(spark, sf_dir, "supplier")
+    n = tbl(spark, sf_dir, "nation")
+    r = tbl(spark, sf_dir, "region")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(_rev_e4())
+        .orderBy(F.col("revenue_e4").desc(), "n_name")
+    )
+
+
+@register(
+    "xh_tpch_q10",
+    oracle=f"""SELECT c.c_custkey, c.c_name, n.n_name,
+       CAST({_REV_SQL} AS BIGINT) AS revenue_e4,
+       COUNT(*) AS n_items
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+GROUP BY c.c_custkey, c.c_name, n.n_name
+ORDER BY revenue_e4 DESC, c_custkey LIMIT 20""",
+    tags=("tpch", "join", "agg"),
+)
+def xh_tpch_q10(spark, sf_dir):
+    """TPC-H Q10 analog (returned items): customers who returned the
+    most revenue — the churn-investigation query. The returnflag filter
+    pushes into the lineitem scan (at 100 TB with returnflag-partitioned
+    or row-group-sorted layout that is real pruning), nation broadcasts,
+    and the per-customer rollup ends in a top-20 TakeOrdered."""
+    c = tbl(spark, sf_dir, "customer")
+    o = tbl(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp")
+    )
+    li = tbl(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = tbl(spark, sf_dir, "nation")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(_rev_e4(), F.count(F.lit(1)).alias("n_items"))
+        .orderBy(F.col("revenue_e4").desc(), "c_custkey")
+        .limit(20)
+    )

@@ -388,3 +388,16 @@ def test_cohort_retention_join_free_two_exchanges(spark, sf_oracle):
     text = _explain_simple(spark, sf_oracle, "xh_cohort_retention")
     assert "Join" not in text
     assert text.count("Exchange hashpartitioning") == 2
+
+
+def test_tpch_analogs_top_k_and_no_cartesian(spark, sf_oracle):
+    """The TPC-H join analogs: global top-k compiles to
+    TakeOrderedAndProject (k rows per partition cross to the driver,
+    never a full sort), and the multi-way chains stay equi-join only."""
+    for name in ("xh_tpch_q3", "xh_tpch_q10"):
+        text = _explain(spark, sf_oracle, name)
+        assert "TakeOrderedAndProject" in text, name
+    for name in ("xh_tpch_q3", "xh_tpch_q5", "xh_tpch_q10"):
+        text = _explain(spark, sf_oracle, name)
+        assert "CartesianProduct" not in text, name
+        assert "BroadcastNestedLoopJoin" not in text, name
