@@ -401,3 +401,52 @@ def test_tpch_analogs_top_k_and_no_cartesian(spark, sf_oracle):
         text = _explain(spark, sf_oracle, name)
         assert "CartesianProduct" not in text, name
         assert "BroadcastNestedLoopJoin" not in text, name
+
+
+def test_runtime_bloom_filter_injects_on_selective_fact_join(spark, sf_oracle):
+    """100 TB knob pin: when a fact-fact join's build side is selective
+    and broadcast is off (the shape where a 100 TB probe side pays a full
+    shuffle for rows a filter on the other side will discard), Spark's
+    runtime bloom-filter injection must fire — the optimized plan grows a
+    bloom_filter aggregate on the creation side and a might_contain
+    probe-side filter, so the big side prunes BEFORE its exchange. The
+    thresholds are runtime confs (creation-side size cap + probe-side
+    scan floor), saved/restored here; session defaults leave the feature
+    on with stock thresholds."""
+    from hadoop_copier_spark.tables import load_table
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        )
+    }
+    try:
+        assert spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled") == "true"
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10GB"
+        )
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        li = load_table(spark, sf_oracle, "lineitem")
+        o = load_table(spark, sf_oracle, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        text = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter" in text or "might_contain" in text, text[:800]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
