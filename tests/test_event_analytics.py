@@ -82,3 +82,45 @@ def test_ohlc_open_close_tiebreak_by_event_id(spark, crafted_events):
         assert r.low_cents <= r.open_cents <= r.high_cents
         assert r.low_cents <= r.close_cents <= r.high_cents
         assert r.vol_cents == r.n_events * 100
+
+
+def test_funnel_stage_counts_monotone_on_fixtures(spark, sf_oracle):
+    """Funnel algebra: within every signup day, later stages can never
+    exceed earlier ones, and the ppm is the exact floor ratio."""
+    for r in REGISTRY["xh_event_funnel"].fn(spark, sf_oracle).collect():
+        assert r.n_signup >= r.n_click_after >= r.n_purchase_after >= 0
+        assert r.purchase_ppm == (r.n_purchase_after * 1000000) // r.n_signup
+
+
+def test_transition_shares_conserve_per_source(spark, sf_oracle):
+    """Each from_type's ppm shares must sum to <= 1M (floor division
+    loses at most (n_targets - 1) ppm) and its counts to the exact
+    total implied by the shares' denominators."""
+    rows = REGISTRY["xh_event_transitions"].fn(spark, sf_oracle).collect()
+    by_from = {}
+    for r in rows:
+        by_from.setdefault(r.from_type, []).append(r)
+    assert by_from
+    for f, rs in by_from.items():
+        tot = sum(r.n for r in rs)
+        ppm = sum(r.share_ppm for r in rs)
+        assert 1000000 - len(rs) < ppm <= 1000000, (f, ppm)
+        for r in rs:
+            assert r.share_ppm == (r.n * 1000000) // tot
+
+
+def test_rfm_quintiles_balance_within_segment(spark, sf_oracle):
+    """The exact rank cut ((rank-1)*5 div n + 1) partitions every segment
+    into 5 R-score buckets whose sizes differ by at most 1 — the defining
+    property of a quintile split (same for F and M by symmetry of the
+    formula)."""
+    rows = REGISTRY["xh_rfm_segments"].fn(spark, sf_oracle).collect()
+    per_seg_r = {}
+    for r in rows:
+        key = (r.segment, r.r_score)
+        per_seg_r[key] = per_seg_r.get(key, 0) + r.n_customers
+    segs = {s for s, _ in per_seg_r}
+    assert segs
+    for s in segs:
+        sizes = [per_seg_r.get((s, sc), 0) for sc in range(1, 6)]
+        assert max(sizes) - min(sizes) <= 1, (s, sizes)
