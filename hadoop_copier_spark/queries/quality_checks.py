@@ -72,8 +72,10 @@ def _partial_sum(col: str):
 def xh_dq_profile(spark, sf_dir):
     """Constraint battery over the star schema, one row per check:
 
-    - PK uniqueness (orders): duplicate rows = COUNT(*) - COUNT(DISTINCT
-      key) — a single aggregate, no self-join, no groupBy-HAVING pass;
+    - PK uniqueness (orders): per-key counts, keep only violating keys
+      (a violation-sized frame), fold their excess row counts through
+      per-partition partial sums + coalesce(1) — no self-join and no
+      single-partition data funnel;
     - referential integrity (lineitem -> orders): orphan fact rows via a
       LEFT ANTI join (the FK side builds a hash table of keys only);
     - domain membership (o_orderstatus in {F,O,P});
@@ -179,3 +181,39 @@ def xp_schema_evolution(spark, sf_dir):
         .parquet(path)
         .orderBy("n_nationkey", "ingest_batch")
     )
+
+
+@register(
+    "xp_dynamic_partition_overwrite", oracle=None, tags=("quality", "layout")
+)
+def xp_dynamic_partition_overwrite(spark, sf_dir):
+    """P-class: dynamic partition overwrite — the vanilla-Spark idiom for
+    restating ONE partition of a 100 TB partitioned table without
+    rewriting (or deleting) the others. With
+    ``partitionOverwriteMode=dynamic``, an overwrite write touches only
+    the partitions present in the incoming frame; static mode (the
+    default) would truncate the whole table first. Returns the table
+    after restating the 'F' partition; tests assert the other status
+    partitions survive byte-identically and only 'F' changed. The
+    versioned-snapshot layer (operators/snapshots.py) supersedes this
+    with time travel; this pins the engine-native behavior a plain
+    parquet table relies on."""
+    import os
+    import tempfile
+
+    o = tbl(spark, sf_dir, "orders")
+    out = os.path.join(tempfile.mkdtemp(prefix="dpo_"), "orders_by_status")
+    o.write.partitionBy("o_orderstatus").parquet(out)
+
+    restated = (
+        spark.read.parquet(out)
+        .filter(F.col("o_orderstatus") == "F")
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        restated.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return spark.read.parquet(out).orderBy("o_orderkey")

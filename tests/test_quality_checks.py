@@ -89,3 +89,22 @@ def test_schema_evolution_merges_and_backfills(spark, sf_smoke):
     assert len(rows) == 2 * n  # both schema generations read back
     batches = {r.ingest_batch for r in rows}
     assert batches == {None, 2}  # v1 rows NULL-backfilled, v2 rows tagged
+
+
+def test_dynamic_partition_overwrite_touches_only_written_partition(
+    spark, sf_smoke
+):
+    """The restated 'F' partition doubles its totalprice; every other
+    status partition survives the overwrite untouched, and no rows are
+    lost — the behavior that makes partition-level restatement safe on a
+    100 TB table."""
+    out = REGISTRY["xp_dynamic_partition_overwrite"].fn(spark, sf_smoke)
+    orig = load_table(spark, sf_smoke, "orders")
+    assert out.count() == orig.count()
+    o = {r.o_orderkey: r for r in orig.collect()}
+    for r in out.collect():
+        base = o[r.o_orderkey]
+        if r.o_orderstatus == "F":
+            assert abs(r.o_totalprice - 2 * base.o_totalprice) < 1e-9
+        else:
+            assert r.o_totalprice == base.o_totalprice
