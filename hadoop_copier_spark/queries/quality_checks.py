@@ -217,3 +217,18 @@ def xp_dynamic_partition_overwrite(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     return spark.read.parquet(out).orderBy("o_orderkey")
+
+
+@register("xp_observed_metrics", oracle=None, tags=("quality", "observe"))
+def xp_observed_metrics(spark, sf_dir):
+    """P-class: `df.observe()` job-piggybacked metrics — ingest
+    accounting (rows, exact sums, null budget) evaluated INSIDE the
+    transform's own job via a CollectMetrics node: no second scan, no
+    extra exchange. The returned frame is the normal query result;
+    tests/test_quality_checks.py runs the action through
+    operators/observe.py and asserts the observed metrics equal
+    independently-computed aggregates."""
+    from ..operators.observe import observed_enriched_lineitem
+
+    df, _obs = observed_enriched_lineitem(spark, sf_dir)
+    return df

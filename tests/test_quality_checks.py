@@ -108,3 +108,30 @@ def test_dynamic_partition_overwrite_touches_only_written_partition(
             assert abs(r.o_totalprice - 2 * base.o_totalprice) < 1e-9
         else:
             assert r.o_totalprice == base.o_totalprice
+
+
+def test_observed_metrics_match_direct_aggregates(spark, sf_smoke):
+    """The Observation's metrics (collected inside the transform's own
+    job) must equal a directly-computed aggregate over the same filter —
+    and the plan must contain the CollectMetrics node, not a second
+    scan-side aggregate."""
+    from hadoop_copier_spark.operators.observe import (
+        observed_enriched_lineitem,
+    )
+    from hadoop_copier_spark.queries.base import cents
+
+    df, obs = observed_enriched_lineitem(spark, sf_smoke)
+    assert "CollectMetrics" in df._jdf.queryExecution().optimizedPlan().toString()
+    df.collect()  # the action that materializes the metrics
+    got = obs.get
+    li = load_table(spark, sf_smoke, "lineitem").filter(
+        F.col("l_discount") >= 0.02
+    )
+    want = li.agg(
+        F.count(F.lit(1)).alias("rows_in"),
+        F.sum(cents("l_extendedprice")).alias("sum_price_cents"),
+        F.count(F.when(F.col("l_quantity").isNull(), 1)).alias("null_qty"),
+    ).collect()[0]
+    assert got["rows_in"] == want.rows_in > 0
+    assert got["sum_price_cents"] == want.sum_price_cents
+    assert got["null_qty"] == want.null_qty == 0
