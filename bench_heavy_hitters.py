@@ -6,10 +6,10 @@ The driver fixtures cannot show this — their documents draw from a
 31-token vocabulary, so the "long tail" the sketch exists to avoid
 shuffling is empty. This probe manufactures one: every sf0.1 document
 gets TAIL extra tokens unique to that document, growing the distinct
-vocabulary by docs x TAIL (~0 / 1M / 4M distinct tokens at TAIL =
-0 / 20 / 80) while the head (the original 31 tokens) keeps its
-frequencies, so both plans return the same heavy-hitter set
-(asserted per run).
+vocabulary by docs x TAIL (31 / ~400k / ~2M distinct tokens at the
+default TAILS of 0 / 80 / 400 over the ~5k-doc sf0.1 corpus) while the
+head (the original 31 tokens) keeps its frequencies, so both plans
+return the same heavy-hitter set (asserted per run).
 
   exact  — q57-shape full aggregate: EVERY distinct token crosses the
            shuffle, so its exchange grows with vocabulary.
@@ -20,7 +20,7 @@ frequencies, so both plans return the same heavy-hitter set
 Prints one JSON line and records bench/heavy_hitter_results.json —
 the measured backing for SCALE.md's "the token long tail NEVER
 shuffles" row. MEASURED HONESTLY: at local scales the JVM exact
-aggregate WINS (31-token vocab: exact ~3x faster — Tungsten hash-aggs
+aggregate WINS (31-token vocab: exact ~2.4x faster — Tungsten hash-aggs
 a few hundred thousand keys for free while the sketch pays the
 Arrow/Python tax twice over every token) and only reaches parity
 around ~2M distinct tokens. The sketch's real claim is the bounded

@@ -360,7 +360,12 @@ def xh_rfm_segments(spark, sf_dir):
     per = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
         F.max(F.unix_timestamp("o_orderdate").cast("bigint")).alias("last_sec"),
         F.count(F.lit(1)).alias("n_orders"),
-        F.sum(cents("o_totalprice")).cast("bigint").alias("monetary_cents"),
+        # DECIMAL(38,0) internal accumulation (the q24/ADVICE r5 rule):
+        # a plain long sum would silently wrap past 2^63; DuckDB's side
+        # is already exact HUGEINT.
+        F.sum(cents("o_totalprice").cast("decimal(38,0)"))
+        .cast("bigint")
+        .alias("monetary_cents"),
     )
     j = per.join(
         c.select(
@@ -389,7 +394,9 @@ def xh_rfm_segments(spark, sf_dir):
         )
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            F.sum("monetary_cents").cast("bigint").alias("sum_monetary_cents"),
+            F.sum(F.col("monetary_cents").cast("decimal(38,0)"))
+            .cast("bigint")
+            .alias("sum_monetary_cents"),
         )
         .orderBy("segment", "r_score", "f_score", "m_score")
     )

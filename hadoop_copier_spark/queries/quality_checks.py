@@ -55,17 +55,24 @@ def _partial_sum(col: str):
          CAST(COUNT(*) FILTER (WHERE l_quantity <= 0) AS BIGINT)
   FROM lineitem
   UNION ALL
+  SELECT 'lineitem_null_orderkey',
+         CAST(COUNT(*) FILTER (WHERE l_orderkey IS NULL) AS BIGINT)
+  FROM lineitem
+  UNION ALL
   SELECT 'lineitem_orphan_orderkey',
          CAST(COUNT(*) AS BIGINT)
-  FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+  FROM lineitem WHERE l_orderkey IS NOT NULL
+    AND l_orderkey NOT IN (SELECT o_orderkey FROM orders
+                           WHERE o_orderkey IS NOT NULL)
   UNION ALL
   SELECT 'orders_bad_status_domain',
          CAST(COUNT(*) FILTER (WHERE o_orderstatus NOT IN ('F','O','P')) AS BIGINT)
   FROM orders
   UNION ALL
   SELECT 'orders_dup_pk_rows',
-         CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)
-  FROM orders
+         CAST(COALESCE(SUM(cnt - 1), 0) AS BIGINT)
+  FROM (SELECT COUNT(*) AS cnt FROM orders GROUP BY o_orderkey)
+  WHERE cnt > 1
 ) ORDER BY chk""",
     tags=("quality", "constraints", "dq"),
 )
@@ -75,9 +82,16 @@ def xh_dq_profile(spark, sf_dir):
     - PK uniqueness (orders): per-key counts, keep only violating keys
       (a violation-sized frame), fold their excess row counts through
       per-partition partial sums + coalesce(1) — no self-join and no
-      single-partition data funnel;
+      single-partition data funnel. The oracle mirrors the SAME
+      group-based SUM(cnt-1) (both engines group NULL keys together;
+      the COUNT(*) - COUNT(DISTINCT) spelling would ignore NULLs and
+      diverge on dirty keys);
     - referential integrity (lineitem -> orders): orphan fact rows via a
-      LEFT ANTI join (the FK side builds a hash table of keys only);
+      LEFT ANTI join (the FK side builds a hash table of keys only).
+      NULL keys are counted by their OWN check and excluded here on both
+      sides — Spark's anti join keeps NULL-key probes while SQL NOT IN
+      drops them, so mixing the two semantics in one count would make
+      the engines disagree exactly when the data is dirty;
     - domain membership (o_orderstatus in {F,O,P});
     - derived-column consistency (documents.n_chars == length(text) —
       catches a corrupted ingest transform);
@@ -118,10 +132,17 @@ def xh_dq_profile(spark, sf_dir):
             li.agg(F.count(F.when(F.col("l_quantity") <= 0, 1)).alias("n")),
         ),
         chk(
+            "lineitem_null_orderkey",
+            li.agg(F.count(F.when(F.col("l_orderkey").isNull(), 1)).alias("n")),
+        ),
+        chk(
             "lineitem_orphan_orderkey",
             li.select("l_orderkey")
+            .filter(F.col("l_orderkey").isNotNull())
             .join(
-                o.select(F.col("o_orderkey").alias("l_orderkey")),
+                o.select(F.col("o_orderkey").alias("l_orderkey")).filter(
+                    F.col("l_orderkey").isNotNull()
+                ),
                 "l_orderkey",
                 "left_anti",
             )
@@ -156,6 +177,23 @@ def xh_dq_profile(spark, sf_dir):
     return out.orderBy("chk")
 
 
+def _work_dir(name: str) -> str:
+    """Process-stable scratch dir for the round-trip P ops: repeat
+    invocations (the plan sweeps call every registry fn) overwrite the
+    same location instead of leaking a fresh mkdtemp per call, and one
+    atexit hook removes it."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    root = os.path.join(tempfile.gettempdir(), f"hcs_{name}_{os.getpid()}")
+    if not os.path.isdir(root):
+        os.makedirs(root, exist_ok=True)
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+    return root
+
+
 @register("xp_schema_evolution", oracle=None, tags=("quality", "schema"))
 def xp_schema_evolution(spark, sf_dir):
     """P-class: schema-evolution round-trip. Writes nation under schema
@@ -167,11 +205,12 @@ def xp_schema_evolution(spark, sf_dir):
     mid-corpus; tests/test_quality_checks.py asserts the merged schema,
     the null backfill, and row conservation."""
     import os
-    import tempfile
 
     n = tbl(spark, sf_dir, "nation")
-    out = tempfile.mkdtemp(prefix="schema_evo_")
-    path = os.path.join(out, "nation_evolving")
+    path = os.path.join(_work_dir("schema_evo"), "nation_evolving")
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)  # append below must start clean
     n.select("n_nationkey", "n_name").write.mode("overwrite").parquet(path)
     n.select(
         "n_nationkey", "n_name", F.lit(2).alias("ingest_batch")
@@ -197,17 +236,22 @@ def xp_dynamic_partition_overwrite(spark, sf_dir):
     partitions survive byte-identically and only 'F' changed. The
     versioned-snapshot layer (operators/snapshots.py) supersedes this
     with time travel; this pins the engine-native behavior a plain
-    parquet table relies on."""
+    parquet table relies on.
+
+    The restated frame derives from the ORIGINAL source, never from
+    reading the path being overwritten — read-then-overwrite-same-path
+    is explicitly undefined in Spark (a mid-job FileIndex re-resolution
+    after the commit deletes files under the reader)."""
     import os
-    import tempfile
+    import shutil
 
     o = tbl(spark, sf_dir, "orders")
-    out = os.path.join(tempfile.mkdtemp(prefix="dpo_"), "orders_by_status")
+    out = os.path.join(_work_dir("dpo"), "orders_by_status")
+    shutil.rmtree(out, ignore_errors=True)
     o.write.partitionBy("o_orderstatus").parquet(out)
 
     restated = (
-        spark.read.parquet(out)
-        .filter(F.col("o_orderstatus") == "F")
+        o.filter(F.col("o_orderstatus") == "F")
         .withColumn("o_totalprice", F.col("o_totalprice") * 2)
     )
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")

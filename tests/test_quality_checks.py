@@ -15,7 +15,7 @@ from hadoop_copier_spark.tables import load_table
 
 def test_dq_profile_clean_fixtures_all_zero(spark, sf_smoke):
     rows = {r.chk: r.n_violations for r in REGISTRY["xh_dq_profile"].fn(spark, sf_smoke).collect()}
-    assert len(rows) == 6
+    assert len(rows) == 7
     assert all(v == 0 for v in rows.values()), rows
 
 
@@ -41,6 +41,9 @@ def corrupted_dir(spark, sf_smoke, tmp_path_factory):
     li_bad = (
         li.unionByName(li_first.withColumn("l_orderkey", F.lit(10**13)))  # orphan FK
         .unionByName(li_first.withColumn("l_quantity", F.lit(0.0)))  # bad qty
+        .unionByName(
+            li_first.withColumn("l_orderkey", F.lit(None).cast("long"))  # NULL FK
+        )
     )
     li_bad.write.parquet(f"{root}/lineitem.parquet")
 
@@ -72,11 +75,14 @@ def test_dq_profile_every_check_fires(spark, corrupted_dir):
         "customer_null_acctbal": 1,
         "documents_nchars_mismatch": 1,
         "lineitem_nonpositive_qty": 1,
+        # the NULL-FK row is counted by its own check, NOT as an orphan
+        # (NULL-key semantics differ between anti-join and NOT IN, so
+        # the profile keeps the classes disjoint)
+        "lineitem_null_orderkey": 1,
         "lineitem_orphan_orderkey": 1,
         "orders_bad_status_domain": 1,
-        # the duplicated PK row AND the planted bad-domain row share no
-        # key, so dup rows = 1 (26 rows over 25 distinct keys at the
-        # fixture's 1500+2... actually: +1 duplicate of an existing key)
+        # one extra row over an existing key (the planted bad-domain row
+        # uses a fresh key, so it is not a duplicate)
         "orders_dup_pk_rows": 1,
     }, rows
 
