@@ -40,8 +40,34 @@ from ..tables import load_table, register_views
 __all__ = [
     "tbl", "views", "cents", "dec", "money_sum", "det_avg", "F",
     "ocents", "odec", "omoney_sum", "odet_avg",
-    "cents_sum", "ocents_sum",
+    "cents_sum", "ocents_sum", "scratch_dir",
 ]
+
+_SCRATCH_CLEANED: set = set()
+
+
+def scratch_dir(name: str) -> str:
+    """Per-process scratch dir for round-trip queries, WIPED CLEAN on every
+    call. The bench loop and the plan sweep invoke every registry fn many
+    times per process; a bare ``mkdtemp`` per invocation leaks a directory
+    each time, while naive reuse breaks append-semantics ops (a second
+    append would accumulate files). Wiping gives fresh-directory semantics
+    with exactly one on-disk location per (process, name); one atexit hook
+    per name removes it at interpreter exit."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    root = os.path.join(
+        tempfile.gettempdir(), f"hcs_scratch_{os.getpid()}", name
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
+    if name not in _SCRATCH_CLEANED:
+        _SCRATCH_CLEANED.add(name)
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+    return root
 
 
 def _pin_session(spark: SparkSession) -> None:

@@ -6,9 +6,8 @@ from __future__ import annotations
 
 import hashlib
 import os
-import tempfile
 
-from .base import F, tbl
+from .base import F, scratch_dir, tbl
 from .registry import register
 
 
@@ -33,7 +32,7 @@ def p_copyjob(spark, sf_dir):
     rows (PARTIALLY_FAILED rollup, MD5 verified, deterministic columns)."""
     from ..copyjob import CopyItem, CopyJobEngine, CopyRequest
 
-    base = tempfile.mkdtemp(prefix="hcs_copyjob_")
+    base = scratch_dir("copyjob")
     src = os.path.join(base, "src")
     _mk_tree(src)
     eng = CopyJobEngine(spark, parallelism=4)
@@ -75,7 +74,7 @@ def p_binary_source(spark, sf_dir):
     enumeration (R4). Verified against hashlib in tests."""
     from ..sources.binary import read_binary_dir
 
-    base = tempfile.mkdtemp(prefix="hcs_binsrc_")
+    base = scratch_dir("binsrc")
     _mk_tree(base)
     df = read_binary_dir(spark, base)
     return df.select(
@@ -92,7 +91,7 @@ def p_multimodal_roundtrip(spark, sf_dir):
     trip byte-for-byte (asserted in tests)."""
     from ..sources.multimodal import make_multimodal_rows
 
-    base = tempfile.mkdtemp(prefix="hcs_mm_")
+    base = scratch_dir("mm_roundtrip")
     df = make_multimodal_rows(spark, sf_dir, n=64)
     df.write.mode("overwrite").parquet(os.path.join(base, "mm"))
     back = spark.read.parquet(os.path.join(base, "mm"))
@@ -169,7 +168,7 @@ def p_time_travel(spark, sf_dir):
     checksums; full semantics pinned in tests/test_snapshots.py)."""
     from ..operators.snapshots import read_snapshot, rollback, write_snapshot
 
-    base = tempfile.mkdtemp(prefix="hcs_tt_")
+    base = scratch_dir("time_travel")
     t = os.path.join(base, "tbl")
     c = tbl(spark, sf_dir, "customer")
     write_snapshot(c.filter(F.col("c_custkey") % 3 == 0), t)
@@ -205,7 +204,7 @@ def p_layout_maintenance(spark, sf_dir):
     from ..operators.layout import compact_parquet, zorder_rewrite
 
     e = tbl(spark, sf_dir, "events")
-    base = tempfile.mkdtemp(prefix="hcs_layout_")
+    base = scratch_dir("layout")
     frag = os.path.join(base, "frag")
     e.repartition(24).write.mode("overwrite").parquet(frag)
     total = sum(

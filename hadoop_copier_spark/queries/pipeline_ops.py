@@ -428,3 +428,59 @@ def h_det_shuffle(spark, sf_dir):
     each shard sorts independently."""
     d = tbl(spark, sf_dir, "documents")
     return det_shuffle_frame(d, _SHUF_SHARDS).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement (Efraimidis-Spirakis, deterministic)
+# ---------------------------------------------------------------------------
+
+_WS_K = 100  # sample size
+_P60 = "1152921504606846976.0"  # 2^60 as an exact double literal
+
+
+@register(
+    "xh_weighted_sample",
+    oracle=f"""WITH k AS (
+  SELECT doc_id, lang, n_chars,
+         ln(CAST(({_H60_SQL.format(s="'ws:' || CAST(doc_id AS VARCHAR)")}) + 1
+                 AS DOUBLE) / {_P60}) / n_chars AS es
+  FROM documents WHERE n_chars > 0
+)
+SELECT doc_id, lang, n_chars
+FROM (SELECT * FROM k ORDER BY es DESC, doc_id LIMIT {_WS_K})
+ORDER BY doc_id""",
+    tags=("llm", "sample", "pipeline"),
+)
+def h_weighted_sample(spark, sf_dir):
+    """Weighted sampling WITHOUT replacement (Efraimidis-Spirakis A-ES):
+    each doc gets priority u^(1/w) for a deterministic uniform u and
+    weight w = n_chars; the k largest priorities ARE a weighted sample
+    without replacement. Ranking by ln(u)/w is the monotone-equivalent
+    spelling (u in (0,1], w > 0), avoiding pow() underflow for large w.
+
+    Determinism discipline: u = (h60('ws:'||doc_id)+1) / 2^60 — the salted
+    portable hash, +1 so u > 0, divided by an exact power of two — so both
+    engines compute bit-identical u. ln() is the one transcendental; a
+    last-ulp divergence could only flip an ordering between two priorities
+    within 1 ulp of each other (md5-derived keys make that vanishingly
+    rare), and the double never reaches the output — only (doc_id, lang,
+    n_chars) are emitted, re-ordered by doc_id.
+
+    Scale shape: this is the one-pass distributed weighted sampler — a
+    pure map to compute priorities, then orderBy(es).limit(k), which
+    Spark plans as TakeOrderedAndProject: each partition keeps its local
+    top-k and the driver merges O(k x partitions) rows. No shuffle of the
+    corpus, no single-partition sort, works identically at 100 TB
+    (the reservoir variant of A-ES with the same keys would give the
+    same answer; top-k IS the batch form)."""
+    d = tbl(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    key = _h60(F.concat(F.lit("ws:"), F.col("doc_id").cast("string")))
+    u = (key + F.lit(1)).cast("double") / F.lit(1152921504606846976.0)
+    es = F.log(u) / F.col("n_chars")
+    return (
+        d.select("doc_id", "lang", "n_chars", es.alias("es"))
+        .orderBy(F.col("es").desc(), "doc_id")
+        .limit(_WS_K)
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    )

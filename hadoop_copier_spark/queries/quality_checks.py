@@ -178,20 +178,12 @@ def xh_dq_profile(spark, sf_dir):
 
 
 def _work_dir(name: str) -> str:
-    """Process-stable scratch dir for the round-trip P ops: repeat
-    invocations (the plan sweeps call every registry fn) overwrite the
-    same location instead of leaking a fresh mkdtemp per call, and one
-    atexit hook removes it."""
-    import atexit
-    import os
-    import shutil
-    import tempfile
+    """Process-stable scratch dir for the round-trip P ops — now the
+    shared wiping helper (base.scratch_dir), one location per
+    (process, name), atexit-cleaned."""
+    from .base import scratch_dir
 
-    root = os.path.join(tempfile.gettempdir(), f"hcs_{name}_{os.getpid()}")
-    if not os.path.isdir(root):
-        os.makedirs(root, exist_ok=True)
-        atexit.register(shutil.rmtree, root, ignore_errors=True)
-    return root
+    return scratch_dir(name)
 
 
 @register("xp_schema_evolution", oracle=None, tags=("quality", "schema"))
@@ -260,7 +252,10 @@ def xp_dynamic_partition_overwrite(spark, sf_dir):
         restated.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-    return spark.read.parquet(out).orderBy("o_orderkey")
+    # explicit schema: a partitioned write of an EMPTY frame emits no data
+    # files and schema inference on the bare directory fails (the q05
+    # rule) — the read-back contract must not depend on non-empty input
+    return spark.read.schema(o.schema).parquet(out).orderBy("o_orderkey")
 
 
 @register("xp_observed_metrics", oracle=None, tags=("quality", "observe"))

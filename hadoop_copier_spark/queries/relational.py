@@ -15,9 +15,7 @@ no driver materialization.
 
 from __future__ import annotations
 
-import tempfile
-
-from .base import F, cents, ocents, tbl
+from .base import F, cents, ocents, scratch_dir, tbl
 from .registry import register
 
 
@@ -65,7 +63,7 @@ def q03(spark, sf_dir):
     explicit schema (no inference), ordered. Distributed write/read — the
     same code path a 100 TB CSV export would take."""
     df = tbl(spark, sf_dir, "nation")
-    out = tempfile.mkdtemp(prefix="hcs_q03_csv_")
+    out = scratch_dir("q03_csv")
     df.write.mode("overwrite").option("header", "true").csv(out)
     return spark.read.schema(df.schema).option("header", "true").csv(out).orderBy("n_nationkey")
 
@@ -78,7 +76,7 @@ def q03(spark, sf_dir):
 def q04(spark, sf_dir):
     """JSON-lines round-trip: write `region` as JSON, read back, ordered."""
     df = tbl(spark, sf_dir, "region")
-    out = tempfile.mkdtemp(prefix="hcs_q04_json_")
+    out = scratch_dir("q04_json")
     df.write.mode("overwrite").json(out)
     return (
         spark.read.schema(df.schema).json(out)
@@ -99,7 +97,7 @@ def q05(spark, sf_dir):
     Exercises dynamic partition discovery; at scale this layout enables
     static+dynamic partition pruning on the status column."""
     df = tbl(spark, sf_dir, "orders")
-    out = tempfile.mkdtemp(prefix="hcs_q05_parquet_")
+    out = scratch_dir("q05_parquet")
     df.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
     # explicit schema: a partitioned write of an EMPTY frame emits no data
     # files, and schema inference on the bare directory fails — the
@@ -315,7 +313,7 @@ def h_orc_roundtrip(spark, sf_dir):
     path as a cluster-scale ORC export; the oracle checks the values
     survived the format, not the format itself."""
     df = tbl(spark, sf_dir, "supplier")
-    out = tempfile.mkdtemp(prefix="hcs_orc_")
+    out = scratch_dir("orc_roundtrip")
     df.write.mode("overwrite").orc(out)
     return (
         spark.read.schema(df.schema).orc(out)
