@@ -311,3 +311,109 @@ def xh_heavy_hitters(spark, sf_dir):
         .select("token", "cnt")
         .orderBy(F.col("cnt").desc(), "token")
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 relevance scoring (corpus-statistics ranked retrieval)
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("scan", "merge", "dup")  # fixed query; df spread high->rare
+_BM25_TOP = 20
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+
+
+@register(
+    "xh_bm25",
+    oracle=f"""WITH tk AS (
+  SELECT doc_id, len({_TOKENS_SQL}) AS dl, unnest({_TOKENS_SQL}) AS token
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, dl, token, COUNT(*) AS tf FROM tk
+  WHERE token IN ({_BM25_TERMS_SQL}) GROUP BY 1, 2, 3
+),
+dfq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+st AS (SELECT CAST(SUM(dl) AS BIGINT) AS sum_dl, COUNT(*) AS n
+       FROM (SELECT len({_TOKENS_SQL}) AS dl FROM documents)),
+per AS (
+  SELECT tf.doc_id,
+         CAST(FLOOR(
+           ln((n - df + 0.5) / (df + 0.5) + 1.0)
+           * (tf * 2.2)
+           / (tf + 1.2 * (0.25 + 0.75 * dl / (CAST(sum_dl AS DOUBLE) / n)))
+           * 1000000.0 + 0.5) AS BIGINT) AS part_u6
+  FROM tf JOIN dfq USING (token) CROSS JOIN st
+)
+SELECT doc_id, CAST(SUM(part_u6) AS BIGINT) AS score_u6, COUNT(*) AS n_terms
+FROM per GROUP BY doc_id
+ORDER BY score_u6 DESC, doc_id LIMIT {_BM25_TOP}""",
+    tags=("llm", "text", "search"),
+)
+def xh_bm25(spark, sf_dir):
+    """BM25 ranked retrieval (Robertson-Sparck Jones, k1=1.2 b=0.75) for a
+    fixed query over the corpus — the relevance scorer that sits on top of
+    the inverted index (xh_inverted_index) in a contamination-triage /
+    corpus-search stack. Per (doc, term):
+
+        idf(t)      = ln((N - df + 0.5)/(df + 0.5) + 1)
+        part(t, d)  = idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+
+    Determinism discipline: every double subexpression is mirrored
+    token-for-token in the oracle (base.py rule 2), and each per-term part
+    is quantized to integer micro-units (FLOOR(x*1e6 + 0.5) -> BIGINT)
+    BEFORE the per-document sum — summing raw doubles would be exposed to
+    FP addition order, which neither engine guarantees; BIGINT addition is
+    associative, so the score hash-checks regardless of partitioning.
+
+    Scale shape: dl rides the explode from ONE scan (no doc-level
+    self-join); the term filter collapses the token stream to |Q| terms'
+    postings BEFORE the (doc, term) partial aggregate; df (|Q| rows) and
+    the global (sum_dl, N) scalar (a partial->final agg, 1 row) attach by
+    broadcast — the 1-row nested-loop join is the allowlisted
+    global-scalar shape (tests/test_plans.py) — and the ranked result is
+    a TakeOrdered top-{_BM25_TOP}. Nothing corpus-sized is shuffled except
+    the matched-postings aggregate."""
+    d = tbl(spark, sf_dir, "documents")
+    t = d.select("doc_id", _tokens_col().alias("tk"))
+    toks = t.select(
+        "doc_id",
+        F.size("tk").cast("bigint").alias("dl"),
+        F.explode("tk").alias("token"),
+    ).filter(F.col("token").isin(*_BM25_TERMS))
+    tf = toks.groupBy("doc_id", "dl", "token").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    stats = (
+        t.select(F.size("tk").cast("bigint").alias("dl"))
+        .agg(F.sum("dl").alias("sum_dl"), F.count(F.lit(1)).alias("n"))
+    )
+    scored = tf.join(F.broadcast(dfreq), "token").join(F.broadcast(stats))
+    avgdl = F.col("sum_dl").cast("double") / F.col("n")
+    idf = F.log(
+        (F.col("n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    part = (
+        idf
+        * (F.col("tf") * F.lit(2.2))
+        / (
+            F.col("tf")
+            + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * F.col("dl") / avgdl)
+        )
+    )
+    per = scored.select(
+        "doc_id",
+        F.floor(part * F.lit(1000000.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("part_u6"),
+    )
+    return (
+        per.groupBy("doc_id")
+        .agg(
+            F.sum("part_u6").cast("bigint").alias("score_u6"),
+            F.count(F.lit(1)).alias("n_terms"),
+        )
+        .orderBy(F.col("score_u6").desc(), "doc_id")
+        .limit(_BM25_TOP)
+    )

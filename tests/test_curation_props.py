@@ -135,3 +135,73 @@ def test_heavy_hitters_exact_under_any_partitioning(spark, sf_smoke):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
     assert base == alt and base
+
+
+def test_weighted_sample_prefers_heavy_docs(spark, sf_smoke):
+    """xh_weighted_sample: with w = n_chars, the A-ES sample's mean doc
+    length must exceed the corpus mean — the defining property of
+    weighted (vs uniform) sampling, which the oracle hash can't express
+    (it only proves Spark == DuckDB, not that the weights bias the
+    draw)."""
+    from hadoop_copier_spark.queries.pipeline_ops import _WS_K
+
+    sample = REGISTRY["xh_weighted_sample"].fn(spark, sf_smoke)
+    corpus = load_table(spark, sf_smoke, "documents")
+    n_corpus = corpus.count()
+    got = sample.count()
+    assert got == min(_WS_K, n_corpus)
+    s_avg = sample.agg(F.avg("n_chars")).collect()[0][0]
+    c_avg = corpus.agg(F.avg("n_chars")).collect()[0][0]
+    assert s_avg > c_avg, (s_avg, c_avg)
+
+
+def test_weighted_sample_is_exact_es_topk(spark, sf_smoke):
+    """The emitted sample must be EXACTLY the k docs with the largest
+    Efraimidis-Spirakis priorities, recomputed independently in Python
+    (math.log on the same portable-hash u) — pins the sampler to the
+    published algorithm rather than to its own SQL spelling."""
+    import hashlib
+    import math
+
+    from hadoop_copier_spark.queries.pipeline_ops import _WS_K
+
+    docs = load_table(spark, sf_smoke, "documents").select(
+        "doc_id", "n_chars"
+    ).collect()
+    pri = {}
+    for r in docs:
+        if r.n_chars <= 0:
+            continue
+        h = int(hashlib.md5(f"ws:{r.doc_id}".encode()).hexdigest()[:15], 16)
+        pri[r.doc_id] = math.log((h + 1) / 2**60) / r.n_chars
+    want = set(
+        sorted(pri, key=lambda d: (-pri[d], d))[: _WS_K]
+    )
+    got = {
+        r.doc_id
+        for r in REGISTRY["xh_weighted_sample"].fn(spark, sf_smoke).collect()
+    }
+    assert got == want
+
+
+def test_bm25_rare_term_outranks_common_only(spark, sf_smoke):
+    """xh_bm25: the idf term must dominate — every top-5 document
+    contains the RARE query term ('dup', df two orders below the common
+    terms), because one rare-term hit carries more idf mass than any
+    combination of near-ubiquitous terms. Also pins score positivity and
+    the n_terms <= |Q| bound."""
+    from hadoop_copier_spark.queries.text_index import _BM25_TERMS
+
+    top = REGISTRY["xh_bm25"].fn(spark, sf_smoke).collect()
+    assert top, "bm25 returned no rows on a corpus containing the terms"
+    docs = {
+        r.doc_id: r.text
+        for r in load_table(spark, sf_smoke, "documents").collect()
+    }
+    rare = "dup"
+    for r in top:
+        assert r.score_u6 > 0
+        assert 1 <= r.n_terms <= len(_BM25_TERMS)
+    for r in top[:5]:
+        toks = docs[r.doc_id].lower().split()
+        assert rare in toks, (r.doc_id, toks[:20])

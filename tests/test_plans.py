@@ -266,14 +266,14 @@ def test_no_unplanned_nested_loop_or_cartesian_joins(spark, sf_smoke):
     nation, both tiny dims), the contract theta join (q20: supplier self
     join, dim-sized), brute-force cosine with the query side broadcast
     (q59), the embedding near-dup twins' declared bounded cross join, and
-    xh_heavy_hitters' 1-ROW global-total broadcast (attaching a global
-    scalar to a bounded candidate set — the build side is provably a
+    xh_heavy_hitters' and xh_bm25's 1-ROW global-total broadcast
+    (attaching a global scalar — the build side is provably a
     single row, so the nested loop is the optimal physical plan).
     Any other query acquiring a BNLJ/CartesianProduct is a planning
     regression that dies at scale."""
     allowed = {
         "q19", "q20", "q59", "xh_embedding_neardup", "xp_embedding_neardup",
-        "xh_heavy_hitters",
+        "xh_heavy_hitters", "xh_bm25",
     }
     offenders = []
     for name, q in sorted(REGISTRY.items()):
