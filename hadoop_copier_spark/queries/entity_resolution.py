@@ -53,10 +53,15 @@ def xh_fuzzy_match(spark, sf_dir):
     quadratic term is confined to single blocks, and block size is
     controlled by blocking-key selectivity (add tokens to the key to
     tighten it), exactly how production record linkage bounds its
-    candidate sets. The verify (levenshtein) runs only on candidate
-    rows; the output aggregate is brands x (lv+1) rows at any corpus
-    size. Both engines implement standard Levenshtein, so the profile
-    hash-checks exactly."""
+    candidate sets. The levenshtein verify runs MAP-SIDE on each pass's
+    join output, BEFORE the cross-pass distinct — so the dedup shuffle
+    carries only (key_a, key_b, brand, lv) integer/code rows for pairs
+    that already passed, never the name strings of every candidate
+    (filter-then-distinct == distinct-then-filter for a deterministic
+    per-row predicate; lv is a function of the pair). The output
+    aggregate is brands x (lv+1) rows at any corpus size. Both engines
+    implement standard Levenshtein, so the profile hash-checks
+    exactly."""
     p = tbl(spark, sf_dir, "part").select(
         F.col("p_partkey").alias("k"),
         F.col("p_name").alias("nm"),
@@ -78,18 +83,29 @@ def xh_fuzzy_match(spark, sf_dir):
             F.col("br").alias("br_b"),
             F.col(word_col).alias("blk_b"),
         )
-        return a.join(
-            b,
-            (F.col("br") == F.col("br_b"))
-            & (F.col("blk") == F.col("blk_b"))
-            & (F.col("key_a") < F.col("key_b")),
-        ).select("key_a", "key_b", "nm_a", "nm_b", "br")
+        return (
+            a.join(
+                b,
+                (F.col("br") == F.col("br_b"))
+                & (F.col("blk") == F.col("blk_b"))
+                & (F.col("key_a") < F.col("key_b")),
+            )
+            # bounded form: O(threshold*len) banded DP instead of the full
+            # O(len^2) matrix, early-exit when |len_a - len_b| > threshold,
+            # returns -1 above it — ~1M candidate pairs per pass make the
+            # verify compute-bound, so the band is the win (verified
+            # equivalent to full-levenshtein <= threshold by the oracle)
+            .withColumn(
+                "lv",
+                F.levenshtein("nm_a", "nm_b", _MAX_LV).cast("bigint"),
+            )
+            .filter(F.col("lv") >= 0)
+            .select("key_a", "key_b", "br", "lv")
+        )
 
     cand = pass_on("w1").unionByName(pass_on("w2")).distinct()
     return (
-        cand.withColumn("lv", F.levenshtein("nm_a", "nm_b").cast("bigint"))
-        .filter(F.col("lv") <= _MAX_LV)
-        .groupBy(F.col("br").alias("brand"), "lv")
+        cand.groupBy(F.col("br").alias("brand"), "lv")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
         .orderBy("brand", "lv")
     )
