@@ -320,3 +320,45 @@ def h_orc_roundtrip(spark, sf_dir):
         .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
         .orderBy("s_suppkey")
     )
+
+
+@register(
+    "xh_text_roundtrip",
+    oracle="""SELECT COUNT(*) AS n_lines,
+       CAST(SUM((('0x' || substr(md5(text), 1, 15))::BIGINT) % 1000000007)
+            AS BIGINT) AS hash_sum
+FROM documents WHERE text IS NOT NULL""",
+    tags=("source", "sink", "text"),
+)
+def h_text_roundtrip(spark, sf_dir):
+    """Plain-text source/sink round-trip — the one-document-per-line shard
+    format raw corpus dumps ship in. Writes `documents.text` as
+    gzip-compressed text part-files (distributed write, transparent codec)
+    and reads them back with ``spark.read.text``; completes the
+    source/sink matrix (parquet q05, CSV q03, JSON q04, ORC, binaryFile —
+    avro's external module is not deployed in this environment, noted in
+    SURVEY). Text files keep no columns and no order, so the check is an
+    ORDER-INDEPENDENT exact aggregate: line count + the BIGINT sum of each
+    line's portable 60-bit hash mod 1e9+7 (bounded so the sum stays in
+    BIGINT at any fixture SF) — identical regardless of how lines were
+    sharded, which is also why it hash-checks against an oracle that never
+    saw the files. Docs are single-line by fixture construction; a real
+    corpus dump would escape newlines first (that transform is q04's JSON
+    path)."""
+    from .dedup_oracle import _h60
+
+    d = tbl(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    out = scratch_dir("text_roundtrip")
+    (
+        d.select(F.col("text").alias("value"))
+        .write.mode("overwrite")
+        .option("compression", "gzip")
+        .text(out)
+    )
+    back = spark.read.text(out)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(_h60(F.col("value")) % F.lit(1000000007))
+        .cast("bigint")
+        .alias("hash_sum"),
+    )
