@@ -400,3 +400,119 @@ def xh_rfm_segments(spark, sf_dir):
         )
         .orderBy("segment", "r_score", "f_score", "m_score")
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-series subsequence similarity search (z-normalized, distributed)
+# ---------------------------------------------------------------------------
+
+_SSQ_M = 8  # subsequence length (power of two => /8.0 is IEEE-exact)
+_SSQ_Q = (0, 0, 100, 400, 400, 100, 0, 0)  # query shape: a value spike, cents
+_SSQ_TOP = 20
+
+# z-normalized query embedded as repr() literals: Python's float repr
+# round-trips, and decimal literal parsing is correctly rounded in both
+# engines, so the constants are bit-identical everywhere. sqrt is IEEE
+# correctly-rounded, so computing them here (not in-engine) changes
+# nothing.
+import math as _math
+
+_ssq_mu = sum(_SSQ_Q) / 8.0
+_ssq_sd = _math.sqrt(sum((x - _ssq_mu) ** 2 for x in _SSQ_Q) / 8.0)
+_SSQ_QZ = tuple((x - _ssq_mu) / _ssq_sd for x in _SSQ_Q)
+
+_ssq_vs = [f"v{i}" for i in range(_SSQ_M)]
+_SSQ_SUM = " + ".join(_ssq_vs)
+_SSQ_VAR = " + ".join(f"({v} - mu) * ({v} - mu)" for v in _ssq_vs)
+_SSQ_DIST = " + ".join(
+    f"(({v} - mu) / sd - ({_SSQ_QZ[i]!r})) * (({v} - mu) / sd - ({_SSQ_QZ[i]!r}))"
+    for i, v in enumerate(_ssq_vs)
+)
+_SSQ_LEADS = ",\n         ".join(
+    ["v AS v0"]
+    + [f"lead(v, {i}) OVER win AS v{i}" for i in range(1, _SSQ_M)]
+)
+
+
+@register(
+    "xh_subseq_search",
+    oracle=f"""WITH e AS (
+  SELECT user_id, event_id, ts, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v
+  FROM events WHERE value IS NOT NULL
+),
+w AS (
+  SELECT user_id, event_id,
+         {_SSQ_LEADS}
+  FROM e WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+m AS (
+  SELECT *, CAST({_SSQ_SUM} AS DOUBLE) / 8.0 AS mu
+  FROM w WHERE v{_SSQ_M - 1} IS NOT NULL
+),
+s AS (SELECT *, sqrt(({_SSQ_VAR}) / 8.0) AS sd FROM m),
+d AS (
+  SELECT user_id, event_id, {_SSQ_DIST} AS dist
+  FROM s WHERE sd > 0.0
+)
+SELECT user_id, event_id,
+       CAST(FLOOR(dist * 1000000.0 + 0.5) AS BIGINT) AS dist_u6
+FROM d ORDER BY dist_u6, user_id, event_id LIMIT {_SSQ_TOP}""",
+    tags=("events", "timeseries", "similarity"),
+)
+def xh_subseq_search(spark, sf_dir):
+    """Distributed time-series subsequence similarity search (the
+    REPOSE/Odyssey problem family, reduced to its scalable core): find
+    the {_SSQ_TOP} length-{_SSQ_M} windows of any user's value series
+    closest to a query shape under z-NORMALIZED Euclidean distance — the
+    standard measure (UCR suite) because it matches shape irrespective
+    of each window's own level and amplitude.
+
+    Determinism: every operation in the distance is deterministic IEEE
+    arithmetic — integer cents (exact), sums of 8 small ints (exact),
+    /8.0 (exact: power-of-two divisor), subtract/multiply (correctly
+    rounded, fixed left-assoc order mirrored in the oracle), sqrt
+    (correctly rounded per IEEE-754) — NO libm transcendental anywhere,
+    so the distance is BIT-identical across engines and the quantized
+    BIGINT output cannot straddle a boundary. Constant windows (sd = 0,
+    z-norm undefined) are excluded on both sides.
+
+    Scale shape: the {_SSQ_M} lead() columns share ONE per-user window
+    spec — a single hash exchange on user_id, each user's series sorted
+    independently (never a global sort); the distance is pure map-side
+    Column arithmetic and the result is a TakeOrdered top-{_SSQ_TOP}.
+    A longer query or a dictionary of queries changes the projection
+    width, not the plan shape."""
+    e = tbl(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    win = W.partitionBy("user_id").orderBy("ts", "event_id")
+    v = cents("value")
+    cols = [v.alias("v0")] + [
+        F.lead(v, i).over(win).alias(f"v{i}") for i in range(1, _SSQ_M)
+    ]
+    w = e.select("user_id", "event_id", *cols).filter(
+        F.col(f"v{_SSQ_M - 1}").isNotNull()
+    )
+    total = F.col("v0")
+    for i in range(1, _SSQ_M):
+        total = total + F.col(f"v{i}")
+    m = w.withColumn("mu", total.cast("double") / F.lit(8.0))
+    var = None
+    for i in range(_SSQ_M):
+        t = (F.col(f"v{i}") - F.col("mu")) * (F.col(f"v{i}") - F.col("mu"))
+        var = t if var is None else var + t
+    s = m.withColumn("sd", F.sqrt(var / F.lit(8.0))).filter(F.col("sd") > 0.0)
+    dist = None
+    for i in range(_SSQ_M):
+        z = (F.col(f"v{i}") - F.col("mu")) / F.col("sd") - F.lit(_SSQ_QZ[i])
+        t = z * z
+        dist = t if dist is None else dist + t
+    return (
+        s.select(
+            "user_id",
+            "event_id",
+            F.floor(dist * F.lit(1000000.0) + F.lit(0.5))
+            .cast("bigint")
+            .alias("dist_u6"),
+        )
+        .orderBy("dist_u6", "user_id", "event_id")
+        .limit(_SSQ_TOP)
+    )

@@ -124,3 +124,43 @@ def test_rfm_quintiles_balance_within_segment(spark, sf_oracle):
     for s in segs:
         sizes = [per_seg_r.get((s, sc), 0) for sc in range(1, 6)]
         assert max(sizes) - min(sizes) <= 1, (s, sizes)
+
+
+@pytest.fixture(scope="module")
+def planted_series(spark, tmp_path_factory):
+    """One user with a noisy series whose MIDDLE 8 events are an affine
+    transform (x -> 3x + 7) of the subsequence-search query shape, plus a
+    second user with a flat (zero-variance) series."""
+    from hadoop_copier_spark.queries.event_analytics import _SSQ_Q
+
+    planted = [3 * q / 100.0 + 7 for q in _SSQ_Q]  # cents -> value units
+    noise = [12.5, 3.75, 18.0, 6.25, 9.5, 1.25, 15.75, 4.5]
+    series = noise[:4] + planted + noise[4:]
+    rows = [
+        (i + 1, _ts(1, 9, i), 1, "view", v, "{}")
+        for i, v in enumerate(series)
+    ]
+    rows += [
+        (100 + i, _ts(1, 9, i), 2, "view", 5.0, "{}") for i in range(10)
+    ]
+    df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1),
+        schema="event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string",
+    )
+    root = tmp_path_factory.mktemp("planted_series")
+    df.write.parquet(f"{root}/events.parquet")
+    return str(root)
+
+
+def test_subseq_search_finds_affine_copy_at_distance_zero(spark, planted_series):
+    """z-normalization makes the search level- and amplitude-invariant:
+    the planted window (3x the query's amplitude, shifted by 7) must rank
+    FIRST with quantized distance exactly 0, and the flat user's
+    zero-variance windows must be excluded rather than NaN-ranked."""
+    top = REGISTRY["xh_subseq_search"].fn(spark, planted_series).collect()
+    assert top, "no windows returned"
+    best = top[0]
+    assert best.user_id == 1 and best.event_id == 5, top[:3]
+    assert best.dist_u6 == 0
+    assert all(r.user_id != 2 for r in top), "flat windows must be excluded"
