@@ -16,7 +16,11 @@ SF = "/root/testdata/sf0.001"
 CASES = ["q24", "q35", "q63", "xh_dedup_clusters", "q45", "xh_ngram_jaccard",
          # portable-hash oracle twins: banding self-join + integer minhash,
          # and the fold-based fingerprint (order sensitivity is the point)
-         "xh_minhash_lsh_pairs", "xh_doc_fingerprint"]
+         "xh_minhash_lsh_pairs", "xh_doc_fingerprint",
+         # round-7 additions, one per new risk family: FP-priority top-k
+         # merged across partitions (A-ES), quantized-FP per-doc sums
+         # (BM25), and window-framed FP distances (subsequence search)
+         "xh_weighted_sample", "xh_bm25", "xh_subseq_search"]
 
 
 @pytest.mark.parametrize("name", CASES)
