@@ -141,3 +141,33 @@ def test_observed_metrics_match_direct_aggregates(spark, sf_smoke):
     assert got["rows_in"] == want.rows_in > 0
     assert got["sum_price_cents"] == want.sum_price_cents
     assert got["null_qty"] == want.null_qty == 0
+
+
+def test_ingest_provenance_conserves_rows(spark, sf_smoke):
+    """xp_ingest_provenance: per-(partition, file) accounting must
+    conserve the source exactly — file totals sum to the table count and
+    every status partition appears."""
+    prov = REGISTRY["xp_ingest_provenance"].fn(spark, sf_smoke).collect()
+    o = load_table(spark, sf_smoke, "orders")
+    want = {
+        (r.o_orderstatus, r.n): None
+        for r in o.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert {(r.o_orderstatus, r.n_rows) for r in prov} == set(want)
+    assert all(r.n_files >= 1 for r in prov)
+    assert sum(r.n_rows for r in prov) == o.count()
+
+
+def test_corrupt_record_isolation_accounts_for_every_line(spark, sf_smoke):
+    """xp_corrupt_record_isolation: PERMISSIVE ingest must quarantine
+    exactly the two planted corrupt lines, parse every valid one, and
+    lose nothing."""
+    rows = {
+        r.status: r
+        for r in REGISTRY["xp_corrupt_record_isolation"].fn(spark, sf_smoke).collect()
+    }
+    n_nation = load_table(spark, sf_smoke, "nation").count()
+    assert rows["corrupt"].n_rows == 2
+    assert rows["corrupt"].n_parsed_keys == 0
+    assert rows["good"].n_rows == n_nation
+    assert rows["good"].n_parsed_keys == n_nation
