@@ -15,3 +15,4 @@ from .jobs import (  # noqa: F401
     stream_running_counts,
     stream_stream_join,
 )
+from .stateful import running_totals_stateful, subseq_match_stateful  # noqa: F401

@@ -38,3 +38,83 @@ def running_totals_stateful(events_stream: DataFrame):
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming subsequence matcher (stateful tail buffer per user)
+# ---------------------------------------------------------------------------
+
+SSQ_OUT_SCHEMA = "user_id long, anchor_event_id long, dist_u6 long"
+# last m-1 (event_id, cents) pairs per user, in arrival order
+SSQ_STATE_SCHEMA = "eids array<long>, vs array<long>"
+
+
+def _subseq_update(key, pdfs, state: GroupState):
+    """Emit the z-normalized distance of every length-m window the moment
+    its last event arrives. State is the series TAIL — the last m-1
+    (event_id, cents) pairs — so state size is O(m) per user regardless
+    of stream length, and each arriving event does O(m) work.
+
+    Arithmetic mirrors queries/event_analytics.xh_subseq_search term for
+    term (same summation order, /8.0 exact, math.sqrt correctly rounded,
+    floor-quantize) so stream output is BIT-identical to the batch
+    operator over the same events — asserted in tests/test_streaming.py.
+    Events must arrive per-user time-ordered across batches (the replay
+    contract; out-of-order streams would first pass a watermark sorter)."""
+    import math
+
+    from hadoop_copier_spark.queries.event_analytics import _SSQ_M, _SSQ_QZ
+
+    eids, vs = state.get if state.exists else ([], [])
+    eids, vs = list(eids), list(vs)
+    n_tail = len(vs)
+    new = []
+    for pdf in pdfs:
+        pdf = pdf.dropna(subset=["value"])
+        for r in pdf.sort_values(["ts", "event_id"]).itertuples():
+            new.append((int(r.event_id), int(math.floor(r.value * 100 + 0.5))))
+    out_u, out_a, out_d = [], [], []
+    all_e = eids + [e for e, _ in new]
+    all_v = vs + [v for _, v in new]
+    for end in range(max(n_tail, _SSQ_M - 1), len(all_v)):
+        i0 = end - _SSQ_M + 1
+        if i0 < 0:
+            continue
+        w = all_v[i0 : end + 1]
+        total = w[0]
+        for x in w[1:]:
+            total = total + x
+        mu = float(total) / 8.0
+        var = None
+        for x in w:
+            t = (x - mu) * (x - mu)
+            var = t if var is None else var + t
+        sd = math.sqrt(var / 8.0)
+        if not sd > 0.0:
+            continue
+        dist = None
+        for j, x in enumerate(w):
+            z = (x - mu) / sd - _SSQ_QZ[j]
+            t = z * z
+            dist = t if dist is None else dist + t
+        out_u.append(key[0])
+        out_a.append(all_e[i0])
+        out_d.append(int(math.floor(dist * 1000000.0 + 0.5)))
+    state.update((all_e[-(_SSQ_M - 1):], all_v[-(_SSQ_M - 1):]))
+    yield pd.DataFrame(
+        {"user_id": out_u, "anchor_event_id": out_a, "dist_u6": out_d}
+    )
+
+
+def subseq_match_stateful(events_stream: DataFrame):
+    """events stream -> per-user streaming subsequence matcher: every
+    complete length-m window's z-normalized distance to the query shape,
+    emitted exactly once, as an append stream. The streaming form of
+    xh_subseq_search's scan — a shape-anomaly alerting pipeline."""
+    return events_stream.groupBy("user_id").applyInPandasWithState(
+        _subseq_update,
+        outputStructType=SSQ_OUT_SCHEMA,
+        stateStructType=SSQ_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -540,3 +540,36 @@ def test_time_bucket_replay_streams_to_same_result_as_batch(spark, tmp_path):
     want = sorted(tuple(r) for r in REGISTRY["q61"].fn(spark, SF).collect())
     assert got == want
     assert n_batches >= 5  # one micro-batch per chunk file (+ possible empty tail)
+
+
+def test_stream_subseq_matcher_equals_batch_operator(spark, replay_dir):
+    """The streaming subsequence matcher (O(m) tail state per user,
+    applyInPandasWithState) must be BIT-identical to the batch operator:
+    its full emitted window set, reduced by the registered query's
+    ordering, equals xh_subseq_search's top-20 exactly — same anchors,
+    same quantized distances — and no window is emitted twice."""
+    from hadoop_copier_spark.streaming import subseq_match_stateful
+    from hadoop_copier_spark.streaming.jobs import _read_stream
+
+    out = subseq_match_stateful(_read_stream(spark, replay_dir))
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_subseq")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = [
+            (r.user_id, r.anchor_event_id, r.dist_u6)
+            for r in _rows(spark, "t_subseq")
+        ]
+    finally:
+        q.stop()
+    assert len(set(got)) == len(got), "a window was emitted more than once"
+    got_top = sorted(got, key=lambda t: (t[2], t[0], t[1]))[:20]
+    batch = [
+        (r.user_id, r.event_id, r.dist_u6)
+        for r in REGISTRY["xh_subseq_search"].fn(spark, SF).collect()
+    ]
+    assert got_top == batch
