@@ -56,10 +56,10 @@ xh_incremental_dedup, xh_consistent_sample, xh_embed_quantize,
 xh_langid_ngram, xh_inverted_index, xh_heavy_hitters, xh_event_funnel,
 xh_cohort_retention, xh_ohlc_bars, xh_event_transitions,
 xh_rfm_segments, xh_fuzzy_match, xh_dq_profile, xh_tpch_q3, xh_tpch_q5,
-xh_tpch_q10 — plus xh_weighted_sample, xh_bm25, xh_text_roundtrip and
-xh_subseq_search (added later in r7, same policy). All are
-locally oracle-green; per the pinned policy they take the first 29 r8
-slots, with the remainder of that window refreshing the then-stalest
+xh_tpch_q10 — plus xh_weighted_sample, xh_bm25, xh_text_roundtrip,
+xh_subseq_search and xh_tpch_q18 (added later in r7, same policy). All
+are locally oracle-green; per the pinned policy they take the first 30
+r8 slots, with the remainder of that window refreshing the then-stalest
 r6 evidence.
 
 Each ``bNN``/``bx_*`` name binds the SAME ``Query`` object fields

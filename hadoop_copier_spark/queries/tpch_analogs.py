@@ -173,3 +173,69 @@ def xh_tpch_q10(spark, sf_dir):
         .orderBy(F.col("revenue_e4").desc(), "c_custkey")
         .limit(20)
     )
+
+
+@register(
+    "xh_tpch_q18",
+    oracle=f"""WITH big AS (
+  SELECT l_orderkey
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT)) > 300
+)
+SELECT c.c_name, c.c_custkey, o.o_orderkey,
+       CAST(epoch(o.o_orderdate) AS BIGINT) AS orderdate_sec,
+       {ocents('o.o_totalprice')} AS totalprice_cents,
+       CAST(SUM(CAST(FLOOR(l.l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+JOIN big ON o.o_orderkey = big.l_orderkey
+GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+ORDER BY totalprice_cents DESC, o_orderkey LIMIT 100""",
+    tags=("tpch", "join", "agg"),
+)
+def xh_tpch_q18(spark, sf_dir):
+    """TPC-H Q18 analog (large-volume customers): orders whose total
+    quantity exceeds 300, with their customers and exact quantity sums.
+    The benchmark's canonical AGGREGATE-SEMI-JOIN shape: the qualifying
+    set comes from a pre-aggregation of the fact table (GROUP BY +
+    HAVING), then joins BACK into the 3-way star — the pattern that
+    rewards partial aggregation twice (once to find the keys, once for
+    the final sums) and a broadcast of the tiny qualifying-key set.
+
+    Plan at 100 TB: the `big` key set is HAVING-filtered aggregate
+    output — orders-of-magnitude smaller than lineitem — and joins as a
+    broadcast (AQE promotes it from the runtime size); the final
+    aggregate groups rows already co-partitioned by the o_orderkey join.
+    Quantities are exact integers (FLOOR(q+0.5), fixture-integral),
+    money is integer cents, and the top-100 is TakeOrderedAndProject
+    with a unique-key tiebreak."""
+    li = tbl(spark, sf_dir, "lineitem")
+    qty = F.floor(F.col("l_quantity") + F.lit(0.5)).cast("bigint")
+    # alias the aggregated key: `big` shares lineage with `li`, and a
+    # bare l_orderkey would be an ambiguous self-join reference
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(qty).alias("qsum"))
+        .filter(F.col("qsum") > 300)
+        .select(F.col("l_orderkey").alias("big_orderkey"))
+    )
+    c = tbl(spark, sf_dir, "customer")
+    o = tbl(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(big), o.o_orderkey == F.col("big_orderkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum(qty).cast("bigint").alias("sum_qty"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.unix_timestamp("o_orderdate").cast("bigint").alias("orderdate_sec"),
+            cents("o_totalprice").alias("totalprice_cents"),
+            "sum_qty",
+        )
+        .orderBy(F.col("totalprice_cents").desc(), "o_orderkey")
+        .limit(100)
+    )
