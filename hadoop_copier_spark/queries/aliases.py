@@ -4,7 +4,7 @@ THE MECHANISM AND ITS AUTHORIZATION
 -----------------------------------
 The driver's CORRECTNESS harness re-verifies only the alphabetically-first
 50 registry names each round, while the registry declares far more (116
-real queries when this window was pinned; 151 after the later round-7
+real queries when this window was pinned; 152 after the later round-7
 additions, which queue for r8 per the ledger below).
 Re-pointing that window from inside the repo was flagged by the round-5
 advisor (ADVICE.md, high): the graded party must not silently choose its

@@ -199,10 +199,8 @@ def xp_schema_evolution(spark, sf_dir):
     import os
 
     n = tbl(spark, sf_dir, "nation")
+    # _work_dir wipes per call, so the append below starts clean
     path = os.path.join(_work_dir("schema_evo"), "nation_evolving")
-    import shutil
-
-    shutil.rmtree(path, ignore_errors=True)  # append below must start clean
     n.select("n_nationkey", "n_name").write.mode("overwrite").parquet(path)
     n.select(
         "n_nationkey", "n_name", F.lit(2).alias("ingest_batch")
@@ -235,11 +233,10 @@ def xp_dynamic_partition_overwrite(spark, sf_dir):
     is explicitly undefined in Spark (a mid-job FileIndex re-resolution
     after the commit deletes files under the reader)."""
     import os
-    import shutil
 
     o = tbl(spark, sf_dir, "orders")
+    # _work_dir wipes per call — the write below starts clean
     out = os.path.join(_work_dir("dpo"), "orders_by_status")
-    shutil.rmtree(out, ignore_errors=True)
     o.write.partitionBy("o_orderstatus").parquet(out)
 
     restated = (

@@ -322,12 +322,20 @@ def h_orc_roundtrip(spark, sf_dir):
     )
 
 
+def _text_roundtrip_oracle() -> str:
+    # the hash spelling comes from the SAME module constant the Spark
+    # side's _h60 pairs with, so the two can never drift apart
+    from .dedup_oracle import _H60_SQL
+
+    return f"""SELECT COUNT(*) AS n_lines,
+       CAST(SUM(({_H60_SQL.format(s='text')}) % 1000000007)
+            AS BIGINT) AS hash_sum
+FROM documents WHERE text IS NOT NULL"""
+
+
 @register(
     "xh_text_roundtrip",
-    oracle="""SELECT COUNT(*) AS n_lines,
-       CAST(SUM((('0x' || substr(md5(text), 1, 15))::BIGINT) % 1000000007)
-            AS BIGINT) AS hash_sum
-FROM documents WHERE text IS NOT NULL""",
+    oracle=_text_roundtrip_oracle(),
     tags=("source", "sink", "text"),
 )
 def h_text_roundtrip(spark, sf_dir):

@@ -335,14 +335,20 @@ tf AS (
 dfq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
 st AS (SELECT CAST(SUM(dl) AS BIGINT) AS sum_dl, COUNT(*) AS n
        FROM (SELECT len({_TOKENS_SQL}) AS dl FROM documents)),
+idfq AS (
+  SELECT token,
+         CAST(FLOOR(ln((n - df + 0.5) / (df + 0.5) + 1.0)
+                    * 1000000.0 + 0.5) AS BIGINT) AS idf_u6
+  FROM dfq CROSS JOIN st
+),
 per AS (
   SELECT tf.doc_id,
          CAST(FLOOR(
-           ln((n - df + 0.5) / (df + 0.5) + 1.0)
+           (idf_u6 / 1000000.0)
            * (tf * 2.2)
            / (tf + 1.2 * (0.25 + 0.75 * dl / (CAST(sum_dl AS DOUBLE) / n)))
            * 1000000.0 + 0.5) AS BIGINT) AS part_u6
-  FROM tf JOIN dfq USING (token) CROSS JOIN st
+  FROM tf JOIN idfq USING (token) CROSS JOIN st
 )
 SELECT doc_id, CAST(SUM(part_u6) AS BIGINT) AS score_u6, COUNT(*) AS n_terms
 FROM per GROUP BY doc_id
@@ -364,6 +370,12 @@ def xh_bm25(spark, sf_dir):
     BEFORE the per-document sum — summing raw doubles would be exposed to
     FP addition order, which neither engine guarantees; BIGINT addition is
     associative, so the score hash-checks regardless of partitioning.
+    ln() is the one libm call (unavoidable in BM25's idf) and libm is not
+    correctly rounded, so the idf is quantized to BIGINT micro-units ONCE
+    per TERM — the only cross-engine ulp exposure is |Q| values per
+    corpus at that quantization boundary (vanishingly unlikely to
+    straddle), and every arithmetic step after `idf_u6 / 1e6` is a
+    correctly-rounded IEEE op, deterministic in both engines.
 
     Scale shape: dl rides the explode from ONE scan (no doc-level
     self-join); the term filter collapses the token stream to |Q| terms'
@@ -388,14 +400,20 @@ def xh_bm25(spark, sf_dir):
         t.select(F.size("tk").cast("bigint").alias("dl"))
         .agg(F.sum("dl").alias("sum_dl"), F.count(F.lit(1)).alias("n"))
     )
-    scored = tf.join(F.broadcast(dfreq), "token").join(F.broadcast(stats))
-    avgdl = F.col("sum_dl").cast("double") / F.col("n")
     idf = F.log(
         (F.col("n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
         + F.lit(1.0)
     )
+    idfq = dfreq.join(F.broadcast(stats)).select(
+        "token",
+        F.floor(idf * F.lit(1000000.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("idf_u6"),
+    )
+    scored = tf.join(F.broadcast(idfq), "token").join(F.broadcast(stats))
+    avgdl = F.col("sum_dl").cast("double") / F.col("n")
     part = (
-        idf
+        (F.col("idf_u6") / F.lit(1000000.0))
         * (F.col("tf") * F.lit(2.2))
         / (
             F.col("tf")

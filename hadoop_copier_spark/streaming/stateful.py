@@ -68,18 +68,23 @@ def _subseq_update(key, pdfs, state: GroupState):
     eids, vs = state.get if state.exists else ([], [])
     eids, vs = list(eids), list(vs)
     n_tail = len(vs)
-    new = []
+    # accumulate EVERY chunk first, then sort once: a group's micro-batch
+    # rows may arrive as several pandas chunks whose relative order is
+    # arbitrary — sorting chunks individually would trust exactly the
+    # cross-chunk order the per-chunk sort says cannot be trusted
+    rows = []
     for pdf in pdfs:
         pdf = pdf.dropna(subset=["value"])
-        for r in pdf.sort_values(["ts", "event_id"]).itertuples():
-            new.append((int(r.event_id), int(math.floor(r.value * 100 + 0.5))))
+        rows.extend(
+            (r.ts, int(r.event_id), int(math.floor(r.value * 100 + 0.5)))
+            for r in pdf.itertuples()
+        )
+    rows.sort(key=lambda t: (t[0], t[1]))
     out_u, out_a, out_d = [], [], []
-    all_e = eids + [e for e, _ in new]
-    all_v = vs + [v for _, v in new]
+    all_e = eids + [e for _, e, _ in rows]
+    all_v = vs + [v for _, _, v in rows]
     for end in range(max(n_tail, _SSQ_M - 1), len(all_v)):
         i0 = end - _SSQ_M + 1
-        if i0 < 0:
-            continue
         w = all_v[i0 : end + 1]
         total = w[0]
         for x in w[1:]:

@@ -19,30 +19,21 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import duckdb  # noqa: E402
-from pyspark.sql import SparkSession  # noqa: E402
 
 ROUND = int(os.environ.get("SPARK_GRAFT_ROUND", "7"))
 SF = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
-TABLES = [
-    "region", "nation", "customer", "supplier", "part",
-    "orders", "lineitem", "events", "documents", "embeddings",
-]
 
 
 def main() -> None:
-    spark = (
-        SparkSession.builder.master("local[32]")
-        .config("spark.sql.shuffle.partitions", "32")
-        .config("spark.sql.session.timeZone", "UTC")
-        .getOrCreate()
-    )
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
-        )
+    # the CANONICAL session factory and oracle connection — never
+    # hand-rolled copies, so this recorder can't drift from the harness
+    # (same table list, same pinned confs) as operators/tables are added
     from hadoop_copier_spark.queries import REGISTRY
-    from hadoop_copier_spark.testing import compare
+    from hadoop_copier_spark.session import get_spark
+    from hadoop_copier_spark.testing import compare, duck_connect
+
+    spark = get_spark()
+    con = duck_connect(SF)
 
     entries: dict = {}
     n_h = n_h_pass = 0
