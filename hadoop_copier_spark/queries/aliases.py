@@ -4,7 +4,7 @@ THE MECHANISM AND ITS AUTHORIZATION
 -----------------------------------
 The driver's CORRECTNESS harness re-verifies only the alphabetically-first
 50 registry names each round, while the registry declares far more (116
-real queries when this window was pinned; 152 after the later round-7
+real queries when this window was pinned; 153 after the later round-7
 additions, which queue for r8 per the ledger below).
 Re-pointing that window from inside the repo was flagged by the round-5
 advisor (ADVICE.md, high): the graded party must not silently choose its
@@ -57,10 +57,10 @@ xh_langid_ngram, xh_inverted_index, xh_heavy_hitters, xh_event_funnel,
 xh_cohort_retention, xh_ohlc_bars, xh_event_transitions,
 xh_rfm_segments, xh_fuzzy_match, xh_dq_profile, xh_tpch_q3, xh_tpch_q5,
 xh_tpch_q10 — plus xh_weighted_sample, xh_bm25, xh_text_roundtrip,
-xh_subseq_search and xh_tpch_q18 (added later in r7, same policy). All
-are locally oracle-green; per the pinned policy they take the first 30
-r8 slots, with the remainder of that window refreshing the then-stalest
-r6 evidence.
+xh_subseq_search, xh_tpch_q18 and xh_quantile_norm (added later in r7,
+same policy). All are locally oracle-green; per the pinned policy they
+take the first 31 r8 slots, with the remainder of that window
+refreshing the then-stalest r6 evidence.
 
 Each ``bNN``/``bx_*`` name binds the SAME ``Query`` object fields
 (function and oracle) as its target — verified by tests/test_oracle_queries

@@ -484,3 +484,64 @@ def h_weighted_sample(spark, sf_dir):
         .select("doc_id", "lang", "n_chars")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "xh_quantile_norm",
+    oracle="""WITH r AS (
+  SELECT doc_id, lang, n_chars,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY n_chars, doc_id) AS rr,
+         COUNT(*) OVER (PARTITION BY lang) AS nl
+  FROM documents
+)
+SELECT doc_id, lang, n_chars,
+       CAST(((rr - 1) * 1000000)
+            // (CASE WHEN nl > 1 THEN nl - 1 ELSE 1 END) AS BIGINT)
+         AS pct_ppm
+FROM r ORDER BY doc_id""",
+    tags=("llm", "quality", "quantile"),
+)
+def h_quantile_norm(spark, sf_dir):
+    """Per-language quantile normalization (the CCNet-style language-fair
+    thresholding pattern): each document's score — n_chars as the fixture
+    proxy for a quality score — maps to its exact within-language
+    percentile in ppm, so a single global cutoff ("keep the top 60%")
+    removes the same FRACTION of every language regardless of how their
+    raw score distributions differ. An absolute threshold would gut
+    low-resource languages whose score distributions sit lower; the
+    per-language rank map is the standard fix.
+
+    Exact integer discipline: pct_ppm = (rank-1)*1e6 div (n_lang-1) with
+    a deterministic (score, doc_id) tiebreak — integer floor division,
+    no float quantiles (the xh_outlier_trim rule), so the map
+    hash-checks and is rerun-stable.
+
+    Scale: the rank window and the per-language count window share ONE
+    lang hash exchange; each language sorts independently (partition
+    count grows with languages, the xh_langid_ngram property), and the
+    output is a pure map of the corpus — no driver state."""
+    from pyspark.sql import Window as W
+
+    d = tbl(spark, sf_dir, "documents")
+    w = W.partitionBy("lang").orderBy("n_chars", "doc_id")
+    wc = W.partitionBy("lang")
+    return (
+        d.select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            F.row_number().over(w).alias("rr"),
+            F.count(F.lit(1)).over(wc).alias("nl"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            F.expr(
+                "CAST(((rr - 1) * 1000000) div "
+                "(CASE WHEN nl > 1 THEN nl - 1 ELSE 1 END) AS BIGINT)"
+            ).alias("pct_ppm"),
+        )
+        .orderBy("doc_id")
+    )
