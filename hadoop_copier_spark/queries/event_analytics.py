@@ -462,7 +462,7 @@ FROM d ORDER BY dist_u6, user_id, event_id LIMIT {_SSQ_TOP}""",
 def xh_subseq_search(spark, sf_dir):
     """Distributed time-series subsequence similarity search (the
     REPOSE/Odyssey problem family, reduced to its scalable core): find
-    the {_SSQ_TOP} length-{_SSQ_M} windows of any user's value series
+    the top-20 length-8 windows of any user's value series
     closest to a query shape under z-NORMALIZED Euclidean distance — the
     standard measure (UCR suite) because it matches shape irrespective
     of each window's own level and amplitude.
@@ -476,10 +476,11 @@ def xh_subseq_search(spark, sf_dir):
     BIGINT output cannot straddle a boundary. Constant windows (sd = 0,
     z-norm undefined) are excluded on both sides.
 
-    Scale shape: the {_SSQ_M} lead() columns share ONE per-user window
+    Scale shape: the 8 lead() columns share ONE per-user window
     spec — a single hash exchange on user_id, each user's series sorted
     independently (never a global sort); the distance is pure map-side
-    Column arithmetic and the result is a TakeOrdered top-{_SSQ_TOP}.
+    Column arithmetic and the result is a TakeOrdered top-20 (both
+    constants pinned next to _SSQ_M/_SSQ_TOP above).
     A longer query or a dictionary of queries changes the projection
     width, not the plan shape."""
     e = tbl(spark, sf_dir, "events").filter(F.col("value").isNotNull())

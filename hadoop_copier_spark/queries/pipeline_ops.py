@@ -496,7 +496,7 @@ def h_weighted_sample(spark, sf_dir):
   FROM documents
 )
 SELECT doc_id, lang, n_chars,
-       CAST(((rr - 1) * 1000000)
+       CAST((CAST(rr - 1 AS BIGINT) * 1000000)
             // (CASE WHEN nl > 1 THEN nl - 1 ELSE 1 END) AS BIGINT)
          AS pct_ppm
 FROM r ORDER BY doc_id""",
@@ -515,7 +515,11 @@ def h_quantile_norm(spark, sf_dir):
     Exact integer discipline: pct_ppm = (rank-1)*1e6 div (n_lang-1) with
     a deterministic (score, doc_id) tiebreak — integer floor division,
     no float quantiles (the xh_outlier_trim rule), so the map
-    hash-checks and is rerun-stable.
+    hash-checks and is rerun-stable. The rank is widened to BIGINT
+    BEFORE the *1e6 (row_number is 32-bit; under ANSI mode any language
+    with >2148 documents would otherwise raise ARITHMETIC_OVERFLOW —
+    the DuckDB oracle promotes implicitly, so both engines compute the
+    identical 64-bit product).
 
     Scale: the rank window and the per-language count window share ONE
     lang hash exchange; each language sorts independently (partition
@@ -539,7 +543,7 @@ def h_quantile_norm(spark, sf_dir):
             "lang",
             "n_chars",
             F.expr(
-                "CAST(((rr - 1) * 1000000) div "
+                "CAST((CAST(rr - 1 AS BIGINT) * 1000000) div "
                 "(CASE WHEN nl > 1 THEN nl - 1 ELSE 1 END) AS BIGINT)"
             ).alias("pct_ppm"),
         )

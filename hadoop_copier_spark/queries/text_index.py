@@ -383,7 +383,7 @@ def xh_bm25(spark, sf_dir):
     the global (sum_dl, N) scalar (a partial->final agg, 1 row) attach by
     broadcast — the 1-row nested-loop join is the allowlisted
     global-scalar shape (tests/test_plans.py) — and the ranked result is
-    a TakeOrdered top-{_BM25_TOP}. Nothing corpus-sized is shuffled except
+    a TakeOrdered top-20 (_BM25_TOP above). Nothing corpus-sized is shuffled except
     the matched-postings aggregate."""
     d = tbl(spark, sf_dir, "documents")
     t = d.select("doc_id", _tokens_col().alias("tk"))

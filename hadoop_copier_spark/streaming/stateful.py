@@ -45,8 +45,11 @@ def running_totals_stateful(events_stream: DataFrame):
 # ---------------------------------------------------------------------------
 
 SSQ_OUT_SCHEMA = "user_id long, anchor_event_id long, dist_u6 long"
-# last m-1 (event_id, cents) pairs per user, in arrival order
-SSQ_STATE_SCHEMA = "eids array<long>, vs array<long>"
+# last m-1 (event_id, cents) pairs per user, in arrival order, plus the
+# (ts-micros, event_id) of the newest event ever seen — the replay-order
+# guard: a batch whose first row sorts BEFORE that mark is out-of-order
+# replay and must fail loudly, not corrupt windows silently (ADVICE r7).
+SSQ_STATE_SCHEMA = "eids array<long>, vs array<long>, last_ts long, last_eid long"
 
 
 def _subseq_update(key, pdfs, state: GroupState):
@@ -60,12 +63,16 @@ def _subseq_update(key, pdfs, state: GroupState):
     floor-quantize) so stream output is BIT-identical to the batch
     operator over the same events — asserted in tests/test_streaming.py.
     Events must arrive per-user time-ordered across batches (the replay
-    contract; out-of-order streams would first pass a watermark sorter)."""
+    contract; out-of-order streams would first pass a watermark sorter) —
+    ENFORCED: the state carries the newest (ts, event_id) mark and a
+    batch sorting before it raises instead of silently mis-windowing."""
     import math
 
     from hadoop_copier_spark.queries.event_analytics import _SSQ_M, _SSQ_QZ
 
-    eids, vs = state.get if state.exists else ([], [])
+    eids, vs, last_ts, last_eid = (
+        state.get if state.exists else ([], [], None, None)
+    )
     eids, vs = list(eids), list(vs)
     n_tail = len(vs)
     # accumulate EVERY chunk first, then sort once: a group's micro-batch
@@ -76,10 +83,21 @@ def _subseq_update(key, pdfs, state: GroupState):
     for pdf in pdfs:
         pdf = pdf.dropna(subset=["value"])
         rows.extend(
-            (r.ts, int(r.event_id), int(math.floor(r.value * 100 + 0.5)))
+            (
+                int(r.ts.value // 1000),  # ts as epoch-micros (exact)
+                int(r.event_id),
+                int(math.floor(r.value * 100 + 0.5)),
+            )
             for r in pdf.itertuples()
         )
     rows.sort(key=lambda t: (t[0], t[1]))
+    if rows and last_ts is not None and (rows[0][0], rows[0][1]) < (last_ts, last_eid):
+        raise ValueError(
+            f"out-of-order replay for user {key[0]}: batch starts at "
+            f"(ts_us={rows[0][0]}, event_id={rows[0][1]}) but state has "
+            f"already consumed (ts_us={last_ts}, event_id={last_eid}); "
+            "the per-user in-order arrival contract is violated"
+        )
     out_u, out_a, out_d = [], [], []
     all_e = eids + [e for _, e, _ in rows]
     all_v = vs + [v for _, _, v in rows]
@@ -105,10 +123,31 @@ def _subseq_update(key, pdfs, state: GroupState):
         out_u.append(key[0])
         out_a.append(all_e[i0])
         out_d.append(int(math.floor(dist * 1000000.0 + 0.5)))
-    state.update((all_e[-(_SSQ_M - 1):], all_v[-(_SSQ_M - 1):]))
-    yield pd.DataFrame(
-        {"user_id": out_u, "anchor_event_id": out_a, "dist_u6": out_d}
+    if rows:
+        last_ts, last_eid = rows[-1][0], rows[-1][1]
+    state.update(
+        (
+            all_e[-(_SSQ_M - 1):],
+            all_v[-(_SSQ_M - 1):],
+            last_ts if last_ts is not None else -(2**62),
+            last_eid if last_eid is not None else -(2**62),
+        )
     )
+    if out_u:
+        yield pd.DataFrame(
+            {"user_id": out_u, "anchor_event_id": out_a, "dist_u6": out_d}
+        )
+    else:
+        # explicit int64 dtypes: a frame built from empty Python lists
+        # would carry float64/object columns against the declared long
+        # schema — the fragile Arrow path (ADVICE r7)
+        yield pd.DataFrame(
+            {
+                "user_id": pd.Series(dtype="int64"),
+                "anchor_event_id": pd.Series(dtype="int64"),
+                "dist_u6": pd.Series(dtype="int64"),
+            }
+        )
 
 
 def subseq_match_stateful(events_stream: DataFrame):
