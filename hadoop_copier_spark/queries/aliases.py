@@ -1,71 +1,65 @@
-"""Driver-window rotation (round 7; executed on the judge's instruction).
+"""Driver-window rotation (round 10; executes the r7-r9 verdict ledger).
 
 THE MECHANISM AND ITS AUTHORIZATION
 -----------------------------------
 The driver's CORRECTNESS harness re-verifies only the alphabetically-first
-50 registry names each round, while the registry declares far more (116
-real queries when this window was pinned; 153 after the later round-7
-additions, which queue for r8 per the ledger below).
-Re-pointing that window from inside the repo was flagged by the round-5
-advisor (ADVICE.md, high): the graded party must not silently choose its
-own grading sample. The rotation below is therefore NOT silent: it
-executes the judge's explicit round-6 instruction, quoted verbatim from
-VERDICT.md "Next round: do this" #1:
+50 registry names each round, while the registry declares 153 real
+queries. Re-pointing that window from inside the repo was flagged by the
+round-5 advisor (ADVICE.md, high): the graded party must not silently
+choose its own grading sample. The rotation below is therefore NOT
+silent: it executes the judge's explicit instruction, carried verbatim as
+VERDICT r7 #1, r8 #1 and r9 "What's missing" #1 / "Next round" #1:
 
-    "Rotate the driver window onto the displaced set [...] per the pinned
-    LRU policy, the 43 contract queries now on r5 evidence (q01-q23, q25,
-    q27, q28, q51-q67) + the 4 round-6 twins (`xh_hash_split`,
-    `xh_det_shuffle`, `xh_theta_count`, `xh_rollup_cascade`) = 47; fill
-    the last 3 slots with regression canaries whose plans changed in r6
-    (q35, q24, xh_ntile_scalable)."
+    "Driver CORRECTNESS rows for the 31 round-7 H operators (ledger at
+    queries/aliases.py:50-63). [...] per the pinned policy they take the
+    first 31 r8 slots, with the remainder of that window refreshing the
+    then-stalest r6 evidence."
 
 ROTATION POLICY (deterministic, coverage-first, no cherry-picking)
 ------------------------------------------------------------------
 Window slots go to the LEAST-RECENTLY-DRIVER-VERIFIED queries first; ties
-broken by registry name. Ledger of driver evidence entering round 7
-(facts from CORRECTNESS_r05.json / CORRECTNESS_r06.json):
+broken by registry name. Ledger of driver evidence entering round 10
+(facts from CORRECTNESS_r06.json / CORRECTNESS_r09.json — the r7/r8/r9
+windows were identical, so their 50 members all carry r9 evidence):
 
-  never checked   : xh_hash_split, xh_det_shuffle, xh_theta_count,
-                    xh_rollup_cascade (added mid-r6,
-                    queued per policy)                  -> all in window
-  r5 (stale)      : q01-q23, q25, q27, q28, q51-q67
-                    (displaced by the r6 rotation)      -> all in window
-  r6 (fresh)      : q24, q26, q29-q50, all 26 pre-r6 xh_* twins
-                    -> 3 canary slots to the r6 plan changes the judge
-                       named: q35 (rank-plan swap), q24 (DECIMAL(38,0)
-                       overflow gate), xh_ntile_scalable (shares the
-                       q35 plan)
+  never checked   : the 31 H operators added mid-r7 after the r7 window
+                    was pinned (enumerated in _XH_TARGETS below; this is
+                    exactly the r8 QUEUE LEDGER that rounds 8 and 9
+                    failed to execute)                  -> all 31 in window
+  r6 (stale)      : q26, q29-q34, q36-q50 (22 contract queries) and the
+                    26 pre-r7 xh_* twins
+                    -> the remaining 19 slots, ties by name:
+                       q26, q29-q34, q36-q47
+  r9 (fresh)      : q01-q25, q27, q28, q35, q51-q67, xh_det_shuffle,
+                    xh_hash_split, xh_ntile_scalable, xh_rollup_cascade,
+                    xh_theta_count                      -> displaced
   P-class (xp_/xt_): rows-only by design, driver checks them outside the
                     hash window; not rotated.
 
-43 + 4 + 3 = 50 = the full window. Nothing contract-bearing is steered
-OUT: every query displaced this round carries a green r6 driver row
-(CORRECTNESS_r06.json, 50/50). After this round every H query in the
-registry has a driver row at most two rounds old, and the four round-6
-twins have their first rows — the stated goal of VERDICT r6 #1.
-`xh_dedup_clusters` (renamed from `xp_dedup_clusters` this round per
-VERDICT r6 #3) has no free slot in this window and queues for r8 as the
-least-recently-verified H query.
+31 + 19 = 50 = the full window. Nothing contract-bearing is steered OUT:
+every query displaced this round carries a green r9 driver row
+(CORRECTNESS_r09.json, 50/50). After this round every H operator in the
+registry has had at least one driver row, closing the three-round-old
+"20% of the surface has builder-side evidence only" gap (VERDICT r9).
 
-R8 QUEUE LEDGER (H queries with no driver row as of this window, in
-rotation order): xh_dedup_clusters (renamed r7), then the twenty-four
-operators added mid-r7 after this window was pinned — xh_dup_rate_by_source,
-xh_keep_best, xh_doc_freq, xh_weighted_mix, xh_chunk_dedup,
-xh_scd2_intervals, xh_filter_funnel, xh_outlier_trim,
-xh_incremental_dedup, xh_consistent_sample, xh_embed_quantize,
-xh_langid_ngram, xh_inverted_index, xh_heavy_hitters, xh_event_funnel,
-xh_cohort_retention, xh_ohlc_bars, xh_event_transitions,
-xh_rfm_segments, xh_fuzzy_match, xh_dq_profile, xh_tpch_q3, xh_tpch_q5,
-xh_tpch_q10 — plus xh_weighted_sample, xh_bm25, xh_text_roundtrip,
-xh_subseq_search, xh_tpch_q18 and xh_quantile_norm (added later in r7,
-same policy). All are locally oracle-green; per the pinned policy they
-take the first 31 r8 slots, with the remainder of that window
-refreshing the then-stalest r6 evidence.
+R11 QUEUE LEDGER (stalest driver evidence after this window, in rotation
+order — ties by name): q48, q49, q50 (r6), then the 26 pre-r7 xh twins
+on r6 evidence (xh_contamination, xh_correlated_scalar_subquery,
+xh_date_series, xh_doc_fingerprint, xh_embedding_neardup,
+xh_exists_subquery_sql, xh_gap_fill, xh_higher_order, xh_histogram,
+xh_merge_upsert, xh_minhash_lsh_pairs, xh_ngram_jaccard,
+xh_orc_roundtrip, xh_pack_sequences, xh_pii_scrub, xh_pivot,
+xh_repetition, xh_scalar_and_in_subquery, xh_simhash, xh_string_agg,
+xh_text_quality, xh_token_stats, xh_udtf_generate, xh_unpivot,
+xh_znorm_window — 25 twins; xh_dedup_clusters moved into THIS window),
+then the r9-window members (q01-q25, q27, q28, q35, q51-q67 and the five
+round-6 twins). 3 + 25 = 28 never/stale H slots for r11; the remaining
+22 slots refresh the then-stalest r9 evidence in name order.
 
 Each ``bNN``/``bx_*`` name binds the SAME ``Query`` object fields
 (function and oracle) as its target — verified by tests/test_oracle_queries
-running aliases through the identical harness. The round-6 alias block is
-replaced wholesale (its evidence of record stays in CORRECTNESS_r06.json)
+running aliases through the identical harness. The round-7 alias block is
+replaced wholesale (its evidence of record stays in CORRECTNESS_r09.json)
 so the registry carries one alias generation at a time.
 """
 
@@ -73,27 +67,32 @@ from __future__ import annotations
 
 from .registry import REGISTRY, Query
 
-# 43 contract queries displaced onto r5 evidence by the r6 rotation, plus
-# the two contract canaries (q24, q35), exactly as instructed by VERDICT
-# r6 #1.
+# The 19 stalest contract queries (r6 evidence, displaced by the r7
+# rotation and untouched since), in LRU-then-name order.
 _CONTRACT_TARGETS = [
-    "q01", "q02", "q03", "q04", "q05", "q06", "q07", "q08", "q09", "q10",
-    "q11", "q12", "q13", "q14", "q15", "q16", "q17", "q18", "q19", "q20",
-    "q21", "q22", "q23", "q24", "q25", "q27", "q28", "q35",
-    "q51", "q52", "q53", "q54", "q55", "q56", "q57", "q58", "q59", "q60",
-    "q61", "q62", "q63", "q64", "q65", "q66", "q67",
+    "q26", "q29", "q30", "q31", "q32", "q33", "q34",
+    "q36", "q37", "q38", "q39", "q40", "q41", "q42", "q43", "q44",
+    "q45", "q46", "q47",
 ]
 
 
-# The four round-6 twins (never driver-checked — added after the r6
-# window was pinned, queued per policy) plus the xh_ntile_scalable
-# canary. Pinned as an explicit list, NOT derived from the registry:
-# twins added later in the round (e.g. the r7 rename xh_dedup_clusters)
-# must queue for the NEXT rotation instead of silently reshaping this
-# one.
+# The 31 round-7 H operators that have NEVER had a driver row — this is
+# the r8 QUEUE LEDGER from the round-7 edition of this file, verbatim and
+# in its stated rotation order. Pinned as an explicit list, NOT derived
+# from the registry: operators added later must queue for the NEXT
+# rotation instead of silently reshaping this one.
 _XH_TARGETS = [
-    "xh_det_shuffle", "xh_hash_split", "xh_ntile_scalable",
-    "xh_rollup_cascade", "xh_theta_count",
+    "xh_dedup_clusters",
+    "xh_dup_rate_by_source", "xh_keep_best", "xh_doc_freq",
+    "xh_weighted_mix", "xh_chunk_dedup", "xh_scd2_intervals",
+    "xh_filter_funnel", "xh_outlier_trim", "xh_incremental_dedup",
+    "xh_consistent_sample", "xh_embed_quantize", "xh_langid_ngram",
+    "xh_inverted_index", "xh_heavy_hitters", "xh_event_funnel",
+    "xh_cohort_retention", "xh_ohlc_bars", "xh_event_transitions",
+    "xh_rfm_segments", "xh_fuzzy_match", "xh_dq_profile",
+    "xh_tpch_q3", "xh_tpch_q5", "xh_tpch_q10",
+    "xh_weighted_sample", "xh_bm25", "xh_text_roundtrip",
+    "xh_subseq_search", "xh_tpch_q18", "xh_quantile_norm",
 ]
 
 
@@ -107,7 +106,7 @@ def _install() -> None:
             name=alias,
             fn=q.fn,
             oracle=q.oracle,
-            doc=f"Alias of {target} (driver-window rotation, VERDICT r6 #1): " + q.doc,
+            doc=f"Alias of {target} (driver-window rotation, VERDICT r9 #1): " + q.doc,
             tags=q.tags + ("alias",),
         )
 
