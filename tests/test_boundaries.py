@@ -157,37 +157,30 @@ def test_integer_units_sum_past_2_63_is_loud_never_wrapped(spark):
     assert ok == 7
 
 
-def test_quantile_norm_rank_widened_past_int32_overflow_boundary(spark):
+def test_quantile_norm_rank_widened_past_int32_overflow_boundary(spark, tmp_path):
     """ADVICE r7 (medium): (rr - 1) * 1000000 with a 32-bit row_number
     overflows INT once any language exceeds 2148 documents (2148 * 1e6 >
     2^31-1) and Spark 4's default ANSI mode turns that into a hard
-    ARITHMETIC_OVERFLOW. The fixed expression widens the rank to BIGINT
-    BEFORE multiplying (pipeline_ops.py xh_quantile_norm), matching
-    DuckDB's implicit promotion. Pin it one row PAST the boundary: a
-    2200-doc single-language corpus must produce pct_ppm 0..1_000_000
-    monotone, not raise."""
-    n = 2200  # > 2148: the old INT expression raises here under ANSI
-    df = spark.createDataFrame(
-        [(i, "en", i + 1) for i in range(n)], "doc_id long, lang string, n_chars long"
-    )
-    from pyspark.sql import Window as W
+    ARITHMETIC_OVERFLOW. xh_quantile_norm widens the rank to BIGINT
+    BEFORE multiplying, matching DuckDB's implicit promotion.
 
-    w = W.partitionBy("lang").orderBy("n_chars", "doc_id")
-    wc = W.partitionBy("lang")
+    VERDICT r8 #3: this test must run the REGISTERED operator, not an
+    inline copy of its expression — reverting the widening in
+    pipeline_ops.py has to turn this red. So: write a 2200-doc
+    single-language documents.parquet fixture (one row PAST the 2148
+    boundary) and run REGISTRY['xh_quantile_norm'].fn against it; expect
+    pct_ppm 0..1_000_000 monotone, not ARITHMETIC_OVERFLOW."""
+    from hadoop_copier_spark.queries import REGISTRY
+
+    n = 2200  # > 2148: an un-widened INT expression raises here under ANSI
+    spark.createDataFrame(
+        [(i, "en", i + 1) for i in range(n)], "doc_id long, lang string, n_chars long"
+    ).coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+
     out = (
-        df.select(
-            "doc_id",
-            F.row_number().over(w).alias("rr"),
-            F.count(F.lit(1)).over(wc).alias("nl"),
-        )
-        .select(
-            "doc_id",
-            F.expr(
-                "CAST((CAST(rr - 1 AS BIGINT) * 1000000) div "
-                "(CASE WHEN nl > 1 THEN nl - 1 ELSE 1 END) AS BIGINT)"
-            ).alias("pct_ppm"),
-        )
-        .orderBy("doc_id")
+        REGISTRY["xh_quantile_norm"]
+        .fn(spark, str(tmp_path))
+        .select("doc_id", "pct_ppm")
         .collect()
     )
     assert len(out) == n
