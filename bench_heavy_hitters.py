@@ -19,16 +19,18 @@ return the same heavy-hitter set (asserted per run).
 
 Prints one JSON line and records bench/heavy_hitter_results.json —
 the measured backing for SCALE.md's "the token long tail NEVER
-shuffles" row. MEASURED HONESTLY: at local scales the JVM exact
-aggregate WINS (31-token vocab: exact ~2.4x faster — Tungsten hash-aggs
-a few hundred thousand keys for free while the sketch pays the
-Arrow/Python tax twice over every token) and only reaches parity
-around ~2M distinct tokens. The sketch's real claim is the bounded
-one: per-partition state is K counters and the shuffle is
-O(parts x K) rows NO MATTER the vocabulary, where the exact plan's
-aggregate state and exchange grow with distinct tokens — the property
-that matters when shingle-scale vocabularies (~corpus size at 100 TB)
-exceed executor aggregate memory, not a local wall-clock win.
+shuffles" row. Since round 10 the proposal pass is Spark's JVM
+``freqItems`` (treeAggregate of bounded counter maps; the r7-r9
+mapInPandas sketch paid the Arrow/Python tax over every token and
+lost to exact at every measured vocabulary). Measured now: the sketch
+WINS once the long tail is real (tail80/tail400) and trails only on
+the degenerate 31-token corpus, where two tiny jobs cost more than
+one. The structural claim stands on top of that: per-partition sketch
+state is K+1 counters and NOTHING vocabulary-sized ever shuffles,
+where the exact plan's aggregate state and exchange grow with
+distinct tokens — the property that matters when shingle-scale
+vocabularies (~corpus size at 100 TB) exceed executor aggregate
+memory.
 
 Run: python bench_heavy_hitters.py  (env: SPARK_GRAFT_HH_BASE,
 default /root/testdata/sf0.1)

@@ -16,23 +16,19 @@ corpus-analytics stack needs:
 * ``xh_inverted_index`` — capped posting lists for the highest-DF tokens
   (the lookup structure behind "which documents contain this benchmark
   n-gram?" at interactive latency).
-* ``xh_heavy_hitters`` — two-pass Misra-Gries frequent-items: bounded
-  per-partition sketches (mapInPandas, K counters, NO shuffle of the
-  token long tail) propose a candidate superset; a second exact pass over
-  candidates only recovers the true >N/(K+1) set. The output is the
-  exact deterministic heavy-hitter set, so it hash-checks against a
-  plain-aggregation oracle even though the intermediate sketch is
-  partitioning-dependent.
+* ``xh_heavy_hitters`` — two-pass Misra-Gries frequent-items: a bounded
+  JVM ``freqItems`` sketch (K+1 counters per partition, treeAggregate of
+  the maps — NO shuffle of the token long tail) proposes a candidate
+  superset; a second exact pass over candidates only recovers the true
+  >N/(K+1) set. The output is the exact deterministic heavy-hitter set,
+  so it hash-checks against a plain-aggregation oracle even though the
+  intermediate sketch is partitioning-dependent.
 
 All outputs follow the registry determinism rules (full ordering, BIGINT
 counts, canonicalized lists serialized to strings).
 """
 
 from __future__ import annotations
-
-from typing import Iterator
-
-import pandas as pd
 
 from pyspark.sql import Window as W
 
@@ -217,41 +213,30 @@ def xh_inverted_index(spark, sf_dir):
 # Heavy hitters (Misra-Gries sketch + exact second pass)
 # ---------------------------------------------------------------------------
 
-_MG_COUNTERS = 49  # K counters => guaranteed superset of count > N/(K+1)
+_MG_COUNTERS = 49  # sketch keeps K+1 counters => superset of count > N/(K+1)
 
 
-def mg_candidates(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Per-partition weighted Misra-Gries over a ``token`` column.
+def freq_token_candidates(toks, support: float):
+    """Stage-1 proposal: Misra-Gries/Karp frequent-items over a ``token``
+    column, ENTIRELY JVM-side (VERDICT r8 #4: the previous mapInPandas
+    sketch paid the Arrow/Python tax twice over every token and lost to
+    the exact aggregate at every measured vocabulary).
 
-    Maintains at most ``_MG_COUNTERS`` counters across the partition's
-    Arrow batches (each batch pre-reduced by value_counts, so the Python
-    dict sees vocabulary-sized work, not token-stream-sized). When the
-    counter set overflows, the (K+1)-th largest value m is subtracted
-    from every counter and non-positive ones dropped — the batched form
-    of the classic decrement-all step: each round removes >= m*(K+1)
-    stream mass, so any token's total undercount is < N_p/(K+1), giving
-    the superset guarantee the second exact pass relies on."""
-    counters: dict = {}
-    k = _MG_COUNTERS
-    for pdf in it:
-        for tok, c in pdf["token"].value_counts().items():
-            counters[tok] = counters.get(tok, 0) + int(c)
-        if len(counters) > k:
-            vals = sorted(counters.values(), reverse=True)
-            m = vals[k]
-            counters = {t: c - m for t, c in counters.items() if c > m}
-    yield pd.DataFrame({"token": list(counters.keys())})
+    ``DataFrame.freqItems`` is Spark's built-in implementation of the
+    same decrement-all algorithm this operator used to hand-roll: each
+    partition keeps a bounded map of floor(1/support) counters, maps
+    merge pairwise with the classic subtract-the-overflow step, and only
+    the O(1/support)-entry maps ever leave the executors (treeAggregate —
+    the token long tail never shuffles AT ALL, not even one row per
+    partition). Merged MG sketches keep the additive error bound, so the
+    union map is a SUPERSET of every token with true count >
+    N * support, for ANY partitioning and merge order
+    (tests/test_curation_props.py pins this at 1/3/16 partitions).
 
-
-def _partial_count(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """One BIGINT row per partition: its token count. Folded to a global
-    total via coalesce(1) + sum — a narrow merge of O(partitions) 1-row
-    streams, never an `Exchange SinglePartition` (the suite-wide scale
-    invariant, tests/test_plans.py)."""
-    n = 0
-    for pdf in it:
-        n += len(pdf)
-    yield pd.DataFrame({"n": [n]})
+    Returns a tiny (<= 1/support rows) candidate DataFrame; runs the
+    sketch job eagerly, like any stats helper."""
+    freq = toks.freqItems(["token"], support)
+    return freq.select(F.explode("token_freqItems").alias("token"))
 
 
 @register(
@@ -271,12 +256,11 @@ def xh_heavy_hitters(spark, sf_dir):
     my corpus?" when the exact token aggregate (q57) would shuffle a
     100 TB long tail:
 
-    PASS 1 (sketch): ``mapInPandas`` keeps K={_MG_COUNTERS} bounded
-    counters per partition; only O(partitions x K) candidate rows leave
-    the executors. Union-of-sketches guarantee: any token with global
-    count > N/(K+1) exceeds the local threshold in at least one
-    partition, so the candidate set is a SUPERSET of the true heavy
-    hitters (property-pinned in tests/test_curation_props.py).
+    PASS 1 (sketch): ``freqItems`` (JVM treeAggregate of bounded
+    K+1-counter maps — see ``freq_token_candidates``) proposes a
+    candidate SUPERSET of every token with count > N/(K+1); the long
+    tail never leaves its partition, not even as per-partition candidate
+    rows (property-pinned in tests/test_curation_props.py).
 
     PASS 2 (exact): candidates broadcast back over the token stream; only
     candidate tokens are aggregated, and the N/(K+1) filter (computed via
@@ -286,24 +270,25 @@ def xh_heavy_hitters(spark, sf_dir):
     sketch-based plan hash-check against the plain-aggregation oracle.
 
     Plan shape (pinned by the suite-wide invariants): the global total is
-    per-partition partial counts folded through coalesce(1) — no
-    `Exchange SinglePartition` anywhere — and the 1-row total attaches
-    via a broadcast nested-loop join whose build side is PROVABLY one row
+    sum(size(tokens)) over DOCUMENT rows — a partial->final global
+    aggregate (the one allowlisted single-partition-exchange shape: only
+    one 8-byte partial per partition crosses), equal to the exploded
+    token count because explode of an empty/null array emits no rows and
+    size() of one contributes 0/NULL. The 1-row total attaches via a
+    broadcast nested-loop join whose build side is PROVABLY one row
     (allowlisted with the other bounded-side joins in
     tests/test_plans.py: a 1-row broadcast is the optimal physical plan
     for attaching a global scalar)."""
     d = tbl(spark, sf_dir, "documents")
     toks = d.select(F.explode(_tokens_col()).alias("token"))
-    cand = toks.mapInPandas(mg_candidates, schema="token string").distinct()
+    cand = freq_token_candidates(toks, 1.0 / (_MG_COUNTERS + 1))
     exact = (
         toks.join(F.broadcast(cand), "token")
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    total = (
-        toks.mapInPandas(_partial_count, schema="n bigint")
-        .coalesce(1)
-        .agg(F.sum("n").alias("total"))
+    total = d.agg(
+        F.sum(F.size(_tokens_col())).cast("bigint").alias("total")
     )
     return (
         exact.join(F.broadcast(total))

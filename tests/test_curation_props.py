@@ -93,16 +93,19 @@ def test_incremental_dedup_partition_is_exhaustive(spark, sf_smoke):
     assert sum(r.n_new for r in rows) == n_new_raw
 
 
-def test_mg_candidates_superset_and_bounded(spark, sf_smoke):
-    """Misra-Gries stage-1 guarantee (queries/text_index.py): for ANY
-    partitioning, the candidate union (a) contains every token with true
-    count > N/(K+1), (b) stays within partitions x K rows. Exercised at
-    1, 3 and 16 partitions so the bound is partitioning-independent, not
-    an artifact of one layout."""
+def test_freq_candidates_superset_and_bounded(spark, sf_smoke):
+    """Misra-Gries stage-1 guarantee (queries/text_index.py, the JVM
+    freqItems proposal): for ANY partitioning, the merged candidate map
+    (a) contains every token with true count > N/(K+1), (b) stays within
+    the sketch's floor(1/support) = K+1 counters — partition-count
+    independent, because freqItems merges the per-partition maps down to
+    one bounded map. Exercised at 1, 3 and 16 partitions so the
+    guarantee is shown partitioning-independent, not an artifact of one
+    layout."""
     from hadoop_copier_spark.queries.text_index import (
         _MG_COUNTERS,
         _tokens_col,
-        mg_candidates,
+        freq_token_candidates,
     )
 
     d = load_table(spark, sf_smoke, "documents")
@@ -111,15 +114,14 @@ def test_mg_candidates_superset_and_bounded(spark, sf_smoke):
     total = sum(exact.values())
     true_hh = {t for t, c in exact.items() if c * (_MG_COUNTERS + 1) > total}
     assert true_hh, "fixture corpus should have heavy hitters"
+    support = 1.0 / (_MG_COUNTERS + 1)
     for parts in (1, 3, 16):
         cand = {
             r.token
-            for r in toks.repartition(parts)
-            .mapInPandas(mg_candidates, schema="token string")
-            .collect()
+            for r in freq_token_candidates(toks.repartition(parts), support).collect()
         }
         assert true_hh <= cand, f"parts={parts}: lost a true heavy hitter"
-        assert len(cand) <= parts * _MG_COUNTERS
+        assert len(cand) <= _MG_COUNTERS + 1
 
 
 def test_heavy_hitters_exact_under_any_partitioning(spark, sf_smoke):
