@@ -11,14 +11,30 @@ and never sorts candidate groups.
 
 At 100 TB: if the right side is a large history table, pre-bucket both
 sides on the key (``df.write.bucketBy(n, key)``) so the join is
-shuffle-free, and bound candidates with an additional
-``right.time >= left.time - INTERVAL x`` predicate to cap fan-out.
+shuffle-free, and bound candidates with ``lookback`` +
+``bucket_width`` — the (key, time-bucket) equi pre-join below — so
+candidate volume AND shuffle-key cardinality stay bounded as history
+accumulates.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+_NUMERIC_TYPES = {
+    "tinyint", "smallint", "int", "bigint", "float", "double",
+}
+
+
+def _time_as_seconds(col: Column, dtype: str) -> Column:
+    """Numeric image of a time axis for bucket arithmetic: numerics pass
+    through, timestamp/date become epoch seconds (date via timestamp so
+    the cast chain is legal for both)."""
+    base = dtype.split("(")[0]
+    if base in _NUMERIC_TYPES or base == "decimal":
+        return col.cast("double")
+    return col.cast("timestamp").cast("double")
 
 
 def asof_join(
@@ -30,6 +46,7 @@ def asof_join(
     tiebreak: str | None = None,
     how: str = "inner",
     lookback: Column | None = None,
+    bucket_width: float | None = None,
 ) -> DataFrame:
     """Join each left row to the latest right row at-or-before its time.
 
@@ -48,7 +65,28 @@ def asof_join(
     history accumulates); with it, candidate volume is bounded per left
     row regardless of history depth. Semantics change only for matches
     older than the window — choose it from data staleness rules.
+
+    ``bucket_width``: optional (key, time-bucket) equi pre-join (VERDICT
+    r8 #6): requires ``lookback`` and must be >= it, in SECONDS for
+    timestamp/date axes and raw units for numeric ones. Both sides get a
+    bucket id floor(time / width); the left side joins its own bucket AND
+    the previous one (two exploded copies — with width >= lookback the
+    candidate interval [t - lookback, t] spans at most those two
+    buckets), and the bucket joins as an ADDITIONAL EQUI KEY. A right
+    row's single bucket id matches at most one of the two left copies,
+    so no candidate duplicates. This changes the shuffle key from (key)
+    to (key, bucket): a hot key's unbounded history now spreads across
+    time buckets instead of converging on one reducer, and the residual
+    time predicates filter within a 2-bucket-wide candidate set instead
+    of all history. Result-identical to the unbucketed lookback form
+    (pinned in tests/test_boundaries.py / tests/test_plans.py).
     """
+    if bucket_width is not None:
+        if lookback is None:
+            raise ValueError("bucket_width requires lookback (it relies on the "
+                             "candidate interval being at most lookback wide)")
+        if bucket_width <= 0:
+            raise ValueError("bucket_width must be positive")
     lid = "__asof_left_id"
     lt = F.col(f"__l.{left_time}")
     rt = F.col(f"__r.{right_time}")
@@ -65,6 +103,16 @@ def asof_join(
             cond = (F.col(f"__l.{k}") == F.col(f"__r.{k}")) & cond
     if lookback is not None:
         cond = cond & (rt >= lt - lookback)
+    if bucket_width is not None:
+        ldt = dict(left.dtypes)[left_time]
+        rdt = dict(right.dtypes)[right_time]
+        lb = F.floor(_time_as_seconds(lt, ldt) / F.lit(float(bucket_width)))
+        rb = F.floor(_time_as_seconds(rt, rdt) / F.lit(float(bucket_width)))
+        lhs = lhs.withColumn(
+            "__asof_bucket_l", F.explode(F.array(lb, lb - F.lit(1)))
+        )
+        rhs = rhs.withColumn("__asof_bucket_r", rb)
+        cond = (F.col("__asof_bucket_l") == F.col("__asof_bucket_r")) & cond
 
     right_out = [c for c in right.columns if c not in equi_keys]
     # ordering key for max_by: (right_time, tiebreak) as a struct — null

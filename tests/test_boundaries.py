@@ -73,6 +73,55 @@ def test_asof_join_candidate_at_exact_time_is_taken(spark):
     assert [(r["lid"], r["rid"]) for r in rows] == [(1, 11)]
 
 
+def test_asof_bucketed_equals_unbucketed_at_boundaries(spark):
+    """The (key, time-bucket) equi pre-join (asof_join bucket_width,
+    VERDICT r8 #6) is a pure plan transformation: with width >= lookback
+    the result is IDENTICAL to the plain lookback form, including the
+    boundary candidates the bucketing could plausibly lose — a candidate
+    exactly at lt - lookback (inclusive, lives in the PREVIOUS bucket)
+    and one just older (excluded by lookback, not by the bucket)."""
+    from pyspark.sql import functions as F
+
+    from hadoop_copier_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "k", 100.0), (2, "k", 25.0), (3, "q", 31.0)],
+        "lid long, k string, lt double",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, "k", 90.0),   # lid 1: exactly lt - lookback, previous bucket -> kept
+            (11, "k", 89.0),   # just outside lookback -> dropped by residual
+            (12, "k", 25.0),   # lid 2: exact-time match, own bucket
+            (13, "q", 24.0),   # lid 3: previous-bucket match
+        ],
+        "rid long, k string, rt double",
+    )
+    kwargs = dict(
+        on="k", left_time="lt", right_time="rt", tiebreak="rid", how="left",
+        lookback=F.lit(10.0),
+    )
+    plain = asof_join(left, right, **kwargs).select("lid", "rid")
+    bucketed = asof_join(left, right, bucket_width=10.0, **kwargs).select("lid", "rid")
+    got_plain = sorted(tuple(r) for r in plain.collect())
+    got_bucketed = sorted(tuple(r) for r in bucketed.collect())
+    assert got_plain == got_bucketed == [(1, 10), (2, 12), (3, 13)], (
+        got_plain,
+        got_bucketed,
+    )
+
+
+def test_asof_bucket_width_requires_lookback(spark):
+    import pytest as _pytest
+
+    from hadoop_copier_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, "k", 1.0)], "lid long, k string, lt double")
+    with _pytest.raises(ValueError, match="lookback"):
+        asof_join(left, left, on="k", left_time="lt", right_time="lt",
+                  bucket_width=10.0)
+
+
 def test_watermark_boundary_event_at_exact_watermark_kept(spark, tmp_path):
     """Windowed agg drops data strictly OLDER than the watermark; a window
     whose end equals the current watermark is still finalized correctly

@@ -147,6 +147,59 @@ def test_q22_asof_no_window_sort(spark, sf_oracle):
     assert "Window" not in text, text[:800]
 
 
+def test_q22_asof_bucketed_same_oracle_hash_and_bucket_in_join_keys(
+    spark, sf_oracle, duck
+):
+    """VERDICT r8 #6: the bucketed as-of form (lookback + bucket_width)
+    must (a) hash-check against the SAME q22 oracle — with a lookback
+    covering the fixture's full history span the bucketing is a pure
+    plan transformation — and (b) put the time bucket in the JOIN KEYS,
+    not the residual: that is the property that kills the unbounded
+    per-key fan-out at 100x history depth (a hot user's history spreads
+    over (user, bucket) reducers instead of one)."""
+    from hadoop_copier_spark.operators.asof import asof_join
+    from hadoop_copier_spark.tables import load_table
+    from hadoop_copier_spark.testing import compare
+
+    def q22_bucketed(sp, sf_dir):
+        e = (
+            load_table(sp, sf_dir, "events")
+            .withColumn("ts_ms", F.date_trunc("millisecond", F.col("ts")))
+            .select("event_id", "user_id", "ts_ms")
+        )
+        o = (
+            load_table(sp, sf_dir, "orders")
+            .withColumnRenamed("o_custkey", "user_id")
+            .select("user_id", "o_orderkey", "o_orderdate")
+        )
+        return (
+            asof_join(
+                e, o, on="user_id", left_time="ts_ms", right_time="o_orderdate",
+                tiebreak="o_orderkey",
+                lookback=F.expr("INTERVAL '40' YEAR"),  # covers full fixture span
+                bucket_width=40 * 365.25 * 86400.0,
+            )
+            .select("event_id", "user_id", "ts_ms", "o_orderkey", "o_orderdate")
+            .orderBy("event_id")
+        )
+
+    probs = compare(q22_bucketed, REGISTRY["q22"].oracle, spark, sf_oracle, con=duck)
+    assert not probs, probs
+
+    text = explain_str(q22_bucketed(spark, sf_oracle), "simple")
+    join_lines = [
+        ln for ln in text.splitlines()
+        if "HashJoin" in ln or "SortMergeJoin" in ln
+    ]
+    assert join_lines, text[:800]
+    # equi key lists come before the join type/condition tail; the bucket
+    # must appear there on both sides, i.e. as a join KEY
+    keys_part = join_lines[0].split("Inner")[0]
+    assert "__asof_bucket_l" in keys_part and "__asof_bucket_r" in keys_part, (
+        join_lines[0][:300]
+    )
+
+
 def test_q59_candidates_never_shuffle(spark, sf_oracle):
     """Brute-force cosine: queries broadcast; the candidate scan must
     stream (no SortMergeJoin / hash exchange of the candidate side before
