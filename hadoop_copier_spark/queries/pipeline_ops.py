@@ -401,18 +401,28 @@ def det_shuffle_frame(d, n_shards: int):
     )
 
 
-@register(
-    "xh_det_shuffle",
-    oracle=f"""WITH k AS (
+def det_shuffle_oracle(n_shards: int) -> str:
+    """The DuckDB mirror of ``det_shuffle_frame`` at the SAME shard
+    count — one generator feeds both the registered oracle (at
+    ``_SHUF_SHARDS``) and the lockstep test at a non-default count
+    (VERDICT r8 #5: tests/test_pipeline_ops.py compares fn(7) against
+    THIS string at 7, so the expr and the SQL cannot drift apart in a
+    way only the default shard count hides)."""
+    return f"""WITH k AS (
   SELECT doc_id,
          ({_H60_SQL.format(s="'shuf:' || CAST(doc_id AS VARCHAR)")}) AS key
   FROM documents
 )
 SELECT doc_id,
-       CAST(key % {_SHUF_SHARDS} AS BIGINT) AS shard,
-       CAST(row_number() OVER (PARTITION BY key % {_SHUF_SHARDS}
+       CAST(key % {n_shards} AS BIGINT) AS shard,
+       CAST(row_number() OVER (PARTITION BY key % {n_shards}
                                ORDER BY key, doc_id) AS BIGINT) AS pos
-FROM k ORDER BY doc_id""",
+FROM k ORDER BY doc_id"""
+
+
+@register(
+    "xh_det_shuffle",
+    oracle=det_shuffle_oracle(_SHUF_SHARDS),
     tags=("llm", "shuffle", "pipeline"),
 )
 def h_det_shuffle(spark, sf_dir):

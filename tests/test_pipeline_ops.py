@@ -153,6 +153,30 @@ def test_det_shuffle_bijection_holds_at_any_shard_count(spark, sf_smoke):
     )
 
 
+def test_det_shuffle_spark_and_oracle_lockstep_at_shards_7(spark, sf_oracle, duck):
+    """VERDICT r8 #5: the shard constant feeds BOTH the Spark plan and
+    the oracle SQL through one code path — prove it by running the full
+    driver-faithful compare at a NON-default shard count. If either side
+    hard-coded 64 anywhere, shards=7 diverges (different shard ids AND
+    different per-shard ranks) and the hash compare fails."""
+    from hadoop_copier_spark.queries.pipeline_ops import (
+        det_shuffle_frame,
+        det_shuffle_oracle,
+    )
+    from hadoop_copier_spark.testing import compare
+
+    probs = compare(
+        lambda sp, sf: det_shuffle_frame(
+            load_table(sp, sf, "documents"), 7
+        ).orderBy("doc_id"),
+        det_shuffle_oracle(7),
+        spark,
+        sf_oracle,
+        con=duck,
+    )
+    assert not probs, probs
+
+
 def test_det_shuffle_plan_has_no_global_window(spark, sf_oracle):
     from hadoop_copier_spark.plans import explain_str
 
