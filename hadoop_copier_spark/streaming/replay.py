@@ -11,6 +11,7 @@ between appends, so micro-batch boundaries are exact.
 from __future__ import annotations
 
 import os
+import time
 
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
@@ -69,7 +70,15 @@ def replay_events_time_buckets(
     ``out_dir``; chunk files land under chunk=i subdirectories, which the
     file source consumes one per trigger under maxFilesPerTrigger=1
     (recursiveFileLookup ignores the partition column, so the streamed
-    schema stays EVENTS_SCHEMA)."""
+    schema stays EVENTS_SCHEMA).
+
+    Micro-batch ORDER: FileStreamSource orders new files by modification
+    time, and a single partitionBy job finishes its chunk files in
+    arbitrary order — so the mtimes are re-stamped below, strictly
+    increasing with chunk index. Without that, replay order is
+    nondeterministic: harmless for order-insensitive consumers (BENCH-6's
+    tumbling agg), but a violation of the per-user in-order arrival
+    contract that stateful consumers (subseq_match_stateful) enforce."""
     e = load_table(spark, sf_dir, "events").withColumn(
         "__sec", F.unix_timestamp("ts")
     )
@@ -87,4 +96,13 @@ def replay_events_time_buckets(
         .partitionBy("chunk")
         .parquet(out_dir)
     )
+    # stamp replay order into the mtimes the file source sorts by
+    t0 = time.time()
+    for i in range(n_chunks):
+        chunk_dir = os.path.join(out_dir, f"chunk={i}")
+        if not os.path.isdir(chunk_dir):
+            continue  # an empty time bucket writes no directory
+        for name in os.listdir(chunk_dir):
+            p = os.path.join(chunk_dir, name)
+            os.utime(p, (t0 + i, t0 + i))
     return out_dir
