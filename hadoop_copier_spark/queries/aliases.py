@@ -43,7 +43,9 @@ registry has had at least one driver row, closing the three-round-old
 "20% of the surface has builder-side evidence only" gap (VERDICT r9).
 
 R11 QUEUE LEDGER (stalest driver evidence after this window, in rotation
-order — ties by name): q48, q49, q50 (r6), then the 26 pre-r7 xh twins
+order — never-checked first, then ties by name): xh_asof_bucketed (added
+mid-r10 after this window was pinned — queues per policy), then q48,
+q49, q50 (r6), then the 26 pre-r7 xh twins
 on r6 evidence (xh_contamination, xh_correlated_scalar_subquery,
 xh_date_series, xh_doc_fingerprint, xh_embedding_neardup,
 xh_exists_subquery_sql, xh_gap_fill, xh_higher_order, xh_histogram,
@@ -53,8 +55,8 @@ xh_repetition, xh_scalar_and_in_subquery, xh_simhash, xh_string_agg,
 xh_text_quality, xh_token_stats, xh_udtf_generate, xh_unpivot,
 xh_znorm_window — 25 twins; xh_dedup_clusters moved into THIS window),
 then the r9-window members (q01-q25, q27, q28, q35, q51-q67 and the five
-round-6 twins). 3 + 25 = 28 never/stale H slots for r11; the remaining
-22 slots refresh the then-stalest r9 evidence in name order.
+round-6 twins). 1 + 3 + 25 = 29 never/stale H slots for r11; the
+remaining 21 slots refresh the then-stalest r9 evidence in name order.
 
 Each ``bNN``/``bx_*`` name binds the SAME ``Query`` object fields
 (function and oracle) as its target — verified by tests/test_oracle_queries

@@ -274,6 +274,50 @@ def q22(spark, sf_dir):
 
 
 @register(
+    "xh_asof_bucketed",
+    oracle="""SELECT event_id, user_id, ts_ms, o_orderkey, o_orderdate FROM (
+                SELECT e.event_id, e.user_id,
+                       CAST(date_trunc('millisecond', e.ts) AS TIMESTAMP) AS ts_ms,
+                       o.o_orderkey, o.o_orderdate,
+                       row_number() OVER (PARTITION BY e.event_id
+                                          ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+                FROM events e JOIN orders o
+                  ON e.user_id = o.o_custkey
+                 AND o.o_orderdate <= CAST(date_trunc('millisecond', e.ts) AS TIMESTAMP)
+              ) WHERE rn = 1
+              ORDER BY event_id""",
+    tags=("join", "asof", "bucketed"),
+)
+def xh_asof_bucketed(spark, sf_dir):
+    """q22's as-of join through the (key, time-bucket) equi pre-join path
+    (asof_join lookback + bucket_width, VERDICT r8 #6) — registered as
+    its own H query so the SCALE path, not just the plain form, is
+    oracle-hash-gated. The 40-year lookback covers the fixture's entire
+    orders history, so the oracle is EXACTLY q22's: bucketing is a pure
+    plan transformation here (the bucket rides the join keys — pinned in
+    tests/test_plans.py — and candidate fan-out per event is capped by
+    the 2-bucket window instead of growing with history depth)."""
+    e = (
+        tbl(spark, sf_dir, "events")
+        .withColumn("ts_ms", F.date_trunc("millisecond", F.col("ts")))
+        .select("event_id", "user_id", "ts_ms")
+    )
+    o = tbl(spark, sf_dir, "orders").withColumnRenamed("o_custkey", "user_id").select(
+        "user_id", "o_orderkey", "o_orderdate"
+    )
+    return (
+        asof_join(
+            e, o, on="user_id", left_time="ts_ms", right_time="o_orderdate",
+            tiebreak="o_orderkey",
+            lookback=F.expr("INTERVAL '40' YEAR"),
+            bucket_width=40 * 365.25 * 86400.0,
+        )
+        .select("event_id", "user_id", "ts_ms", "o_orderkey", "o_orderdate")
+        .orderBy("event_id")
+    )
+
+
+@register(
     "q23",
     oracle="""SELECT l1.l_orderkey AS okey,
                      l1.l_linenumber AS ln1, l2.l_linenumber AS ln2,
