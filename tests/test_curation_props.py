@@ -124,6 +124,34 @@ def test_freq_candidates_superset_and_bounded(spark, sf_smoke):
         assert len(cand) <= _MG_COUNTERS + 1
 
 
+def test_freq_candidates_survive_eviction_storm(spark):
+    """Adversarial stage-1 stress: the heavy token arrives FIRST, then a
+    long tail of distinct singletons forces an eviction on almost every
+    subsequent insert — the classic pattern where an incorrectly-merged
+    or over-eager-evicting frequent-items sketch drops a true heavy
+    hitter (false negative). A correct Misra-Gries bound guarantees
+    survival: undercount < N/(K+1) = 100 < the heavy count 110. Run at
+    1 and 8 partitions (the 8-way split also exercises map merges)."""
+    from hadoop_copier_spark.queries.text_index import (
+        _MG_COUNTERS,
+        freq_token_candidates,
+    )
+
+    heavy = [("hh",)] * 110
+    tail = [(f"t{i}",) for i in range(4990)]  # N = 5100, threshold N/51 = 100
+    for parts in (1, 8):
+        toks = spark.createDataFrame(
+            spark.sparkContext.parallelize(heavy + tail, parts), "token string"
+        )
+        cand = {
+            r.token
+            for r in freq_token_candidates(
+                toks, 1.0 / (_MG_COUNTERS + 1)
+            ).collect()
+        }
+        assert "hh" in cand, f"parts={parts}: eviction storm lost the heavy hitter"
+
+
 def test_heavy_hitters_exact_under_any_partitioning(spark, sf_smoke):
     """Stage-2 determinism: the registered query's OUTPUT is the exact
     true heavy-hitter set — identical rows under different shuffle
