@@ -111,6 +111,36 @@ def test_asof_bucketed_equals_unbucketed_at_boundaries(spark):
     )
 
 
+def test_asof_bucketed_date_axis(spark):
+    """_time_as_seconds' non-numeric branch: a DATE right axis against a
+    TIMESTAMP left axis buckets via the date->timestamp->double cast
+    chain. 3-day lookback, 3-day buckets: the match exactly at the
+    lookback edge (in the previous bucket) is kept, the one just past
+    it dropped."""
+    import datetime as _dt
+
+    from pyspark.sql import functions as F
+
+    from hadoop_copier_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "k", _dt.datetime(2024, 1, 10, 0, 0))],
+        "lid long, k string, lt timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, "k", _dt.date(2024, 1, 7)),  # exactly lt - 3 days -> kept
+            (11, "k", _dt.date(2024, 1, 6)),  # outside lookback -> dropped
+        ],
+        "rid long, k string, rt date",
+    )
+    rows = asof_join(
+        left, right, on="k", left_time="lt", right_time="rt", tiebreak="rid",
+        lookback=F.expr("INTERVAL '3' DAY"), bucket_width=3 * 86400.0,
+    ).select("lid", "rid").collect()
+    assert [(r["lid"], r["rid"]) for r in rows] == [(1, 10)]
+
+
 def test_asof_bucket_width_requires_lookback(spark):
     import pytest as _pytest
 

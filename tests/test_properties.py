@@ -137,6 +137,48 @@ def test_asof_join_matches_brute_force(spark, left, right):
         assert rows[key] == want, (key, rows[key], want)
 
 
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    left=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 50)),
+        min_size=1,
+        max_size=30,
+        unique=True,
+    ),
+    right=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 50), st.integers(0, 9)),
+        min_size=0,
+        max_size=60,
+        unique=True,
+    ),
+    lookback=st.integers(1, 60),
+    extra_width=st.integers(0, 20),
+)
+def test_asof_bucketed_matches_plain_lookback(spark, left, right, lookback, extra_width):
+    """Property form of the round-10 bucket claim: for ANY frames and any
+    (lookback L, width W >= L), the bucketed plan returns EXACTLY the
+    plain-lookback result — brute-forced here with the lookback filter
+    applied, so both Spark paths are checked against ground truth."""
+    ldf = spark.createDataFrame(left, "k long, lt long")
+    rdf = spark.createDataFrame(right or [(0, 0, 0)], "k long, rt long, val long")
+    if not right:
+        rdf = rdf.filter(F.lit(False))
+    kwargs = dict(on="k", left_time="lt", right_time="rt", tiebreak="val",
+                  how="left", lookback=F.lit(lookback))
+    plain = asof_join(ldf, rdf, **kwargs)
+    bucketed = asof_join(ldf, rdf, bucket_width=float(lookback + extra_width),
+                         **kwargs)
+    expect = {}
+    for lk, lt in left:
+        cands = [(rt, val) for rk, rt, val in right
+                 if rk == lk and lt - lookback <= rt <= lt]
+        expect[(lk, lt)] = max(cands) if cands else None
+    for df in (plain, bucketed):
+        rows = {(r["k"], r["lt"]): (r["rt"], r["val"]) if r["rt"] is not None else None
+                for r in df.collect()}
+        assert rows == expect
+
+
 # ---------------------------------------------------------------------------
 # salted join ≡ plain join (same rows, any salt fan-out)
 
