@@ -98,6 +98,7 @@ def run_asof(spark, orders_path: str, bucketed: bool):
         kwargs = dict(
             lookback=F.expr(f"INTERVAL '{LOOKBACK_YEARS}' YEAR"),
             bucket_width=W_SECONDS,
+            lookback_seconds=W_SECONDS,
         )
     return (
         asof_join(

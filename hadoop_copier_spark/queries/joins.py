@@ -311,6 +311,9 @@ def xh_asof_bucketed(spark, sf_dir):
             tiebreak="o_orderkey",
             lookback=F.expr("INTERVAL '40' YEAR"),
             bucket_width=40 * 365.25 * 86400.0,
+            # max realization of 40 calendar years: 14610 days (incl. 10
+            # leap days) = 40 * 365.25 exactly
+            lookback_seconds=40 * 365.25 * 86400.0,
         )
         .select("event_id", "user_id", "ts_ms", "o_orderkey", "o_orderdate")
         .orderBy("event_id")

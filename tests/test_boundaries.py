@@ -102,7 +102,9 @@ def test_asof_bucketed_equals_unbucketed_at_boundaries(spark):
         lookback=F.lit(10.0),
     )
     plain = asof_join(left, right, **kwargs).select("lid", "rid")
-    bucketed = asof_join(left, right, bucket_width=10.0, **kwargs).select("lid", "rid")
+    bucketed = asof_join(
+        left, right, bucket_width=10.0, lookback_seconds=10.0, **kwargs
+    ).select("lid", "rid")
     got_plain = sorted(tuple(r) for r in plain.collect())
     got_bucketed = sorted(tuple(r) for r in bucketed.collect())
     assert got_plain == got_bucketed == [(1, 10), (2, 12), (3, 13)], (
@@ -137,6 +139,7 @@ def test_asof_bucketed_date_axis(spark):
     rows = asof_join(
         left, right, on="k", left_time="lt", right_time="rt", tiebreak="rid",
         lookback=F.expr("INTERVAL '3' DAY"), bucket_width=3 * 86400.0,
+        lookback_seconds=3 * 86400.0,
     ).select("lid", "rid").collect()
     assert [(r["lid"], r["rid"]) for r in rows] == [(1, 10)]
 
@@ -150,6 +153,53 @@ def test_asof_bucket_width_requires_lookback(spark):
     with _pytest.raises(ValueError, match="lookback"):
         asof_join(left, left, on="k", left_time="lt", right_time="lt",
                   bucket_width=10.0)
+
+
+def test_asof_bucket_width_requires_lookback_seconds(spark):
+    """ADVICE r10 (medium): a width narrower than the lookback used to
+    silently drop candidates outside the fixed 2-bucket explode. The fix
+    makes the explode width explicit: bucket_width without
+    lookback_seconds is now a hard error, and the fan-out cap rejects
+    absurd width/lookback ratios instead of exploding 1000s of copies."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from hadoop_copier_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, "k", 1.0)], "lid long, k string, lt double")
+    with _pytest.raises(ValueError, match="lookback_seconds"):
+        asof_join(left, left, on="k", left_time="lt", right_time="lt",
+                  lookback=F.lit(10.0), bucket_width=10.0)
+    with _pytest.raises(ValueError, match="cap is"):
+        asof_join(left, left, on="k", left_time="lt", right_time="lt",
+                  lookback=F.lit(1000.0), bucket_width=1.0,
+                  lookback_seconds=1000.0)
+
+
+def test_asof_bucket_narrower_than_lookback_keeps_edge_candidate(spark):
+    """The multi-bucket explode (round 11): with W=10 and L=35 the left
+    side explodes over ceil(35/10)+1 = 5 buckets, so a candidate exactly
+    at lt - L (4 buckets back) is KEPT — the case the old fixed-2-bucket
+    form silently lost — and one just outside the lookback is dropped by
+    the residual predicate, not the bucketing."""
+    from pyspark.sql import functions as F
+
+    from hadoop_copier_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, "k", 100.0)], "lid long, k string, lt double")
+    right = spark.createDataFrame(
+        [
+            (10, "k", 65.0),  # exactly lt - lookback, bucket 6 vs left's 10 -> kept
+            (11, "k", 64.0),  # just outside lookback -> dropped by residual
+        ],
+        "rid long, k string, rt double",
+    )
+    rows = asof_join(
+        left, right, on="k", left_time="lt", right_time="rt", tiebreak="rid",
+        lookback=F.lit(35.0), bucket_width=10.0, lookback_seconds=35.0,
+    ).select("lid", "rid").collect()
+    assert [(r["lid"], r["rid"]) for r in rows] == [(1, 10)]
 
 
 def test_watermark_boundary_event_at_exact_watermark_kept(spark, tmp_path):

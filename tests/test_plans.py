@@ -178,6 +178,7 @@ def test_q22_asof_bucketed_same_oracle_hash_and_bucket_in_join_keys(
                 tiebreak="o_orderkey",
                 lookback=F.expr("INTERVAL '40' YEAR"),  # covers full fixture span
                 bucket_width=40 * 365.25 * 86400.0,
+                lookback_seconds=40 * 365.25 * 86400.0,
             )
             .select("event_id", "user_id", "ts_ms", "o_orderkey", "o_orderdate")
             .orderBy("event_id")

@@ -152,13 +152,15 @@ def test_asof_join_matches_brute_force(spark, left, right):
         unique=True,
     ),
     lookback=st.integers(1, 60),
-    extra_width=st.integers(0, 20),
+    width=st.integers(1, 80),
 )
-def test_asof_bucketed_matches_plain_lookback(spark, left, right, lookback, extra_width):
-    """Property form of the round-10 bucket claim: for ANY frames and any
-    (lookback L, width W >= L), the bucketed plan returns EXACTLY the
-    plain-lookback result — brute-forced here with the lookback filter
-    applied, so both Spark paths are checked against ground truth."""
+def test_asof_bucketed_matches_plain_lookback(spark, left, right, lookback, width):
+    """Property form of the round-10 bucket claim, generalized in round 11
+    to ANY positive width: for any frames and any (lookback L, width W) —
+    including W < L, where the left side explodes over ceil(L/W)+1
+    buckets — the bucketed plan returns EXACTLY the plain-lookback
+    result, brute-forced here with the lookback filter applied, so both
+    Spark paths are checked against ground truth."""
     ldf = spark.createDataFrame(left, "k long, lt long")
     rdf = spark.createDataFrame(right or [(0, 0, 0)], "k long, rt long, val long")
     if not right:
@@ -166,8 +168,8 @@ def test_asof_bucketed_matches_plain_lookback(spark, left, right, lookback, extr
     kwargs = dict(on="k", left_time="lt", right_time="rt", tiebreak="val",
                   how="left", lookback=F.lit(lookback))
     plain = asof_join(ldf, rdf, **kwargs)
-    bucketed = asof_join(ldf, rdf, bucket_width=float(lookback + extra_width),
-                         **kwargs)
+    bucketed = asof_join(ldf, rdf, bucket_width=float(width),
+                         lookback_seconds=float(lookback), **kwargs)
     expect = {}
     for lk, lt in left:
         cands = [(rt, val) for rk, rt, val in right
