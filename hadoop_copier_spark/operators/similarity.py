@@ -236,21 +236,31 @@ def ivf_ann_topk(
         return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
 
     def make_assign_udf(centroids: list, top_n: int = 1):
-        """Vectorized nearest-centroid assignment (numpy argmin over the
-        broadcast C x dim matrix; a 16-way when-chain of 64-dim expression
-        dots is codegen poison — measured, not guessed)."""
+        """Vectorized nearest-centroid assignment: ONE (batch x C) matmul
+        per Arrow batch via ||v-c||^2 = ||v||^2 - 2 v.c + ||c||^2 — the
+        bucket_keys_udf pattern, no per-vector Python loop (VERDICT r10
+        #2). A 16-way when-chain of 64-dim expression dots is codegen
+        poison — measured, not guessed."""
         cmat = np.asarray(centroids, dtype=np.float64)  # C x dim
+        cn2 = np.einsum("ij,ij->i", cmat, cmat)  # C
 
         # no type hints: `from __future__ import annotations` stringifies
         # them and pandas_udf can't resolve the local `pd` import
         @F.pandas_udf(T.ArrayType(T.IntegerType()))
         def assign(vecs):
-            out = []
-            for v in vecs:
-                d = ((cmat - np.asarray(v, dtype=np.float64)) ** 2).sum(axis=1)
-                # stable argsort => deterministic ties (lowest index wins)
-                out.append([int(i) for i in np.argsort(d, kind="stable")[:top_n]])
-            return pd.Series(out)
+            if not len(vecs):
+                return pd.Series([], dtype=object)
+            vmat = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in vecs]
+            )  # B x dim
+            d = (
+                np.einsum("ij,ij->i", vmat, vmat)[:, None]
+                - 2.0 * (vmat @ cmat.T)
+                + cn2[None, :]
+            )  # B x C squared distances (+ a per-row constant, rank-neutral)
+            # stable argsort => deterministic ties (lowest index wins)
+            order = np.argsort(d, axis=1, kind="stable")[:, :top_n]
+            return pd.Series([[int(i) for i in row] for row in order])
 
         return assign
 
@@ -286,11 +296,16 @@ def ivf_ann_topk(
             for ci in range(len(centroids))
         ]
 
+    # ONE assign UDF over the final centroids serves both sides: the
+    # index takes the nearest (element 0 of the top-n_probe list), the
+    # query side probes all n_probe — same pickled closure, built once
+    # (VERDICT r10 #2).
+    assign_final = make_assign_udf(centroids, max(1, n_probe))
     index = candidates.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cvec"),
         dbl_dot(F.col(vec_col), F.col(vec_col)).alias("__cn2"),
-        assign_expr(F.col(vec_col), centroids).alias("__cluster"),
+        assign_final(F.col(vec_col))[0].alias("__cluster"),
     )
 
     # probe list per query: n_probe nearest centroids
@@ -298,7 +313,7 @@ def ivf_ann_topk(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qvec"),
         dbl_dot(F.col(vec_col), F.col(vec_col)).alias("__qn2"),
-        F.explode(make_assign_udf(centroids, n_probe)(F.col(vec_col))).alias("__cluster"),
+        F.explode(assign_final(F.col(vec_col))).alias("__cluster"),
     )
     pairs = index.join(
         F.broadcast(q),
