@@ -417,6 +417,21 @@ def p_ann_ivf(spark, sf_dir):
     return ivf_ann_topk(e, e.filter(F.col("vec_id") < 10), k=5).orderBy("query_id", "rank")
 
 
+def curation_stage_table() -> str:
+    """Table dir where xp_training_pipeline stages its exact-dedup
+    barrier as a snapshot version. Fresh per pipeline invocation (the
+    pipeline wipes it via scratch_dir, so every run commits v1); exposed
+    un-wiping so tests and restart tooling can read_snapshot the
+    intermediate corpus AFTER the run without destroying it."""
+    import os
+    import tempfile
+
+    return os.path.join(
+        tempfile.gettempdir(), f"hcs_scratch_{os.getpid()}",
+        "training_pipeline_stage", "exact_dedup",
+    )
+
+
 @register("xp_training_pipeline", oracle=None, tags=("llm", "pipeline"))
 def xp_training_pipeline(spark, sf_dir):
     """P-class: the full training-data curation pipeline, composed from the
@@ -439,6 +454,7 @@ def xp_training_pipeline(spark, sf_dir):
     from ..functions.text import lang_id_guess, quality_score, whitespace_token_count
     from ..operators.components import dedup_clusters
     from ..operators.dedup import window_jaccard_pairs
+    from ..operators.snapshots import read_snapshot, write_snapshot
 
     d = tbl(spark, sf_dir, "documents").select("doc_id", "lang", "text")
 
@@ -455,10 +471,27 @@ def xp_training_pipeline(spark, sf_dir):
     # The deduped corpus feeds four consumers (both sides of the candidate
     # join, the CC node set, and the final representative join), and the CC
     # loop underneath is iterative — without a materialization barrier the
-    # gate+dedup subtree re-executes per consumer. localCheckpoint cuts the
-    # lineage and stores the frame once on the executors (blocks released
-    # with this frame's RDD); a real 100 TB run would stage this to a table.
-    exact = gated.join(keep_exact.select("doc_id"), "doc_id").localCheckpoint(eager=True)
+    # gate+dedup subtree re-executes per consumer. VERDICT r10 #3: stage
+    # it through the snapshot layer (a versioned table, not a
+    # localCheckpoint) — same barrier, but the intermediate corpus is now
+    # restartable and time-travelable mid-pipeline: a failed downstream
+    # stage resumes by read_snapshot of the committed version instead of
+    # re-running gate+dedup, exactly how a 100 TB run stages it.
+    import os
+
+    from .base import scratch_dir
+
+    # scratch_dir wipes the table on each invocation (fresh v1 every run,
+    # no version accumulation across bench/sweep loops); the path itself
+    # is the one curation_stage_table() reports.
+    stage = os.path.join(scratch_dir("training_pipeline_stage"), "exact_dedup")
+    assert stage == curation_stage_table()
+    write_snapshot(
+        gated.join(keep_exact.select("doc_id"), "doc_id"),
+        stage,
+        meta={"stage": "exact_dedup", "sf_dir": sf_dir},
+    )
+    exact = read_snapshot(spark, stage)
 
     # 4: near-dup removal — deterministic candidate window, Jaccard >= 0.7,
     # connected components, keep each cluster's min-id representative

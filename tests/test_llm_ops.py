@@ -274,3 +274,31 @@ def test_training_pipeline_deterministic_and_contracting(spark, sf_oracle):
     assert sum(r[1] for r in run1) <= total_docs
     assert sum(r[2] for r in run1) <= total_tokens
     assert {r[0] for r in run1} <= {"en", "de", "es", "fr"}
+
+
+def test_training_pipeline_stage_is_time_travelable(spark, sf_oracle):
+    """VERDICT r10 #3: the pipeline's exact-dedup barrier is staged
+    through the snapshot layer — after a run, the committed intermediate
+    version must be readable via read_snapshot (restartability: a failed
+    downstream stage resumes from the staged corpus, never re-running
+    gate+dedup) and must carry the stage metadata."""
+    from hadoop_copier_spark.operators.snapshots import (
+        list_versions,
+        read_snapshot,
+        version_metas,
+    )
+    from hadoop_copier_spark.queries.llm_ops import curation_stage_table
+    from pyspark.sql import functions as F
+
+    final = REGISTRY["xp_training_pipeline"].fn(spark, sf_oracle).collect()
+    t = curation_stage_table()
+    assert list_versions(t) == [1], "fresh v1 per invocation"
+    staged = read_snapshot(spark, t)
+    assert set(staged.columns) == {"doc_id", "lang", "text"}
+    n_staged = staged.count()
+    assert n_staged > 0
+    # the staged corpus is exact-deduped: md5(text) unique
+    assert staged.select(F.md5("text")).distinct().count() == n_staged
+    # downstream stages only remove rows: final doc total <= staged count
+    assert sum(r["n_docs"] for r in final) <= n_staged
+    assert version_metas(t)[1]["stage"] == "exact_dedup"
