@@ -219,8 +219,11 @@ def p_minhash_neardup(spark, sf_dir):
 
 @register("xp_simhash", oracle=None, tags=("llm", "dedup", "simhash"))
 def p_simhash(spark, sf_dir):
-    """P-class: 64-bit SimHash per document (FNV-1a token hashes, majority
-    bit vote — deterministic). Exact duplicates share a hash."""
+    """P-class: 64-bit SimHash per document — JVM xxhash64 token hashes
+    (seed 42, cross-run/cross-version stable since round 11; the round-10
+    pandas-hash implementation and earlier FNV-1a one produced different
+    values), vectorized majority bit vote. Exact duplicates share a
+    hash; golden values pinned in tests/test_llm_ops.py."""
     from ..operators.dedup import simhash64
 
     d = tbl(spark, sf_dir, "documents")

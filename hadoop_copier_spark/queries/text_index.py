@@ -287,8 +287,14 @@ def xh_heavy_hitters(spark, sf_dir):
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+    # greatest(size, 0) makes the total config-proof (ADVICE r10): under
+    # legacy sizeOfNull=true semantics size(NULL) is -1, which would
+    # undercount N and loosen the >N/(K+1) threshold vs the exploded
+    # token count; Spark 4 ANSI returns NULL, which sum already skips.
     total = d.agg(
-        F.sum(F.size(_tokens_col())).cast("bigint").alias("total")
+        F.sum(F.greatest(F.size(_tokens_col()), F.lit(0)))
+        .cast("bigint")
+        .alias("total")
     )
     return (
         exact.join(F.broadcast(total))

@@ -53,6 +53,67 @@ def test_simhash_equal_for_exact_dups(spark, exact_dup_pairs):
         assert sh[a] == sh[b]
 
 
+def test_simhash_golden_values_cross_run_stable(spark):
+    """VERDICT r10 #4: the production SimHash is pinned to JVM xxhash64
+    (seed 42) token hashes, so a given corpus fingerprints identically
+    across runs, sessions, platforms, and pandas upgrades. These literals
+    were computed once at round 11 and must NEVER change — a mismatch
+    means the hash function drifted and persisted corpus diffs would
+    silently break."""
+    from hadoop_copier_spark.operators.dedup import simhash64
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),
+        (3, "The QUICK  brown\tfox jumps over the lazy dog "),  # normalizes to doc 1
+        (4, ""),
+        (5, None),
+        (6, "solo"),
+    ]
+    df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 2), "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["simhash"]
+           for r in simhash64(df, "doc_id", "text").collect()}
+    assert got == {
+        1: -7573889167326994222,
+        2: -7573326217371541038,
+        3: -7573889167326994222,  # case/whitespace-normalized == doc 1
+        4: 0,
+        5: 0,
+        6: -8998211557177089630,
+    }
+    # near-dup (one word changed): small but nonzero Hamming distance
+    ham = bin((got[1] ^ got[2]) & (2**64 - 1)).count("1")
+    assert 0 < ham <= 16, ham
+
+
+def test_simhash_same_corpus_identical_in_separate_session(spark, sf_smoke):
+    """The cross-run half of the VERDICT r10 #4 'Done' bar: hash the same
+    corpus in THIS session and in a freshly-started subprocess session;
+    every fingerprint must match bit-for-bit."""
+    import json as _json
+    import subprocess
+    import sys
+
+    here = {r["doc_id"]: r["simhash"]
+            for r in REGISTRY["xp_simhash"].fn(spark, sf_smoke).collect()}
+    script = (
+        "import json\n"
+        "from hadoop_copier_spark.session import get_spark\n"
+        "from hadoop_copier_spark.queries import REGISTRY\n"
+        f"rows = REGISTRY['xp_simhash'].fn(get_spark(), {sf_smoke!r}).collect()\n"
+        "print(json.dumps({r['doc_id']: r['simhash'] for r in rows}))\n"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", script], capture_output=True, text=True,
+        timeout=300, cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    there = {int(k): v for k, v in _json.loads(out.stdout.strip().splitlines()[-1]).items()}
+    assert here == there
+
+
 def test_ann_lsh_recall_vs_brute_force(spark, sf_oracle):
     brute = REGISTRY["q59"].fn(spark, sf_oracle).collect()
     approx = REGISTRY["xp_ann_lsh"].fn(spark, sf_oracle).collect()
