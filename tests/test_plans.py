@@ -201,6 +201,49 @@ def test_q22_asof_bucketed_same_oracle_hash_and_bucket_in_join_keys(
     )
 
 
+def test_asof_bucketed_left_variant_bucket_in_join_keys_no_bnlj(spark, sf_oracle):
+    """VERDICT r10 #5: the how='left' bucketed as-of must plan exactly
+    like the inner form — the time bucket rides the JOIN KEYS of an
+    outer equi join (so a hot key's history still spreads over (key,
+    bucket) reducers) and nothing degrades to a nested-loop/cartesian
+    join. Result parity for the left variant incl. unmatched keys is
+    property-tested in tests/test_properties.py; this pins the plan."""
+    from hadoop_copier_spark.operators.asof import asof_join
+    from hadoop_copier_spark.tables import load_table
+
+    e = (
+        load_table(spark, sf_oracle, "events")
+        .withColumn("ts_ms", F.date_trunc("millisecond", F.col("ts")))
+        .select("event_id", "user_id", "ts_ms")
+    )
+    o = (
+        load_table(spark, sf_oracle, "orders")
+        .withColumnRenamed("o_custkey", "user_id")
+        .select("user_id", "o_orderkey", "o_orderdate")
+    )
+    df = asof_join(
+        e, o, on="user_id", left_time="ts_ms", right_time="o_orderdate",
+        tiebreak="o_orderkey", how="left",
+        lookback=F.expr("INTERVAL '40' YEAR"),
+        bucket_width=40 * 365.25 * 86400.0,
+        lookback_seconds=40 * 365.25 * 86400.0,
+    )
+    text = explain_str(df, "simple")
+    assert "BroadcastNestedLoopJoin" not in text, text[:800]
+    assert "CartesianProduct" not in text, text[:800]
+    join_lines = [
+        ln for ln in text.splitlines()
+        if "HashJoin" in ln or "SortMergeJoin" in ln
+    ]
+    assert join_lines, text[:800]
+    # the outer join's equi-key list (before the "LeftOuter" tail) must
+    # carry the bucket on both sides
+    keys_part = join_lines[0].split("LeftOuter")[0]
+    assert "__asof_bucket_l" in keys_part and "__asof_bucket_r" in keys_part, (
+        join_lines[0][:300]
+    )
+
+
 def test_q59_candidates_never_shuffle(spark, sf_oracle):
     """Brute-force cosine: queries broadcast; the candidate scan must
     stream (no SortMergeJoin / hash exchange of the candidate side before

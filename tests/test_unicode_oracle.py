@@ -82,6 +82,65 @@ def test_twins_portable_across_scripts(spark, duck_docs, name):
     con.close()
 
 
+def test_nfkc_casefold_corpus_closes_turkish_divergence(spark, duck_docs):
+    """VERDICT r10 #6: the declared-correct path for non-ASCII corpora —
+    NFKC+casefold normalization applied ahead of the twins. On the
+    normalized corpus the byte-level twins must be cross-engine EXACT,
+    including the U+0130 case that diverges raw (next test): casefolded
+    text has no case left to fold, so lower() is identity in both
+    engines, and NFKC collapses ligatures/fullwidth forms first."""
+    import unicodedata
+
+    raw = [
+        "İstanbul ı I i",          # the documented raw divergence
+        "ẞ STRASSE ﬁn ＦＵＬＬ",   # capital sharp-S, ligature, fullwidth
+        "ΑΒΓ ΣΊΓΜΑ τέλος Σ",
+    ]
+    norm = [unicodedata.normalize("NFKC", t).casefold() for t in raw]
+    sf = _write_docs(norm)
+    con = duck_docs(sf)
+    diverged = [
+        name
+        for name in ("xh_simhash", "xh_doc_fingerprint", "xh_text_quality")
+        if compare(REGISTRY[name].fn, REGISTRY[name].oracle, spark, sf, con=con)
+    ]
+    con.close()
+    assert diverged == [], diverged
+
+
+def test_with_tokens_normalize_switch_matches_python_reference(spark):
+    """The in-engine switch (_with_tokens(normalize=True) /
+    nfkc_casefold) must tokenize a RAW corpus exactly as Python's
+    unicodedata NFKC + str.casefold reference does — so normalizing
+    inside the engine and pre-normalizing the corpus are the same
+    declared-correct path."""
+    import re
+    import unicodedata
+
+    from hadoop_copier_spark.queries.dedup_oracle import _with_tokens
+
+    raw = ["İstanbul ı I i", "ẞ STRASSE ﬁn ＦＵＬＬ", "", None]
+    df = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+            [(i, t) for i, t in enumerate(raw)], 1
+        ),
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["tk"]
+        for r in _with_tokens(df, repartition=False, normalize=True).collect()
+    }
+    for i, t in enumerate(raw):
+        if t is None:
+            assert got[i] is None
+            continue
+        n = unicodedata.normalize("NFKC", t).casefold()
+        # mirror the engine tokenizer: JVM \s+ is ASCII whitespace, and
+        # lower() after casefold is identity on these scripts
+        expect = [w for w in re.split("[ \\t\\n\\x0b\\f\\r]+", n.lower()) if w]
+        assert got[i] == expect, (i, got[i], expect)
+
+
 def test_turkish_dotted_i_is_the_known_divergence(spark, duck_docs):
     """U+0130 case folding differs between the JVM and utf8proc: the
     byte-level twins (simhash / fingerprint) MUST diverge there today.
