@@ -17,6 +17,10 @@ history is to an as-of join:
              the 45-year-old replicas fail the bucket equi key at the
              JOIN, so candidate volume stays at the x1 level no matter
              the depth.
+  narrow   — round 11: same lookback but bucket_width = 10y (the
+             multi-bucket explode path: ceil(40/10)+1 = 5 left copies).
+             Finer buckets prune candidates harder at the join but pay
+             5x left-side fan-out — the tradeoff the width knob controls.
 
 Result equality to the x1 answer is asserted for both plans at every
 factor. Prints one JSON line and records bench/asof_results.json — the
@@ -86,7 +90,7 @@ def events_frame(spark):
     )
 
 
-def run_asof(spark, orders_path: str, bucketed: bool):
+def run_asof(spark, orders_path: str, bucketed: bool, width: float = None):
     e = events_frame(spark)
     o = (
         spark.read.parquet(orders_path)
@@ -97,7 +101,7 @@ def run_asof(spark, orders_path: str, bucketed: bool):
     if bucketed:
         kwargs = dict(
             lookback=F.expr(f"INTERVAL '{LOOKBACK_YEARS}' YEAR"),
-            bucket_width=W_SECONDS,
+            bucket_width=width if width is not None else W_SECONDS,
             lookback_seconds=W_SECONDS,
         )
     return (
@@ -127,16 +131,21 @@ def main() -> None:
             n_orders = spark.read.parquet(path).count()
             plain_s, plain_rows = timed_rows(run_asof(spark, path, bucketed=False))
             buck_s, buck_rows = timed_rows(run_asof(spark, path, bucketed=True))
+            narrow_s, narrow_rows = timed_rows(
+                run_asof(spark, path, bucketed=True, width=W_SECONDS / 4)
+            )
             if base_rows is None:
                 base_rows = plain_rows
             # replicas are strictly older than every original, so depth
-            # must never change the answer on either plan
+            # must never change the answer on any plan
             assert plain_rows == base_rows, f"x{factor}: plain answer drifted"
             assert buck_rows == base_rows, f"x{factor}: bucketed answer drifted"
+            assert narrow_rows == base_rows, f"x{factor}: narrow answer drifted"
             results[f"x{factor}"] = {
                 "orders_rows": n_orders,
                 "plain_sec": plain_s,
                 "bucketed_sec": buck_s,
+                "narrow_w4_sec": narrow_s,
             }
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
@@ -148,7 +157,9 @@ def main() -> None:
         "results": results,
         "note": "same output asserted at every depth; plain's candidate set "
         "grows with history, bucketed's is capped by the (key, bucket) "
-        "equi join",
+        "equi join; narrow_w4 = bucket_width lookback/4 (5 exploded left "
+        "copies — the round-11 multi-bucket path) trading left fan-out "
+        "for finer candidate pruning",
     }
     print(json.dumps(line))
     with open(os.path.join(_REPO, "bench", "asof_results.json"), "w") as f:
