@@ -1,0 +1,54 @@
+"""Bounded per-group top-K without a per-group window sort.
+
+``ROW_NUMBER() OVER (PARTITION BY g ORDER BY v) <= K`` sorts each group's
+ENTIRE history in one reducer — fine when groups are small, a scale
+killer when one group holds billions of rows (a hot crawl domain, a
+whale user). This operator computes the identical K smallest values per
+group with bounded state, the treeAggregate design language Spark's own
+``freqItems`` uses:
+
+1. local: each input partition collects its (group, partition) values —
+   bounded by partition size — sorts, keeps K. Map-side partial
+   aggregation means at most one K-array per (group, partition) leaves
+   any task.
+2. merge: per group, flatten the <= K-element arrays from every
+   partition, sort, keep K. Accumulator state is O(K); the exchange
+   carries O(groups x partitions x K) scalar values, never rows.
+
+Equivalent to the window form whenever the value is unique per group
+(no ties to break); `tests/test_properties.py` pins the equivalence
+under arbitrary data and partition counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["grouped_topk"]
+
+
+def grouped_topk(
+    df: DataFrame, group_col: str, value_col: str, k: int
+) -> DataFrame:
+    """(group_col, value_col, rank) — the K smallest ``value_col`` per
+    group, rank = 1-based position in the group's ascending order.
+    ``value_col`` must be unique within a group (ties would make the
+    kept set well-defined but the window-equivalence rank arbitrary)."""
+    if k <= 0:
+        raise ValueError("k must be positive")
+    local = (
+        df.withColumn("__p", F.spark_partition_id())
+        .groupBy(group_col, "__p")
+        .agg(F.slice(F.array_sort(F.collect_list(value_col)), 1, k).alias("__top"))
+    )
+    merged = local.groupBy(group_col).agg(
+        F.slice(F.array_sort(F.flatten(F.collect_list("__top"))), 1, k).alias("__top")
+    )
+    return merged.select(
+        group_col, F.posexplode("__top").alias("__pos", value_col)
+    ).select(
+        group_col,
+        value_col,
+        (F.col("__pos") + 1).cast("long").alias("rank"),
+    )

@@ -366,7 +366,21 @@ def _sql_wordlist(words) -> str:
     return "[" + ", ".join("'" + w + "'" for w in words) + "]"
 
 
-def _text_quality_oracle() -> str:
+# the composite-quality IEEE op tree, spelled over the `m` CTE's columns —
+# shared verbatim by xh_text_quality and xh_token_budget_select so both
+# oracles mirror functions/text.py:quality_score token-for-token
+_QUALITY_EXPR_SQL = """0.4::DOUBLE * least(n_chars::DOUBLE / 500.0::DOUBLE, 1.0::DOUBLE)
+       + 0.2::DOUBLE * (1.0::DOUBLE - punct::DOUBLE / greatest(n_chars, 1)::DOUBLE)
+       + 0.2::DOUBLE * (stop_hits::DOUBLE / greatest(n_toks, 1)::DOUBLE)
+       + 0.2::DOUBLE * (CASE WHEN n_chars::DOUBLE / greatest(n_toks, 1)::DOUBLE >= 3
+                             AND n_chars::DOUBLE / greatest(n_toks, 1)::DOUBLE <= 10
+                        THEN 1.0::DOUBLE ELSE 0.5::DOUBLE END)"""
+
+
+def _quality_ctes() -> str:
+    """The `t, m` WITH-fragment computing per-doc text stats (tokens,
+    char/punct/stopword counts, lang votes) — the shared front half of
+    every quality-based oracle."""
     from ..functions.text import _STOPWORDS
 
     all_stop = _sql_wordlist(w for ws in _STOPWORDS.values() for w in ws)
@@ -378,7 +392,7 @@ def _text_quality_oracle() -> str:
         + "'}"
         for code, words in sorted(_STOPWORDS.items())
     )
-    return f"""WITH t AS MATERIALIZED (
+    return f"""t AS MATERIALIZED (
   SELECT doc_id, text, {_TOKENS_SQL} AS tk FROM documents
 ),
 m AS (
@@ -391,17 +405,16 @@ m AS (
          len(list_filter(tk, tok -> list_contains({all_stop}, tok))) AS stop_hits,
          len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]', 0)) AS n_bpe
   FROM t
-)
+)"""
+
+
+def _text_quality_oracle() -> str:
+    return f"""WITH {_quality_ctes()}
 SELECT doc_id,
        CASE WHEN best_hits > 0 THEN best_code ELSE 'und' END AS lang,
        n_toks AS n_ws_tokens,
        n_bpe AS n_bpe_tokens,
-       0.4::DOUBLE * least(n_chars::DOUBLE / 500.0::DOUBLE, 1.0::DOUBLE)
-       + 0.2::DOUBLE * (1.0::DOUBLE - punct::DOUBLE / greatest(n_chars, 1)::DOUBLE)
-       + 0.2::DOUBLE * (stop_hits::DOUBLE / greatest(n_toks, 1)::DOUBLE)
-       + 0.2::DOUBLE * (CASE WHEN n_chars::DOUBLE / greatest(n_toks, 1)::DOUBLE >= 3
-                             AND n_chars::DOUBLE / greatest(n_toks, 1)::DOUBLE <= 10
-                        THEN 1.0::DOUBLE ELSE 0.5::DOUBLE END) AS quality
+       {_QUALITY_EXPR_SQL} AS quality
 FROM m
 ORDER BY doc_id"""
 
@@ -990,4 +1003,136 @@ def xh_consistent_sample(spark, sf_dir):
         .filter(F.col("rn") <= _SAMPLE_K)
         .select("lang", "doc_id")
         .orderBy("lang", "doc_id")
+    )
+
+
+@register(
+    "xh_ngram_novelty",
+    oracle=f"""WITH {_SHINGLES_SQL},
+ex AS MATERIALIZED (
+  SELECT doc_id, unnest(hs) AS h FROM sh
+),
+firsts AS MATERIALIZED (
+  SELECT h, MIN(doc_id) AS first_doc FROM ex GROUP BY h
+)
+SELECT e.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(CASE WHEN f.first_doc = e.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       CAST((SUM(CASE WHEN f.first_doc = e.doc_id THEN 1 ELSE 0 END) * 1000000)
+            // COUNT(*) AS BIGINT) AS novelty_ppm
+FROM ex e JOIN firsts f USING (h)
+GROUP BY e.doc_id
+ORDER BY e.doc_id""",
+    tags=("llm", "dedup", "novelty", "oracle-twin"),
+)
+def xh_ngram_novelty(spark, sf_dir):
+    """Per-document n-gram novelty vs the earlier corpus (round 11) — the
+    MassiveText/RefinedWeb-style overlap filter: a document's shingle is
+    NOVEL iff no lower-doc_id document contains it, and docs whose
+    novelty ratio is low are near-copies or heavy quoters even when no
+    single pair crosses a Jaccard threshold. Emits exact counts plus an
+    integer-division ppm ratio (no float anywhere, hash-exact in both
+    engines).
+
+    Scale shape: reuses the 3-gram h60 shingle machinery
+    (_shingle_hashes); explode -> ONE uniform shingle-hash exchange for
+    the min-doc_id aggregate; the membership join keys on the same hash
+    (Catalyst reuses the aggregate's partitioning on that side, only the
+    exploded probe re-shuffles); the per-doc rollup is one doc_id
+    exchange. 'First occurrence wins' makes the score append-stable:
+    growing the corpus never changes an EARLIER doc's novelty (property
+    shared with xh_weighted_mix / xh_consistent_sample; asserted in
+    tests/test_curation_props.py)."""
+    d = tbl(spark, sf_dir, "documents")
+    # eager localCheckpoint before the explode, same as xh_minhash_lsh_pairs:
+    # the generator otherwise collapses with the shingle projection and
+    # re-evaluates the md5 transform per consumer (measured 9 s vs 0.4 s for
+    # the explode alone at sf0.1) — and ex feeds BOTH the min-agg and the
+    # membership probe, so the barrier also stops a second full recompute
+    sh = _shingle_hashes(d).localCheckpoint(eager=True)
+    ex = sh.select("doc_id", F.explode("hs").alias("h"))
+    firsts = ex.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        ex.join(firsts, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+        .withColumn(
+            "novelty_ppm", F.expr("(n_novel * 1000000L) div n_shingles")
+        )
+        .orderBy("doc_id")
+    )
+
+
+_BUDGET_DENOM = 2  # keep the best-quality half of the corpus tokens
+
+
+@register(
+    "xh_token_budget_select",
+    oracle=f"""WITH {_quality_ctes()},
+scored AS MATERIALIZED (
+  SELECT doc_id, n_toks, {_QUALITY_EXPR_SQL} AS quality FROM m
+),
+c AS (
+  SELECT doc_id, n_toks,
+         CAST(SUM(n_toks) OVER (ORDER BY quality DESC, doc_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+  FROM scored
+),
+b AS (SELECT CAST(SUM(n_toks) // {_BUDGET_DENOM} AS BIGINT) AS budget FROM scored)
+SELECT doc_id,
+       CAST(n_toks AS BIGINT) AS n_tokens,
+       cum_tokens,
+       CAST(CASE WHEN cum_tokens <= budget THEN 1 ELSE 0 END AS INT) AS kept
+FROM c, b
+ORDER BY doc_id""",
+    tags=("llm", "curation", "budget", "oracle-twin"),
+)
+def xh_token_budget_select(spark, sf_dir):
+    """Greedy data selection under a token budget (round 11): order the
+    corpus by quality (best first, doc_id tiebreak — a TOTAL order) and
+    keep documents while the running token total fits the budget (half
+    the corpus tokens here) — the standard 'spend the compute budget on
+    the best data' curation step.
+
+    The running total is NOT a global single-partition window: it runs
+    through operators/prefix.global_prefix_sum — range-repartition on
+    (quality DESC, doc_id), per-partition prefix sums via a pid-keyed
+    window, O(P)-row driver offsets — the same fix-up family as q35's
+    scalable ntile. Cross-engine exactness: the quality double is the
+    mirrored IEEE op tree of xh_text_quality (bit-identical in DuckDB,
+    so the ORDER is identical), and everything emitted is exact BIGINT /
+    INT (the float itself never leaves the plan)."""
+    from ..functions.text import quality_score, whitespace_token_count
+    from ..operators.prefix import global_prefix_sum
+
+    d = tbl(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        whitespace_token_count(F.col("text")).cast("long").alias("n_tokens"),
+        quality_score(F.col("text")).alias("__q"),
+    )
+    total = scored.agg(F.sum("n_tokens")).collect()[0][0] or 0  # 1-row metadata
+    budget = int(total) // _BUDGET_DENOM
+    cum = global_prefix_sum(
+        scored,
+        "n_tokens",
+        [F.col("__q").desc(), F.col("doc_id")],
+        out_col="cum_tokens",
+    )
+    return (
+        cum.select(
+            "doc_id",
+            "n_tokens",
+            "cum_tokens",
+            F.when(F.col("cum_tokens") <= F.lit(budget), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("kept"),
+        )
+        .orderBy("doc_id")
     )

@@ -559,3 +559,43 @@ def h_quantile_norm(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+_SOURCE_CAP_K = 10
+
+
+@register(
+    "xh_source_cap",
+    oracle=f"""WITH r AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents)
+SELECT doc_id, source, CAST(rn AS BIGINT) AS src_rank
+FROM r WHERE rn <= {_SOURCE_CAP_K}
+ORDER BY doc_id""",
+    tags=("llm", "curation", "quota"),
+)
+def xh_source_cap(spark, sf_dir):
+    """Per-source quota cap (round 11): keep at most K documents per
+    source (lowest doc_id first) — the domain-cap step web-corpus
+    pipelines run so no single crawl domain dominates the training mix.
+
+    NOT a per-source window: at 100 TB one domain can hold billions of
+    rows, and ROW_NUMBER() OVER (PARTITION BY source) sorts each
+    source's entire history in one reducer. Instead,
+    operators/topk.grouped_topk — bounded two-level top-K (the
+    freqItems/treeAggregate design language): each input partition
+    locally keeps its K smallest doc_ids per source, the per-source
+    merge combines <= K ids per (source, input-partition), so
+    accumulator state is always O(K) and the only exchanges carry
+    O(sources x partitions x K) id rows, never documents. The rank
+    equals the window's row_number because doc_id is unique
+    (equivalence property-tested in tests/test_properties.py)."""
+    from ..operators.topk import grouped_topk
+
+    d = tbl(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        grouped_topk(d, "source", "doc_id", _SOURCE_CAP_K)
+        .select("doc_id", "source", F.col("rank").alias("src_rank"))
+        .orderBy("doc_id")
+    )

@@ -71,6 +71,23 @@ def test_consistent_sample_subset_stable(spark, grown_corpus):
     assert len(sample_a - sample_b) <= len(new_ids)
 
 
+def test_ngram_novelty_append_stable(spark, grown_corpus):
+    """Round 11: a doc's novelty counts derive from min-doc_id-wins over
+    shingle hashes, so APPENDING docs (always higher ids) can never
+    change an earlier doc's n_novel/n_shingles — and the planted full
+    copy must score zero novelty (every shingle first occurred at the
+    copied source's lower id)."""
+    dir_a, dir_b, copied_src, new_ids = grown_corpus
+    fn = REGISTRY["xh_ngram_novelty"].fn
+    a = {r.doc_id: (r.n_shingles, r.n_novel) for r in fn(spark, dir_a).collect()}
+    b = {r.doc_id: (r.n_shingles, r.n_novel) for r in fn(spark, dir_b).collect()}
+    for doc_id, counts in a.items():
+        assert b[doc_id] == counts, doc_id
+    copy_id = max(new_ids) - 2  # max_id + 1 row: the full copy
+    assert b[copy_id][1] == 0, "full copy must have zero novel shingles"
+    assert b[copy_id][0] == a[copied_src][0], "same shingle count as source"
+
+
 def test_chunk_dedup_planted_copy_keeps_nothing(spark, grown_corpus):
     dir_a, dir_b, copied_src, new_ids = grown_corpus
     copy_id = max(new_ids) - 2  # max_id + 1 row: the full copy

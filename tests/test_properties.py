@@ -353,3 +353,88 @@ def test_theta_count_equals_q20_match_counts(spark, sf_smoke):
     assert got  # non-empty fixture
     for r in got:
         assert r["n_smaller"] == by_k.get(r["s_suppkey"], 0), r["s_suppkey"]
+
+
+# ---------------------------------------------------------------------------
+# scalable global prefix sum ≡ single-partition window cumsum (round 11)
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 9),       # order key WITH ties (id breaks them)
+            st.integers(-50, 50),    # value (negatives exercise offsets)
+        ),
+        min_size=0,
+        max_size=60,
+    ),
+    descending=st.booleans(),
+)
+def test_global_prefix_sum_matches_brute_force(spark, rows, descending):
+    """operators/prefix.global_prefix_sum must equal the plain running
+    sum over the total order (order key + unique id tiebreak) for ANY
+    data — including empty input, negative values, and both sort
+    directions — while never planning a single-partition window."""
+    from hadoop_copier_spark.operators.prefix import global_prefix_sum
+
+    data = [(i, o, v) for i, (o, v) in enumerate(rows)]
+    df = spark.createDataFrame(
+        spark.sparkContext.parallelize(data or [(0, 0, 0)], 4),
+        "id long, o long, v long",
+    )
+    if not data:
+        df = df.filter(F.lit(False))
+    order = [F.col("o").desc(), F.col("id")] if descending else [F.col("o"), F.col("id")]
+    got = {
+        r["id"]: r["cum"]
+        for r in global_prefix_sum(df, "v", order, out_col="cum").collect()
+    }
+    key = (lambda t: (-t[1], t[0])) if descending else (lambda t: (t[1], t[0]))
+    acc, expect = 0, {}
+    for i, o, v in sorted(data, key=lambda t: key((t[0], t[1]))):
+        acc += v
+        expect[i] = acc
+    assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# bounded two-level grouped top-K ≡ per-group window row_number (round 11)
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 4), st.integers(0, 1000)),
+        min_size=0,
+        max_size=80,
+        unique=True,            # (group, value) unique => value unique per group
+    ),
+    k=st.sampled_from([1, 3, 10]),
+    n_parts=st.sampled_from([1, 4, 16]),
+)
+def test_grouped_topk_matches_window_row_number(spark, rows, k, n_parts):
+    """operators/topk.grouped_topk must produce exactly the rows and
+    ranks of ROW_NUMBER() OVER (PARTITION BY g ORDER BY v) <= K, for any
+    data, K, and input partitioning — the bounded-state accumulator is a
+    pure plan transformation of the window form."""
+    from hadoop_copier_spark.operators.topk import grouped_topk
+
+    df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows or [(0, 0)], n_parts),
+        "g long, v long",
+    )
+    if not rows:
+        df = df.filter(F.lit(False))
+    got = {
+        (r["g"], r["v"]): r["rank"]
+        for r in grouped_topk(df, "g", "v", k).collect()
+    }
+    expect = {}
+    by_group = {}
+    for g, v in rows:
+        by_group.setdefault(g, []).append(v)
+    for g, vs in by_group.items():
+        for pos, v in enumerate(sorted(vs)[:k], start=1):
+            expect[(g, v)] = pos
+    assert got == expect
