@@ -17,6 +17,12 @@ the base corpus — the worst case for the pair-forming stages) and times
               (expect ~linear in total chunks: the per-hash window costs
               O(group size log group size) and replication multiplies
               group sizes, which is exactly the term this probes)
+  novelty   — xh_ngram_novelty (round 11), first-occurrence shingle
+              novelty (expect ~linear: the min-agg state is one row per
+              DISTINCT shingle — constant under replication — and the
+              membership join output is linear in exploded shingles;
+              replicas are the worst case, every shingle shared by all
+              copies)
 
 Prints one JSON line with wall seconds and the x16/x1 ratio per op
 (linear => ~16, and the ratio column in bench/scaling_results.json is
@@ -109,13 +115,16 @@ def main() -> None:
             r["chunk_sec"] = timed(
                 lambda: REGISTRY["xh_chunk_dedup"].fn(spark, sf_dir).count()
             )
+            r["novelty_sec"] = timed(
+                lambda: REGISTRY["xh_ngram_novelty"].fn(spark, sf_dir).count()
+            )
             results[f"x{f}"] = r
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
     ratios = {
         op: round(results["x16"][f"{op}_sec"] / max(results["x1"][f"{op}_sec"], 1e-9), 2)
-        for op in ("exact", "minhash", "cc", "chunk")
+        for op in ("exact", "minhash", "cc", "chunk", "novelty")
     }
     print(
         json.dumps(
