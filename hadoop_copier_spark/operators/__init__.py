@@ -10,5 +10,12 @@ from .dedup import (  # noqa: F401
 )
 from .layout import compact_parquet, zorder_rewrite  # noqa: F401
 from .merge import merge_upsert  # noqa: F401
-from .similarity import cosine_topk, ivf_ann_topk, lsh_ann_topk  # noqa: F401
+from .prefix import global_prefix_sum  # noqa: F401
+from .similarity import (  # noqa: F401
+    cosine_topk,
+    ivf_ann_topk,
+    lsh_ann_topk,
+    semantic_dedup,
+)
 from .skew import salted_join  # noqa: F401
+from .topk import grouped_topk  # noqa: F401

@@ -226,52 +226,9 @@ def ivf_ann_topk(
     """
     candidates = candidates.filter(F.col(vec_col).isNotNull())
     queries = queries.filter(F.col(vec_col).isNotNull())
-    import numpy as np
-    import pandas as pd
     from pyspark.sql import Window
-    from pyspark.sql import types as T
 
-    def dbl_dot(a: Column, b: Column) -> Column:
-        prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
-        return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
-
-    def make_assign_udf(centroids: list, top_n: int = 1):
-        """Vectorized nearest-centroid assignment: ONE (batch x C) matmul
-        per Arrow batch via ||v-c||^2 = ||v||^2 - 2 v.c + ||c||^2 — the
-        bucket_keys_udf pattern, no per-vector Python loop (VERDICT r10
-        #2). A 16-way when-chain of 64-dim expression dots is codegen
-        poison — measured, not guessed."""
-        cmat = np.asarray(centroids, dtype=np.float64)  # C x dim
-        cn2 = np.einsum("ij,ij->i", cmat, cmat)  # C
-
-        # no type hints: `from __future__ import annotations` stringifies
-        # them and pandas_udf can't resolve the local `pd` import
-        @F.pandas_udf(T.ArrayType(T.IntegerType()))
-        def assign(vecs):
-            if not len(vecs):
-                return pd.Series([], dtype=object)
-            vmat = np.asarray(
-                [np.asarray(v, dtype=np.float64) for v in vecs]
-            )  # B x dim
-            d = (
-                np.einsum("ij,ij->i", vmat, vmat)[:, None]
-                - 2.0 * (vmat @ cmat.T)
-                + cn2[None, :]
-            )  # B x C squared distances (+ a per-row constant, rank-neutral)
-            # stable argsort => deterministic ties (lowest index wins)
-            order = np.argsort(d, axis=1, kind="stable")[:, :top_n]
-            return pd.Series([[int(i) for i in row] for row in order])
-
-        return assign
-
-    def assign_expr(vec: Column, centroids: list) -> Column:
-        return make_assign_udf(centroids, 1)(vec)[0]
-
-    # deterministic seeds: the first n_clusters vectors by id
-    seed_rows = (
-        candidates.orderBy(id_col).limit(n_clusters).select(vec_col).collect()
-    )  # C x dim floats — driver-side metadata only
-    centroids = [[float(x) for x in r[vec_col]] for r in seed_rows]
+    centroids = _fit_centroids(candidates, id_col, vec_col, n_clusters, lloyd_iters)
     if not centroids:
         # empty candidate set: no clusters to probe — return an empty
         # frame with the contract schema instead of crashing downstream
@@ -279,9 +236,97 @@ def ivf_ann_topk(
             [], "query_id long, neighbor_id long, rank int, score double"
         )
 
+    # ONE assign UDF over the final centroids serves both sides: the
+    # index takes the nearest (element 0 of the top-n_probe list), the
+    # query side probes all n_probe — same pickled closure, built once
+    # (VERDICT r10 #2).
+    assign_final = _make_assign_udf(centroids, max(1, n_probe))
+    index = candidates.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cvec"),
+        _dbl_dot(F.col(vec_col), F.col(vec_col)).alias("__cn2"),
+        assign_final(F.col(vec_col))[0].alias("__cluster"),
+    )
+
+    # probe list per query: n_probe nearest centroids
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qvec"),
+        _dbl_dot(F.col(vec_col), F.col(vec_col)).alias("__qn2"),
+        F.explode(assign_final(F.col(vec_col))).alias("__cluster"),
+    )
+    pairs = index.join(
+        F.broadcast(q),
+        (index["__cluster"] == q["__cluster"]) & (F.col("neighbor_id") != F.col("query_id")),
+    )
+    cos = _dbl_dot(F.col("__qvec"), F.col("__cvec")) / F.sqrt(F.col("__qn2") * F.col("__cn2"))
+    w = Window.partitionBy("query_id").orderBy(F.col("__cos").desc(), F.col("neighbor_id"))
+    return (
+        pairs.select("query_id", "neighbor_id", cos.alias("__cos"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.col("__cos").alias("score"))
+    )
+
+
+def _dbl_dot(a: Column, b: Column) -> Column:
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _make_assign_udf(centroids: list, top_n: int = 1):
+    """Vectorized nearest-centroid assignment: ONE (batch x C) matmul
+    per Arrow batch via ||v-c||^2 = ||v||^2 - 2 v.c + ||c||^2 — the
+    bucket_keys_udf pattern, no per-vector Python loop (VERDICT r10
+    #2). A 16-way when-chain of 64-dim expression dots is codegen
+    poison — measured, not guessed."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    cmat = np.asarray(centroids, dtype=np.float64)  # C x dim
+    cn2 = np.einsum("ij,ij->i", cmat, cmat)  # C
+
+    # no type hints: `from __future__ import annotations` stringifies
+    # them and pandas_udf can't resolve the local `pd` import
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def assign(vecs):
+        if not len(vecs):
+            return pd.Series([], dtype=object)
+        vmat = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in vecs]
+        )  # B x dim
+        d = (
+            np.einsum("ij,ij->i", vmat, vmat)[:, None]
+            - 2.0 * (vmat @ cmat.T)
+            + cn2[None, :]
+        )  # B x C squared distances (+ a per-row constant, rank-neutral)
+        # stable argsort => deterministic ties (lowest index wins)
+        order = np.argsort(d, axis=1, kind="stable")[:, :top_n]
+        return pd.Series([[int(i) for i in row] for row in order])
+
+    return assign
+
+
+def _fit_centroids(
+    df: DataFrame, id_col: str, vec_col: str, n_clusters: int, lloyd_iters: int
+) -> list:
+    """Deterministic coarse k-means shared by ivf_ann_topk and
+    semantic_dedup: seed from the first n_clusters vectors by id, then
+    ``lloyd_iters`` fully-distributed refinement passes (assign via the
+    broadcast matmul UDF, recompute centroids as per-dimension means).
+    Only the C x dim centroid table ever reaches the driver — metadata,
+    not data. Returns [] on an empty frame."""
+    seed_rows = (
+        df.orderBy(id_col).limit(n_clusters).select(vec_col).collect()
+    )  # C x dim floats — driver-side metadata only
+    centroids = [[float(x) for x in r[vec_col]] for r in seed_rows]
+    if not centroids:
+        return []
     for _ in range(lloyd_iters):
-        assigned = candidates.select(
-            F.col(id_col), F.col(vec_col), assign_expr(F.col(vec_col), centroids).alias("__c")
+        assign = _make_assign_udf(centroids, 1)
+        assigned = df.select(
+            F.col(id_col), F.col(vec_col), assign(F.col(vec_col))[0].alias("__c")
         )
         means = (
             assigned.select("__c", F.posexplode(vec_col).alias("__dim", "__v"))
@@ -295,35 +340,68 @@ def ivf_ann_topk(
             [new_c.get((ci, d), centroids[ci][d]) for d in range(dim)]
             for ci in range(len(centroids))
         ]
+    return centroids
 
-    # ONE assign UDF over the final centroids serves both sides: the
-    # index takes the nearest (element 0 of the top-n_probe list), the
-    # query side probes all n_probe — same pickled closure, built once
-    # (VERDICT r10 #2).
-    assign_final = make_assign_udf(centroids, max(1, n_probe))
-    index = candidates.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("__cvec"),
-        dbl_dot(F.col(vec_col), F.col(vec_col)).alias("__cn2"),
-        assign_final(F.col(vec_col))[0].alias("__cluster"),
-    )
 
-    # probe list per query: n_probe nearest centroids
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("__qvec"),
-        dbl_dot(F.col(vec_col), F.col(vec_col)).alias("__qn2"),
-        F.explode(assign_final(F.col(vec_col))).alias("__cluster"),
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    lloyd_iters: int = 1,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, public):
+    coarse k-means over the embeddings, then WITHIN each cluster drop
+    every vector that has a lower-id neighbor with cosine >= threshold.
+    Greedy first-occurrence-wins, so the kept set provably contains no
+    in-cluster pair above the threshold, and the decision for an
+    existing id never changes when higher-id vectors are appended.
+
+    Returns (id_col, cluster INT, keep INT 1/0) for every non-null vector.
+
+    Scale shape: the pair search is an equi self-join ON THE CLUSTER ID —
+    quadratic only within a cluster, the SemDeDup tradeoff. At 100 TB
+    raise n_clusters so N/C stays bounded (the paper runs 50k clusters);
+    the join never compares across clusters, and the k-means cost is one
+    matmul-UDF pass per Lloyd iteration. Cross-cluster near-dups are
+    deliberately out of scope (that recall/cost dial is the clustering
+    granularity). NULL vectors are dropped (see cosine_topk)."""
+    df = df.filter(F.col(vec_col).isNotNull())
+    spark = df.sparkSession
+    centroids = _fit_centroids(df, id_col, vec_col, n_clusters, lloyd_iters)
+    if not centroids:
+        return spark.createDataFrame([], f"{id_col} long, cluster int, keep int")
+    assign = _make_assign_udf(centroids, 1)
+    # eager localCheckpoint: the assigned frame feeds both sides of the
+    # self-join and the output projection — without the barrier the
+    # assignment UDF and the norm dots re-run per consumer
+    e = df.select(
+        F.col(id_col),
+        F.col(vec_col).alias("__v"),
+        _dbl_dot(F.col(vec_col), F.col(vec_col)).alias("__n2"),
+        assign(F.col(vec_col))[0].alias("cluster"),
+    ).localCheckpoint(eager=True)
+    a, b = e.alias("a"), e.alias("b")
+    cos = _dbl_dot(F.col("a.__v"), F.col("b.__v")) / F.sqrt(
+        F.col("a.__n2") * F.col("b.__n2")
     )
-    pairs = index.join(
-        F.broadcast(q),
-        (index["__cluster"] == q["__cluster"]) & (F.col("neighbor_id") != F.col("query_id")),
+    dup_ids = (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .filter(cos >= F.lit(threshold))
+        .select(F.col(f"b.{id_col}").alias(id_col))
+        .distinct()
     )
-    cos = dbl_dot(F.col("__qvec"), F.col("__cvec")) / F.sqrt(F.col("__qn2") * F.col("__cn2"))
-    w = Window.partitionBy("query_id").orderBy(F.col("__cos").desc(), F.col("neighbor_id"))
     return (
-        pairs.select("query_id", "neighbor_id", cos.alias("__cos"))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", F.col("__cos").alias("score"))
+        e.select(id_col, "cluster")
+        .join(dup_ids.withColumn("__dup", F.lit(1)), id_col, "left")
+        .select(
+            id_col,
+            "cluster",
+            F.when(F.col("__dup").isNull(), 1).otherwise(0).cast("int").alias("keep"),
+        )
     )

@@ -409,6 +409,26 @@ def h_dedup_clusters(spark, sf_dir):
     return dedup_clusters(pairs, nodes=d.select("doc_id")).orderBy("doc_id")
 
 
+@register("xp_semdedup", oracle=None, tags=("llm", "similarity", "dedup"))
+def p_semdedup(spark, sf_dir):
+    """P-class: SemDeDup-style semantic deduplication (round 11) —
+    coarse k-means over the embeddings, drop vectors with a lower-id
+    in-cluster neighbor at cosine >= 0.95. Run with planted near-dups so
+    the check is self-validating (tests assert every planted copy is
+    dropped, every original kept, and the kept set has no in-cluster
+    pair above the threshold). The in-cluster equi self-join is the
+    SemDeDup scale shape: quadratic only within a cluster, never across
+    (operators/similarity.py:semantic_dedup)."""
+    from ..operators.similarity import semantic_dedup
+
+    e = _with_planted_neardups(
+        tbl(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    )
+    return semantic_dedup(e, "vec_id", "embedding", threshold=0.95).orderBy(
+        "vec_id"
+    )
+
+
 @register("xp_ann_ivf", oracle=None, tags=("llm", "similarity", "approx"))
 def p_ann_ivf(spark, sf_dir):
     """P-class: IVF approximate nearest neighbors — the second scale path

@@ -189,6 +189,54 @@ def test_text_analysis_outputs_valid(spark, sf_oracle):
     assert rows == again
 
 
+def test_semdedup_drops_planted_keeps_originals(spark, sf_oracle):
+    """SemDeDup structural guarantees (round 11): every planted 1.001x
+    copy (cosine ~1.0 with its source) must be DROPPED (keep=0 — its
+    source has the lower id and lands in the same cluster), every
+    original vector must be KEPT, and the kept set must contain no
+    in-cluster pair at cosine >= threshold (greedy first-occurrence
+    correctness, verified by brute force over the kept vectors)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from hadoop_copier_spark.queries.llm_ops import (
+        N_PLANTED,
+        PLANT_OFFSET,
+        _with_planted_neardups,
+    )
+    from hadoop_copier_spark.tables import load_table
+
+    rows = {r["vec_id"]: r for r in REGISTRY["xp_semdedup"].fn(spark, sf_oracle).collect()}
+    planted_ids = {i + PLANT_OFFSET for i in range(N_PLANTED)}
+    for pid in planted_ids:
+        assert rows[pid]["keep"] == 0, f"planted copy {pid} not dropped"
+        assert rows[pid]["cluster"] == rows[pid - PLANT_OFFSET]["cluster"], (
+            "planted copy must cluster with its source"
+        )
+    # originals (including the planted copies' sources) are all kept:
+    # the fixture's random 64-dim embeddings are near-orthogonal, so no
+    # organic pair reaches cosine 0.95
+    for vid, r in rows.items():
+        if vid not in planted_ids:
+            assert r["keep"] == 1, (vid, r)
+    # kept set is in-cluster pair-free at the threshold (brute force)
+    e = _with_planted_neardups(
+        load_table(spark, sf_oracle, "embeddings").filter(F.col("vec_id") < 300)
+    )
+    vecs = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+            for r in e.collect()}
+    kept = [vid for vid, r in rows.items() if r["keep"] == 1]
+    by_cluster = {}
+    for vid in kept:
+        by_cluster.setdefault(rows[vid]["cluster"], []).append(vid)
+    for members in by_cluster.values():
+        for i, x in enumerate(members):
+            for y in members[i + 1:]:
+                vx, vy = vecs[x], vecs[y]
+                cos = float(vx @ vy / (np.linalg.norm(vx) * np.linalg.norm(vy)))
+                assert cos < 0.95, (x, y, cos)
+
+
 def test_ann_ivf_recall_vs_brute_force(spark, sf_oracle):
     brute = REGISTRY["q59"].fn(spark, sf_oracle).collect()
     approx = REGISTRY["xp_ann_ivf"].fn(spark, sf_oracle).collect()
