@@ -599,3 +599,123 @@ def xh_source_cap(spark, sf_dir):
         .select("doc_id", "source", F.col("rank").alias("src_rank"))
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled domain mixing (alpha = 0.5 apportionment)
+# ---------------------------------------------------------------------------
+
+_MIX_BUDGET = 137  # deliberately not a multiple of the source count: the
+# largest-remainder +1 branch (and its name tie-break) executes at every SF.
+
+
+def mix_quotas(counts: dict, budget: int) -> dict:
+    """Largest-remainder apportionment of ``budget`` selection slots over
+    domains, with alpha=0.5 temperature scaling: weight_i =
+    floor(sqrt(count_i)) — the multilingual-sampling smoothing (XLM-R /
+    mBERT style, p_i ~ c_i^alpha) that keeps head domains from swamping
+    the mix while still favoring them over tail domains.
+
+    Integer-exact by construction (the registry's determinism rule): the
+    ONLY float op is sqrt (correctly-rounded IEEE, bit-identical across
+    engines), immediately floored to BIGINT; base = (budget*w) div total,
+    and the leftover slots go +1 each to the largest remainders, ties by
+    domain name ascending (None last, mirroring DuckDB NULLS LAST).
+    Weights of 0 (empty domains can't occur; count >= 1 => w >= 1) need
+    no special case. A domain's quota may exceed its own count — the
+    single-pass apportionment does not water-fill; callers selecting
+    min(quota, count) under-fill the budget by exactly the shortfall."""
+    import math
+
+    if not counts:
+        return {}
+    w = {s: int(math.floor(math.sqrt(float(c)))) for s, c in counts.items()}
+    tot = sum(w.values())
+    base = {s: (budget * v) // tot for s, v in w.items()}
+    rem = {s: (budget * v) % tot for s, v in w.items()}
+    leftover = budget - sum(base.values())
+    order = sorted(w, key=lambda s: (-rem[s], s is None, s or ""))
+    return {
+        s: base[s] + (1 if i < leftover else 0) for i, s in enumerate(order)
+    }
+
+
+@register(
+    "xh_domain_mix",
+    oracle=f"""WITH c AS (SELECT source, COUNT(*) AS cnt FROM documents GROUP BY source),
+s AS (SELECT source,
+             CAST(floor(sqrt(CAST(cnt AS DOUBLE))) AS BIGINT) AS sw
+      FROM c),
+t AS (SELECT CAST(SUM(sw) AS BIGINT) AS tot FROM s),
+b AS (SELECT source, ({_MIX_BUDGET} * sw) // tot AS base,
+             ({_MIX_BUDGET} * sw) % tot AS rem
+      FROM s, t),
+l AS (SELECT CAST({_MIX_BUDGET} - SUM(base) AS BIGINT) AS leftover FROM b),
+q AS (SELECT source,
+             base + CASE WHEN row_number()
+                              OVER (ORDER BY rem DESC, source ASC) <= leftover
+                         THEN 1 ELSE 0 END AS quota
+      FROM b, l),
+r AS (SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      FROM documents)
+SELECT r.doc_id, r.source, CAST(q.quota AS BIGINT) AS quota,
+       CAST(r.rn AS BIGINT) AS mix_rank
+FROM r JOIN q ON r.source = q.source
+WHERE r.rn <= q.quota
+ORDER BY r.doc_id""",
+    tags=("llm", "curation", "quota", "mix"),
+)
+def xh_domain_mix(spark, sf_dir):
+    """Temperature-scaled training-mix rebalance: apportion a global
+    budget of {budget} selection slots across sources with alpha=0.5
+    weights (w = floor(sqrt(count)) — the multilingual-sampling
+    smoothing), largest-remainder integer apportionment, then keep each
+    source's quota lowest-doc_id documents. Upgrades xh_source_cap's
+    fixed per-source K to a corpus-aware target mix: head domains get
+    more slots than tail domains, but sub-linearly, so the mix flattens
+    toward uniform without gutting the head.
+
+    Scale design: the per-source counts are ONE map-side-combined
+    aggregate whose result is domain-cardinality-sized — driver
+    metadata, same bounded-collect class as the IVF centroids
+    (similarity.py) — and the apportionment itself is O(domains log
+    domains) integer arithmetic on the driver, mirrored exactly by the
+    oracle's SQL (same floor(sqrt(double)) spelling, same rem DESC /
+    source ASC tie-break). Selection reuses operators/topk.grouped_topk
+    at K = max quota — bounded two-level top-K, no per-source window
+    sort of a domain's full history — and the quota table joins back as
+    a broadcast. One count exchange + the two bounded topk exchanges;
+    documents themselves shuffle zero times.
+    """
+    from ..operators.topk import grouped_topk
+
+    d = tbl(spark, sf_dir, "documents").select("doc_id", "source")
+    counts = {
+        r["source"]: r["cnt"]
+        for r in d.groupBy("source").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    quota = mix_quotas(counts, _MIX_BUDGET)
+    quota_rows = [(s, int(q)) for s, q in quota.items() if s is not None]
+    # parallelize(rows, 1): a 20-row local frame must not fan out into 32
+    # Python tasks (the r3 xp_copyjob cold-pool regression, SKILL.md).
+    quota_df = spark.createDataFrame(
+        spark.sparkContext.parallelize(quota_rows, 1) if quota_rows else [],
+        "source string, quota long",
+    )
+    k_max = max((q for _, q in quota_rows), default=1)
+    return (
+        grouped_topk(d, "source", "doc_id", max(k_max, 1))
+        .join(F.broadcast(quota_df), "source")
+        .filter(F.col("rank") <= F.col("quota"))
+        .select(
+            "doc_id",
+            "source",
+            F.col("quota").cast("long").alias("quota"),
+            F.col("rank").cast("long").alias("mix_rank"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+xh_domain_mix.__doc__ = xh_domain_mix.__doc__.replace("{budget}", str(_MIX_BUDGET))

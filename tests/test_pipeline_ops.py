@@ -182,3 +182,75 @@ def test_det_shuffle_plan_has_no_global_window(spark, sf_oracle):
 
     text = explain_str(REGISTRY["xh_det_shuffle"].fn(spark, sf_oracle))
     assert "Exchange SinglePartition" not in text, text[:800]
+
+
+# ---------------------------------------------------------------------------
+# xh_domain_mix — temperature-scaled apportionment invariants
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st
+
+from hadoop_copier_spark.queries.pipeline_ops import _MIX_BUDGET, mix_quotas
+
+
+@given(
+    counts=st.dictionaries(
+        st.text(alphabet="abcdefgh", min_size=1, max_size=4),
+        st.integers(min_value=1, max_value=10**7),
+        min_size=1,
+        max_size=30,
+    ),
+    budget=st.integers(min_value=0, max_value=5000),
+)
+@settings(max_examples=200, deadline=None)
+def test_mix_quotas_apportionment_invariants(counts, budget):
+    """Largest-remainder apportionment: quotas are non-negative integers
+    that sum EXACTLY to the budget (no slot lost or invented), and the
+    alpha=0.5 weighting is monotone — a domain with more documents never
+    gets a smaller quota than one with fewer (equal-weight ties may
+    differ by the single remainder slot)."""
+    q = mix_quotas(counts, budget)
+    assert set(q) == set(counts)
+    assert all(isinstance(v, int) and v >= 0 for v in q.values())
+    assert sum(q.values()) == budget
+    import math
+
+    w = {s: math.isqrt(c) for s, c in counts.items()}
+    for a in counts:
+        for b in counts:
+            if w[a] > w[b]:
+                assert q[a] >= q[b]
+            elif w[a] == w[b]:
+                assert abs(q[a] - q[b]) <= 1
+
+
+def test_mix_quotas_flattens_toward_uniform():
+    """The point of alpha=0.5: the head domain's SHARE of the mix is
+    strictly below its raw corpus share, the tail's strictly above."""
+    counts = {"head": 90_000, "mid": 9_000, "tail": 1_000}
+    q = mix_quotas(counts, 1000)
+    tot = sum(counts.values())
+    assert q["head"] / 1000 < counts["head"] / tot
+    assert q["tail"] / 1000 > counts["tail"] / tot
+    assert q["head"] > q["mid"] > q["tail"] > 0
+
+
+def test_mix_quotas_empty_and_single():
+    assert mix_quotas({}, 137) == {}
+    assert mix_quotas({"only": 5}, 137) == {"only": 137}
+
+
+def test_domain_mix_selection_matches_quotas(spark, sf_smoke):
+    """The registered query selects EXACTLY min(quota, count) docs per
+    source — the quota's lowest doc_ids — and at the fixture (every
+    source holds >= its quota) the selection fills the budget exactly."""
+    out = REGISTRY["xh_domain_mix"].fn(spark, sf_smoke).toPandas()
+    docs = load_table(spark, sf_smoke, "documents").select("doc_id", "source").toPandas()
+    counts = docs.groupby("source").size().to_dict()
+    quota = mix_quotas(counts, _MIX_BUDGET)
+    assert len(out) == sum(min(q, counts[s]) for s, q in quota.items())
+    assert len(out) == _MIX_BUDGET  # fixture sources all hold >= quota
+    for s, grp in out.groupby("source"):
+        expect = sorted(docs[docs["source"] == s]["doc_id"])[: quota[s]]
+        assert sorted(grp["doc_id"]) == expect
+        assert set(grp["quota"]) == {quota[s]}
