@@ -598,3 +598,37 @@ def xh_embed_quantize(spark, sf_dir):
         )
         .orderBy("vec_id")
     )
+
+
+@register("xp_cdc_chunking", oracle=None, tags=("llm", "dedup", "chunking"))
+def p_cdc_chunking(spark, sf_dir):
+    """P-class: content-defined chunking (round 11) — rolling-hash chunk
+    boundaries (LBFS/rsync family) + cross-document duplicated-chunk
+    report. Fixed-stride chunk dedup (xh_chunk_dedup) misses duplicates
+    that are shifted by an insertion; CDC boundaries depend only on
+    local content, so shifted copies re-synchronize after O(1) chunks
+    (tests/test_chunking.py pins CDC overlap >= 0.9 after a prefix
+    insertion where stride overlap is ~0).
+
+    Emits (chunk_hash, chunk_len, occ, n_docs) for every chunk appearing
+    in >= 2 distinct documents — the shared-substring dup report.
+
+    Scale shape: chunking is a pure map (mapInPandas, vectorized rolling
+    hash over each Arrow batch's concatenated bytes; bytes never leave
+    their executor, zero shuffle); the report is ONE groupBy on the
+    chunk hash — md5 keys, uniform by construction; the final global
+    order is driver-bound only by the duplicated subset."""
+    from ..operators.chunking import cdc_chunks
+
+    d = tbl(spark, sf_dir, "documents")
+    ch = cdc_chunks(d, "text", "doc_id")
+    return (
+        ch.groupBy("chunk_hash")
+        .agg(
+            F.max("chunk_len").cast("long").alias("chunk_len"),
+            F.count(F.lit(1)).cast("long").alias("occ"),
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy(F.col("n_docs").desc(), F.col("occ").desc(), "chunk_hash")
+    )
