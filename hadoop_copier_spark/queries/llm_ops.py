@@ -632,3 +632,45 @@ def p_cdc_chunking(spark, sf_dir):
         .filter(F.col("n_docs") >= 2)
         .orderBy(F.col("n_docs").desc(), F.col("occ").desc(), "chunk_hash")
     )
+
+
+@register("xp_pagerank", oracle=None, tags=("graph", "quality", "iterative"))
+def p_pagerank(spark, sf_dir):
+    """P-class: PageRank centrality (round 11) — the crawl-graph quality
+    prior (Common Crawl-style: rank domains/pages by link centrality,
+    filter the corpus by it). The fixture stand-in graph is the
+    customer<->supplier bipartite graph implied by orders x lineitem
+    (both directions, distinct edges; customers offset to their own id
+    space), damping 0.85. Emits the top-50 nodes by rank — global top-k
+    plans as TakeOrderedAndProject, never a global sort.
+
+    Iterative scale shape (operators/pagerank.py): edges normalized to
+    (src, dst, 1/outdeg) ONCE and localCheckpoint'ed; each round is one
+    equi join + one map-side-partial sum exchange; dangling mass rides a
+    1-row broadcast (the heavy-hitters global-scalar shape, allowlisted
+    in tests/test_plans.py); the driver sees only the per-round L1
+    convergence probe. Golden-checked against a numpy power iteration in
+    tests/test_pagerank.py."""
+    from ..operators.pagerank import pagerank
+
+    o = tbl(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = tbl(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = o.join(li, o.o_orderkey == li.l_orderkey).select(
+        (F.col("o_custkey") + F.lit(1_000_000_000)).alias("cust_node"),
+        F.col("l_suppkey").alias("supp_node"),
+    )
+    edges = pairs.select(
+        F.col("cust_node").alias("src"), F.col("supp_node").alias("dst")
+    ).union(
+        pairs.select(F.col("supp_node").alias("src"), F.col("cust_node").alias("dst"))
+    )
+    # fixed 8-round compute budget, tol=0 => no per-round probe: all
+    # rounds fuse lazily into this query's single action (the top of the
+    # ranking settles in the first few rounds); a production quality-prior
+    # run would set tol > 0 and iterate to convergence
+    # (~log(tol)/log(damping) rounds, graph-size-free)
+    return (
+        pagerank(edges, damping=0.85, max_iter=8, tol=0.0)
+        .orderBy(F.col("rank").desc(), "node")
+        .limit(50)
+    )
