@@ -42,14 +42,16 @@ After this round every H operator in the registry has driver evidence no
 older than r9, and the never-checked backlog is empty.
 
 R12 QUEUE LEDGER (stalest driver evidence after this window, in rotation
-order — never-checked first, then ties by name): the 3 operators added
-mid-r11 after this window was pinned queue first (xh_ngram_novelty,
-xh_source_cap, xh_token_budget_select — never driver-checked); then the
-29 r9-stale members NOT refreshed this round (q22-q25, q27, q28, q35,
-q51-q67, xh_det_shuffle, xh_hash_split, xh_ntile_scalable,
-xh_rollup_cascade, xh_theta_count); the remaining ~18 slots refresh the
-then-stalest r10 evidence in name order (q26, q29-q34, q36-q47 until
-the window fills).
+order — never-checked first, then ties by name): the 5 H operators added
+mid-r11 after this window was pinned queue first (xh_domain_mix,
+xh_ngram_novelty, xh_source_cap, xh_token_budget_select,
+xh_vocab_growth — never driver-checked); then the 29 r9-stale members
+NOT refreshed this round (q22-q25, q27, q28, q35, q51-q67,
+xh_det_shuffle, xh_hash_split, xh_ntile_scalable, xh_rollup_cascade,
+xh_theta_count); the remaining ~16 slots refresh the then-stalest r10
+evidence in name order (q26, q29-q34, q36-q47 until the window fills).
+The round-11 P-class adds (xp_semdedup, xp_cdc_chunking, xp_pagerank)
+are rows-only by design, outside the hash window, not rotated.
 
 Each ``bNN``/``bx_*`` name binds the SAME ``Query`` object fields
 (function and oracle) as its target — verified by tests/test_oracle_queries

@@ -426,3 +426,58 @@ def xh_bm25(spark, sf_dir):
         .orderBy(F.col("score_u6").desc(), "doc_id")
         .limit(_BM25_TOP)
     )
+
+
+@register(
+    "xh_vocab_growth",
+    oracle=r"""WITH t AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS token
+  FROM documents),
+f AS (SELECT token, MIN(doc_id) AS first_doc
+      FROM t WHERE token <> '' GROUP BY token),
+m AS (SELECT MAX(doc_id) + 1 AS n FROM documents)
+SELECT CAST((first_doc * 10) // n AS BIGINT) AS decile,
+       CAST(COUNT(*) AS BIGINT) AS new_tokens
+FROM f, m
+GROUP BY decile
+ORDER BY decile""",
+    tags=("llm", "text", "profile"),
+)
+def xh_vocab_growth(spark, sf_dir):
+    """Vocabulary-growth curve (round 11): distinct NEW tokens first
+    appearing in each doc_id decile of the corpus — the Heaps-law
+    profile corpus curation watches to judge diversity (a healthy
+    growing corpus keeps minting vocabulary sub-linearly; a curve that
+    flatlines early signals heavy duplication, one that stays linear
+    signals noise/OCR garbage). Exact integers end-to-end, hash-checked.
+
+    Scale shape: tokenize+explode runs map-side on the repartitioned
+    corpus (the q57 SCALE.md 7b rule), then ONE uniform token-hash
+    shuffle carries (token, min-doc_id) partials — min() collapses
+    map-side, so each mapper emits each distinct token once; the decile
+    rollup is a second 10-row aggregate. The corpus max id is a 1-row
+    driver scalar (bounded-collect class), mirrored by the oracle's
+    1-row scalar subquery — no BNLJ in the Spark plan."""
+    n_shuf = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    d = tbl(spark, sf_dir, "documents")
+    row = d.agg(F.max("doc_id").alias("m")).collect()[0]
+    if row["m"] is None:  # empty corpus: schema-stable empty result
+        return d.select(
+            F.lit(0).cast("bigint").alias("decile"),
+            F.lit(0).cast("bigint").alias("new_tokens"),
+        ).limit(0)
+    n = int(row["m"]) + 1
+    first = (
+        d.repartition(n_shuf, "doc_id")
+        .select("doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    return (
+        first.groupBy(
+            F.expr(f"CAST((first_doc * 10) div {n} AS BIGINT)").alias("decile")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("new_tokens"))
+        .orderBy("decile")
+    )

@@ -252,3 +252,41 @@ def test_bm25_rare_term_outranks_common_only(spark, sf_smoke):
     for r in top[:5]:
         toks = docs[r.doc_id].lower().split()
         assert rare in toks, (r.doc_id, toks[:20])
+
+
+def test_vocab_growth_accounting_identity(spark, tmp_path):
+    """On a synthetic corpus with KNOWN vocabulary growth: new_tokens per
+    decile sums to the distinct vocabulary; a token repeated in a later
+    decile counts only at its FIRST decile; healthy growth shows a
+    nonzero tail (fresh vocab keeps minting) while a pure-duplication
+    corpus flatlines after decile 0."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hadoop_copier_spark.queries import REGISTRY
+
+    # 100 docs, ids 0..99; doc i introduces token f"w{i}" and repeats w0
+    docs = [{"doc_id": i, "text": f"w0 w{i} w{i}", "lang": "en",
+             "source": "s", "n_chars": 10} for i in range(100)]
+    d = str(tmp_path / "growth")
+    os.makedirs(d)
+    pq.write_table(pa.Table.from_pylist(docs), os.path.join(d, "documents.parquet"))
+    out = {r["decile"]: r["new_tokens"]
+           for r in REGISTRY["xh_vocab_growth"].fn(spark, d).collect()}
+    # vocab = w0..w99 = 100 distinct; each decile mints exactly its 10
+    # fresh wN (w0 belongs to decile 0 and never re-counts)
+    assert sum(out.values()) == 100
+    assert out == {k: 10 for k in range(10)}
+
+    # duplication-only corpus: all docs identical -> everything mints at
+    # decile 0 and the curve flatlines
+    dup = [{"doc_id": i, "text": "a b c", "lang": "en", "source": "s",
+            "n_chars": 5} for i in range(100)]
+    d2 = str(tmp_path / "flat")
+    os.makedirs(d2)
+    pq.write_table(pa.Table.from_pylist(dup), os.path.join(d2, "documents.parquet"))
+    out2 = {r["decile"]: r["new_tokens"]
+            for r in REGISTRY["xh_vocab_growth"].fn(spark, d2).collect()}
+    assert out2 == {0: 3}
