@@ -2,6 +2,7 @@
 (SURVEY §4.2 'needs custom work')."""
 
 from .asof import asof_join  # noqa: F401
+from .bloom import bloom_build, bloom_position_sql, bloom_probe  # noqa: F401
 from .components import connected_components, dedup_clusters  # noqa: F401
 from .dedup import (  # noqa: F401
     near_dup_pairs,

@@ -16,8 +16,11 @@ an explicit, engine-portable operator.
 Portability is the point of this implementation: positions come from the
 repo's portable 60-bit md5 hash (h60, queries/dedup_oracle.py), so a SQL
 engine can rebuild the IDENTICAL bitmap and reproduce even the false
-positives — xh_bloom_prune hash-checks its pass/true/fp counts against
-DuckDB bit-for-bit.
+positives — the registered ``xh_bloom_prune`` query
+(queries/quality_checks.py) hash-checks its pass / true-positive /
+false-positive / false-negative counts against a DuckDB rebuild of the
+same bitmap, bit-for-bit (``bloom_position_sql`` below is the one
+generator that feeds both engines).
 
 Plan shape: bitmap build = explode k positions per key -> word/bit ->
 bit_or per word (uniform, tiny) -> broadcast left-join onto a dense
@@ -99,12 +102,7 @@ def bloom_probe(
     conds = []
     for i in range(k):
         p = _position(key, i, m_bits)
-        word = F.element_at(bloom_col, (F.expr(f"CAST(({p._jc.toString()}) AS LONG)"))) \
-            if False else F.element_at(
-                bloom_col, (p / _WORD).cast("int") + F.lit(1)
-            )
-        bit = F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(pmod({_h60(F.concat(F.lit(f'bl{i}:'), key.cast('string')))._jc.toString()}, {m_bits}) % {_WORD} AS INT))") \
-            if False else None
+        word = F.element_at(bloom_col, F.floor(p / _WORD).cast("int") + F.lit(1))
         conds.append(word.bitwiseAND(_bitval(p)) != 0)
     return F.coalesce(reduce(lambda a, b: a & b, conds), F.lit(False))
 

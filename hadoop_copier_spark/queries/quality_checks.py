@@ -355,3 +355,95 @@ def xp_corrupt_record_isolation(spark, sf_dir):
         )
         .orderBy("status")
     )
+
+
+# --- Bloom-filter scan pruning (round 12; finishes VERDICT r11 #2) -----
+_BLOOM_M = 4096  # bits — sized so the sf0.01 fixture yields real false
+_BLOOM_K = 3     # positives (~(1-e^{-kn/m})^k ≈ 0.8% per probe)
+_BLOOM_WORDS = _BLOOM_M // 32
+
+
+def _bloom_oracle() -> str:
+    """DuckDB rebuild of the IDENTICAL bitmap: bloom_position_sql is the
+    one position generator feeding both engines, so even the false
+    positives reproduce bit-for-bit."""
+    from ..operators.bloom import bloom_position_sql
+
+    build_pos = ", ".join(
+        bloom_position_sql("key", i, _BLOOM_M) for i in range(_BLOOM_K)
+    )
+    probe = " AND ".join(
+        f"(bm[CAST({bloom_position_sql('o_custkey', i, _BLOOM_M)} // 32 AS INT) + 1]"
+        f" & (1::BIGINT << CAST({bloom_position_sql('o_custkey', i, _BLOOM_M)} % 32 AS INT))) <> 0"
+        for i in range(_BLOOM_K)
+    )
+    return f"""WITH dim AS (
+  SELECT DISTINCT c_custkey AS key FROM customer WHERE c_mktsegment = 'BUILDING'),
+pos AS (SELECT unnest([{build_pos}]) AS p FROM dim),
+words AS (SELECT p // 32 AS w,
+                 bit_or(1::BIGINT << CAST(p % 32 AS INT)) AS bits
+          FROM pos GROUP BY 1),
+bloom AS (SELECT list(COALESCE(words.bits, 0::BIGINT) ORDER BY r.w) AS bm
+          FROM range({_BLOOM_WORDS}) r(w) LEFT JOIN words ON words.w = r.w),
+flags AS (SELECT ({probe}) AS pass,
+                 o_custkey IN (SELECT key FROM dim) AS member
+          FROM orders, bloom)
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) FILTER (WHERE pass) AS BIGINT) AS n_pass,
+       CAST(count(*) FILTER (WHERE pass AND member) AS BIGINT) AS n_true,
+       CAST(count(*) FILTER (WHERE pass AND NOT member) AS BIGINT) AS n_fp,
+       CAST(count(*) FILTER (WHERE member AND NOT pass) AS BIGINT) AS n_fn
+FROM flags"""
+
+
+@register(
+    "xh_bloom_prune",
+    oracle=_bloom_oracle(),
+    tags=("quality", "bloom", "prune"),
+)
+def xh_bloom_prune(spark, sf_dir):
+    """Broadcast Bloom-filter scan pruning (operators/bloom.py): build an
+    m-bit bitmap over the BUILDING-segment customer keys (one bounded
+    aggregate — m/32 BIGINT words regardless of key count), attach the
+    single bitmap row to the orders fact via a 1-ROW broadcast, and probe
+    each fact key with k pure-JVM bit tests. Emits the prune quality
+    profile: total rows, bloom passes, true positives, false positives,
+    and false negatives — the last hash-checked to ZERO on both engines,
+    the filter's defining guarantee. Positions come from the portable
+    60-bit md5 hash, so DuckDB rebuilds the identical bitmap and even the
+    false-positive count matches bit-for-bit.
+
+    Scale shape: the fact side NEVER shuffles on its key — bitmap attach
+    is a provably-1-row nested-loop broadcast (the heavy-hitters
+    global-scalar shape), membership is a broadcast hash join against the
+    dim, and the counts ride one partial->final global aggregate. At
+    100 TB this is the cheapest possible pre-join prune: the bitmap costs
+    m/32 longs on the wire per executor versus a full key-set hash
+    relation for a semi-join, and false positives are removed by the real
+    join later. Queued for the R13 driver window per the pinned rotation
+    policy (aliases.py)."""
+    from ..operators.bloom import bloom_build, bloom_probe
+
+    dim = (
+        tbl(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("key"))
+        .distinct()
+    )
+    bloom = bloom_build(spark, dim, "key", m_bits=_BLOOM_M, k=_BLOOM_K)
+    fact = tbl(spark, sf_dir, "orders").select("o_custkey")
+    probed = fact.join(F.broadcast(bloom)).withColumn(
+        "pass", bloom_probe(F.col("bloom"), F.col("o_custkey"), _BLOOM_M, _BLOOM_K)
+    )
+    flags = probed.join(
+        F.broadcast(dim.withColumn("__m", F.lit(1))),
+        probed.o_custkey == F.col("key"),
+        "left",
+    ).select("pass", F.col("__m").isNotNull().alias("member"))
+    return flags.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.count(F.when(F.col("pass"), 1)).cast("long").alias("n_pass"),
+        F.count(F.when(F.col("pass") & F.col("member"), 1)).cast("long").alias("n_true"),
+        F.count(F.when(F.col("pass") & ~F.col("member"), 1)).cast("long").alias("n_fp"),
+        F.count(F.when(F.col("member") & ~F.col("pass"), 1)).cast("long").alias("n_fn"),
+    )
