@@ -101,11 +101,17 @@ def chunk_doc(data: bytes) -> list[tuple[int, int, str]]:
 
 
 def cdc_chunks(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """(doc_id, chunk_idx, chunk_len, chunk_hash) for every document.
-    NULL/empty texts produce no rows (degrade, never fail — the
-    null-injection rule). Map-only: one ``mapInPandas`` pass, the rolling
-    hash computed over the batch's concatenated bytes in one set of
-    vectorized passes."""
+    """(<id_col>, chunk_idx, chunk_len, chunk_hash) for every document —
+    the id column keeps the INPUT column's name and type (ADVICE r11: the
+    schema used to hardcode ``doc_id long``, silently renaming/miscasting
+    any other caller's id). NULL/empty texts produce no rows (degrade,
+    never fail — the null-injection rule). Map-only: one ``mapInPandas``
+    pass, the rolling hash computed over the batch's concatenated bytes
+    in one set of vectorized passes."""
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = (
+        f"`{id_col}` {id_type}, chunk_idx long, chunk_len long, chunk_hash string"
+    )
 
     def gen(batches):
         for pdf in batches:
@@ -136,13 +142,13 @@ def cdc_chunks(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
 
             yield pd.DataFrame(
                 {
-                    "doc_id": pd.Series(out_id, dtype="int64"),
+                    # object dtype: Arrow casts to the declared id type,
+                    # whatever it is (int64 for the default long id)
+                    id_col: pd.Series(out_id, dtype="object"),
                     "chunk_idx": pd.Series(out_idx, dtype="int64"),
                     "chunk_len": pd.Series(out_len, dtype="int64"),
                     "chunk_hash": pd.Series(out_hash, dtype="object"),
                 }
             )
 
-    return df.select(F.col(id_col).alias(id_col), F.col(text_col).alias(text_col)).mapInPandas(
-        gen, "doc_id long, chunk_idx long, chunk_len long, chunk_hash string"
-    )
+    return df.select(id_col, text_col).mapInPandas(gen, out_schema)

@@ -350,6 +350,7 @@ def semantic_dedup(
     n_clusters: int = 16,
     lloyd_iters: int = 1,
     threshold: float = 0.95,
+    max_cluster_rows: "Optional[int]" = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023, public):
     coarse k-means over the embeddings, then WITHIN each cluster drop
@@ -366,7 +367,31 @@ def semantic_dedup(
     the join never compares across clusters, and the k-means cost is one
     matmul-UDF pass per Lloyd iteration. Cross-cluster near-dups are
     deliberately out of scope (that recall/cost dial is the clustering
-    granularity). NULL vectors are dropped (see cosine_topk)."""
+    granularity). NULL vectors are dropped (see cosine_topk).
+
+    Pathology guards (round 12, VERDICT r11 #7 — a degenerate embedding
+    distribution must not recreate all-pairs):
+
+    * EXACT duplicates are collapsed BEFORE the quadratic join: identical
+      nonzero vectors group to one representative (min id) in a single
+      uniform hash aggregate, and only representatives enter the
+      self-join. Greedy-exact: a non-representative always has its
+      lower-id representative as an in-cluster cosine-1 neighbor, and a
+      representative survives iff no lower-id representative clears the
+      threshold (any lower-id member of another class implies that
+      class's still-lower representative). The all-identical adversarial
+      corpus therefore costs O(N) — zero pairs. (Applied when
+      threshold <= 0.9999; a threshold within float noise of exact 1.0
+      falls back to the plain path, where cos(v, v) may round below it.)
+    * ``max_cluster_rows`` (optional): after the collapse, fail loudly
+      with the offending cluster size if any cluster still exceeds the
+      bound — an explicit O(C)-row probe, so a pathological NEAR-identical
+      distribution surfaces as an actionable "raise n_clusters /
+      re-cluster" error instead of a silent quadratic join.
+
+    Zero-norm vectors never dedup in either direction (their cosine is
+    NaN, which fails every threshold) — they bypass both the collapse and
+    the join and are always kept, exactly as the plain path decides."""
     df = df.filter(F.col(vec_col).isNotNull())
     spark = df.sparkSession
     centroids = _fit_centroids(df, id_col, vec_col, n_clusters, lloyd_iters)
@@ -382,11 +407,43 @@ def semantic_dedup(
         _dbl_dot(F.col(vec_col), F.col(vec_col)).alias("__n2"),
         assign(F.col(vec_col))[0].alias("cluster"),
     ).localCheckpoint(eager=True)
-    a, b = e.alias("a"), e.alias("b")
+
+    collapse = threshold <= 0.9999
+    if collapse:
+        nz = e.filter(F.col("__n2") > 0)
+        # one uniform hash aggregate on the vector bytes; identical
+        # vectors assign identically, so grouping keeps cluster intact
+        reps = (
+            nz.groupBy("cluster", "__v", "__n2")
+            .agg(F.min(id_col).alias(id_col))
+            .select(id_col, "__v", "__n2", "cluster")
+        )
+        exact_dups = nz.join(reps.select(id_col), id_col, "left_anti").select(id_col)
+        joinable = reps
+    else:
+        exact_dups = None
+        joinable = e.filter(F.col("__n2") > 0)
+
+    if max_cluster_rows is not None:
+        sizes = (
+            joinable.groupBy("cluster")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(F.max("n").alias("mx"))
+            .collect()  # O(1) row — metadata probe, opt-in
+        )
+        mx = sizes[0]["mx"] or 0
+        if mx > max_cluster_rows:
+            raise ValueError(
+                f"semantic_dedup: largest cluster holds {mx} distinct vectors "
+                f"(> max_cluster_rows={max_cluster_rows}); the in-cluster join "
+                f"would be quadratic in it — raise n_clusters or re-cluster"
+            )
+
+    a, b = joinable.alias("a"), joinable.alias("b")
     cos = _dbl_dot(F.col("a.__v"), F.col("b.__v")) / F.sqrt(
         F.col("a.__n2") * F.col("b.__n2")
     )
-    dup_ids = (
+    dup_reps = (
         a.join(
             b,
             (F.col("a.cluster") == F.col("b.cluster"))
@@ -396,9 +453,10 @@ def semantic_dedup(
         .select(F.col(f"b.{id_col}").alias(id_col))
         .distinct()
     )
+    dup_ids = dup_reps.union(exact_dups) if exact_dups is not None else dup_reps
     return (
         e.select(id_col, "cluster")
-        .join(dup_ids.withColumn("__dup", F.lit(1)), id_col, "left")
+        .join(dup_ids.distinct().withColumn("__dup", F.lit(1)), id_col, "left")
         .select(
             id_col,
             "cluster",

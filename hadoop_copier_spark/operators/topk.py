@@ -15,12 +15,17 @@ group with bounded state, the treeAggregate design language Spark's own
    partition, sort, keep K. Accumulator state is O(K); the exchange
    carries O(groups x partitions x K) scalar values, never rows.
 
-Equivalent to the window form whenever the value is unique per group
-(no ties to break); `tests/test_properties.py` pins the equivalence
-under arbitrary data and partition counts.
+Equivalent to the window form whenever the sort key is unique per group:
+bare ``value_col`` when values are unique, or the composite
+``struct(value_col, tiebreak_col)`` form (round 12, VERDICT r11 #6) when
+values can tie — timestamps, scores — and a unique tiebreak column
+(an id) makes the order total. `tests/test_properties.py` pins both
+equivalences under arbitrary data and partition counts.
 """
 
 from __future__ import annotations
+
+from typing import Optional
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -29,26 +34,53 @@ __all__ = ["grouped_topk"]
 
 
 def grouped_topk(
-    df: DataFrame, group_col: str, value_col: str, k: int
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int,
+    tiebreak_col: Optional[str] = None,
 ) -> DataFrame:
-    """(group_col, value_col, rank) — the K smallest ``value_col`` per
-    group, rank = 1-based position in the group's ascending order.
-    ``value_col`` must be unique within a group (ties would make the
-    kept set well-defined but the window-equivalence rank arbitrary)."""
+    """The K smallest ``value_col`` per group, rank = 1-based position in
+    the group's ascending order.
+
+    Without ``tiebreak_col``: returns (group_col, value_col, rank);
+    ``value_col`` must be unique within a group (ties would make the kept
+    set well-defined but the window-equivalence rank arbitrary).
+
+    With ``tiebreak_col``: returns (group_col, value_col, tiebreak_col,
+    rank), ordered by the composite (value, tiebreak) — array_sort orders
+    structs lexicographically by field position, so ties in the value
+    break deterministically on the tiebreak, matching
+    ``ROW_NUMBER() OVER (PARTITION BY g ORDER BY v, t)`` whenever the
+    composite is unique per group (a unique id column always is)."""
     if k <= 0:
         raise ValueError("k must be positive")
+    if tiebreak_col is None:
+        item = F.col(value_col)
+    else:
+        item = F.struct(
+            F.col(value_col).alias("v"), F.col(tiebreak_col).alias("t")
+        )
     local = (
         df.withColumn("__p", F.spark_partition_id())
         .groupBy(group_col, "__p")
-        .agg(F.slice(F.array_sort(F.collect_list(value_col)), 1, k).alias("__top"))
+        .agg(F.slice(F.array_sort(F.collect_list(item)), 1, k).alias("__top"))
     )
     merged = local.groupBy(group_col).agg(
         F.slice(F.array_sort(F.flatten(F.collect_list("__top"))), 1, k).alias("__top")
     )
-    return merged.select(
-        group_col, F.posexplode("__top").alias("__pos", value_col)
-    ).select(
+    exploded = merged.select(
+        group_col, F.posexplode("__top").alias("__pos", "__it")
+    )
+    if tiebreak_col is None:
+        return exploded.select(
+            group_col,
+            F.col("__it").alias(value_col),
+            (F.col("__pos") + 1).cast("long").alias("rank"),
+        )
+    return exploded.select(
         group_col,
-        value_col,
+        F.col("__it.v").alias(value_col),
+        F.col("__it.t").alias(tiebreak_col),
         (F.col("__pos") + 1).cast("long").alias("rank"),
     )

@@ -440,18 +440,27 @@ def p_ann_ivf(spark, sf_dir):
     return ivf_ann_topk(e, e.filter(F.col("vec_id") < 10), k=5).orderBy("query_id", "rank")
 
 
-def curation_stage_table() -> str:
+_STAGE_NAME = "training_pipeline_stage"
+
+
+def curation_stage_table(wipe: bool = False) -> str:
     """Table dir where xp_training_pipeline stages its exact-dedup
-    barrier as a snapshot version. Fresh per pipeline invocation (the
-    pipeline wipes it via scratch_dir, so every run commits v1); exposed
-    un-wiping so tests and restart tooling can read_snapshot the
+    barrier as a snapshot version — the SINGLE source of that path
+    (ADVICE r11: the pipeline used to rebuild it and assert agreement).
+    ``wipe=True`` routes through base.scratch_dir, clearing the parent so
+    every pipeline run commits a fresh v1; the default resolves the same
+    location read-only so tests and restart tooling can read_snapshot the
     intermediate corpus AFTER the run without destroying it."""
     import os
     import tempfile
 
+    if wipe:
+        from .base import scratch_dir
+
+        return os.path.join(scratch_dir(_STAGE_NAME), "exact_dedup")
     return os.path.join(
         tempfile.gettempdir(), f"hcs_scratch_{os.getpid()}",
-        "training_pipeline_stage", "exact_dedup",
+        _STAGE_NAME, "exact_dedup",
     )
 
 
@@ -500,15 +509,9 @@ def xp_training_pipeline(spark, sf_dir):
     # restartable and time-travelable mid-pipeline: a failed downstream
     # stage resumes by read_snapshot of the committed version instead of
     # re-running gate+dedup, exactly how a 100 TB run stages it.
-    import os
-
-    from .base import scratch_dir
-
-    # scratch_dir wipes the table on each invocation (fresh v1 every run,
-    # no version accumulation across bench/sweep loops); the path itself
-    # is the one curation_stage_table() reports.
-    stage = os.path.join(scratch_dir("training_pipeline_stage"), "exact_dedup")
-    assert stage == curation_stage_table()
+    # wipe=True clears the table on each invocation (fresh v1 every run,
+    # no version accumulation across bench/sweep loops)
+    stage = curation_stage_table(wipe=True)
     write_snapshot(
         gated.join(keep_exact.select("doc_id"), "doc_id"),
         stage,

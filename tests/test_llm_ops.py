@@ -237,6 +237,74 @@ def test_semdedup_drops_planted_keeps_originals(spark, sf_oracle):
                 assert cos < 0.95, (x, y, cos)
 
 
+def test_semdedup_all_identical_vectors_bounded(spark):
+    """Adversarial distribution (round 12, VERDICT r11 #7): 2000
+    IDENTICAL vectors — the worst case for in-cluster quadratic search.
+    The exact-duplicate pre-collapse must reduce the join to one
+    representative per cluster, so the run passes even under a
+    max_cluster_rows=4 guard (the raw cluster holds all 2000 rows; only
+    the collapsed representative enters the join), keeps exactly the
+    minimum id, and drops everything else."""
+    from pyspark.sql import functions as F
+
+    from hadoop_copier_spark.operators.similarity import semantic_dedup
+
+    df = spark.range(2000).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.lit(float(v)) for v in (1.0, 2.0, 3.0, 4.0)]).alias(
+            "embedding"
+        ),
+    )
+    out = {
+        r["vec_id"]: r["keep"]
+        for r in semantic_dedup(
+            df, n_clusters=4, lloyd_iters=1, threshold=0.95, max_cluster_rows=4
+        ).collect()
+    }
+    assert len(out) == 2000
+    assert out[0] == 1 and all(out[v] == 0 for v in range(1, 2000))
+
+
+def test_semdedup_max_cluster_rows_raises_on_near_identical(spark):
+    """NEAR-identical (distinct) vectors cannot be collapsed; the opt-in
+    guard must fail loudly with the offending size instead of silently
+    running an all-pairs join."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from hadoop_copier_spark.operators.similarity import semantic_dedup
+
+    df = spark.range(64).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            (F.lit(1.0) + F.col("id").cast("double") / 1e9),
+            F.lit(2.0),
+            F.lit(3.0),
+            F.lit(4.0),
+        ).alias("embedding"),
+    )
+    with pytest.raises(ValueError, match="max_cluster_rows"):
+        semantic_dedup(
+            df, n_clusters=2, lloyd_iters=1, threshold=0.95, max_cluster_rows=8
+        )
+
+
+def test_semdedup_zero_vectors_always_kept(spark):
+    """Zero-norm vectors have NaN cosine with everything — they must
+    never dedup (in either direction), matching the plain-path decision
+    even though the exact-collapse path skips them."""
+    from pyspark.sql import functions as F
+
+    from hadoop_copier_spark.operators.similarity import semantic_dedup
+
+    zeros = spark.range(10).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.lit(0.0)] * 4).alias("embedding"),
+    )
+    out = {r["vec_id"]: r["keep"] for r in semantic_dedup(zeros).collect()}
+    assert all(v == 1 for v in out.values()) and len(out) == 10
+
+
 def test_ann_ivf_recall_vs_brute_force(spark, sf_oracle):
     brute = REGISTRY["q59"].fn(spark, sf_oracle).collect()
     approx = REGISTRY["xp_ann_ivf"].fn(spark, sf_oracle).collect()

@@ -438,3 +438,43 @@ def test_grouped_topk_matches_window_row_number(spark, rows, k, n_parts):
         for pos, v in enumerate(sorted(vs)[:k], start=1):
             expect[(g, v)] = pos
     assert got == expect
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 5)),  # values TIE heavily
+        min_size=0,
+        max_size=80,
+    ),
+    k=st.sampled_from([1, 3, 10]),
+    n_parts=st.sampled_from([1, 4, 16]),
+)
+def test_grouped_topk_composite_key_matches_window_with_ties(
+    spark, rows, k, n_parts
+):
+    """Tie-safe composite-key form (round 12, VERDICT r11 #6): with a
+    unique tiebreak column, grouped_topk(g, v, k, tiebreak_col=t) must
+    equal ROW_NUMBER() OVER (PARTITION BY g ORDER BY v, t) <= K for any
+    data — including heavy value ties — K, and input partitioning."""
+    from hadoop_copier_spark.operators.topk import grouped_topk
+
+    tagged = [(g, v, i) for i, (g, v) in enumerate(rows)]  # i = unique id
+    df = spark.createDataFrame(
+        spark.sparkContext.parallelize(tagged or [(0, 0, 0)], n_parts),
+        "g long, v long, t long",
+    )
+    if not tagged:
+        df = df.filter(F.lit(False))
+    got = {
+        (r["g"], r["v"], r["t"]): r["rank"]
+        for r in grouped_topk(df, "g", "v", k, tiebreak_col="t").collect()
+    }
+    expect = {}
+    by_group = {}
+    for g, v, t in tagged:
+        by_group.setdefault(g, []).append((v, t))
+    for g, vts in by_group.items():
+        for pos, (v, t) in enumerate(sorted(vts)[:k], start=1):
+            expect[(g, v, t)] = pos
+    assert got == expect
