@@ -1136,3 +1136,111 @@ def xh_token_budget_select(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+# --- CDC chunk-level dedup (round 12; VERDICT r11 #4) ------------------
+def _cdc_oracle() -> str:
+    """DuckDB mirror of operators/chunking.py, generated from the SAME
+    constants so the two spellings cannot drift. Three tricks make it
+    pure SQL:
+
+    * the boundary predicate only depends on the rolling hash mod
+      CDC_MEAN, and CDC_MEAN divides 2^64, so (poly mod 2^64) mod MEAN ==
+      poly mod MEAN — the oracle reduces the 64-bit polynomial weights
+      mod MEAN and never needs wraparound arithmetic (the weights become
+      small integers, A^j mod 64);
+    * the greedy min/max cut walk is a recursive CTE whose state CARRIES
+      each document's candidate list as a LIST column — the obvious
+      correlated min-subquery against a candidates CTE silently
+      decorrelates to NULL inside a recursive term on DuckDB 1.0, while
+      list_filter/list_min over carried state is exact (probed, r12);
+    * byte positions equal character positions because the fixture corpus
+      is ASCII (the module-docstring boundary above; chunk hashes are md5
+      over the same bytes both engines see).
+    """
+    from ..operators.chunking import CDC_MAX, CDC_MEAN, CDC_MIN, CDC_WINDOW, _A
+
+    p_mod = [pow(_A, CDC_WINDOW - 1 - j, CDC_MEAN) for j in range(CDC_WINDOW)]
+    hash_terms = " + ".join(
+        f"ord(text[s0+{j + 1}]) * {p_mod[j]}" for j in range(CDC_WINDOW)
+    )
+    return f"""WITH RECURSIVE docs AS MATERIALIZED (
+  SELECT doc_id, text, CAST(len(text) AS BIGINT) AS n
+  FROM documents WHERE text IS NOT NULL AND len(text) > 0),
+cand AS MATERIALIZED (
+  SELECT doc_id, list(cut ORDER BY cut) AS cands
+  FROM (SELECT doc_id, s0 + {CDC_WINDOW} AS cut
+        FROM (SELECT doc_id, text, unnest(range(0, n - {CDC_WINDOW - 1})) AS s0
+              FROM docs WHERE n >= {CDC_WINDOW})
+        WHERE ({hash_terms}) % {CDC_MEAN} = 0)
+  GROUP BY doc_id),
+state AS MATERIALIZED (
+  SELECT d.doc_id, d.n, COALESCE(c.cands, []) AS cands
+  FROM docs d LEFT JOIN cand c USING (doc_id)),
+s(doc_id, n, cands, cut) AS (
+  SELECT doc_id, n, cands, 0::BIGINT FROM state
+  UNION ALL
+  SELECT doc_id, n, cands,
+         CASE WHEN tgt - cut > {CDC_MAX} THEN cut + {CDC_MAX} ELSE tgt END
+  FROM (SELECT doc_id, n, cands, cut,
+               COALESCE(list_min(list_filter(cands, c -> c >= cut + {CDC_MIN})), n) AS tgt
+        FROM s WHERE cut < n)),
+bounds AS (
+  SELECT doc_id, cut AS e,
+         lag(cut) OVER (PARTITION BY doc_id ORDER BY cut) AS st
+  FROM s),
+chunks AS (
+  SELECT b.doc_id,
+         ROW_NUMBER() OVER (PARTITION BY b.doc_id ORDER BY b.e) - 1 AS chunk_idx,
+         md5(substr(d.text, CAST(b.st AS BIGINT) + 1, CAST(b.e - b.st AS BIGINT))) AS h
+  FROM bounds b JOIN docs d USING (doc_id)
+  WHERE b.st IS NOT NULL),
+r AS (
+  SELECT doc_id, chunk_idx,
+         ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, chunk_idx) AS rn
+  FROM chunks)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(COUNT(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept
+FROM r GROUP BY doc_id ORDER BY doc_id"""
+
+
+@register(
+    "xh_cdc_dedup",
+    oracle=_cdc_oracle(),
+    tags=("llm", "dedup", "chunking", "substring"),
+)
+def xh_cdc_dedup(spark, sf_dir):
+    """Content-defined chunk dedup — the shift-robust successor to
+    xh_chunk_dedup's fixed-stride word windows (the exact weakness
+    operators/chunking.py was built to fix: a one-byte prefix insertion
+    shifts every stride boundary but perturbs only O(1) CDC boundaries).
+    Every document is cut at rolling-hash boundaries (LBFS/rsync family,
+    min/max enforced), every chunk md5-hashed, and corpus-wide only the
+    first occurrence of each distinct chunk — by (doc_id, chunk_idx) —
+    is kept. Output is the per-document survival profile (total vs kept
+    chunks): how much of each document is byte-content already seen
+    elsewhere, robust to insertions.
+
+    Scale shape: chunking is a PURE MAP (mapInPandas, vectorized rolling
+    hash over each Arrow batch's concatenated bytes — bytes never leave
+    their executor, zero shuffle); dedup is ONE exchange keyed on the md5
+    chunk hash (uniform by construction, duplicate groups tiny so the
+    per-hash row_number never skews), then a partial-agg rollup back to
+    doc_id. The DuckDB oracle replays the IDENTICAL greedy boundary walk
+    (see _cdc_oracle) so the profile hash-matches bit-for-bit. Queued for
+    the R13 driver window per the pinned rotation policy (aliases.py)."""
+    from pyspark.sql import Window as W
+
+    from ..operators.chunking import cdc_chunks
+
+    ch = cdc_chunks(tbl(spark, sf_dir, "documents"), "text", "doc_id")
+    w = W.partitionBy("chunk_hash").orderBy("doc_id", "chunk_idx")
+    r = ch.withColumn("rn", F.row_number().over(w))
+    return (
+        r.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.count(F.when(F.col("rn") == 1, 1)).alias("n_kept"),
+        )
+        .orderBy("doc_id")
+    )
