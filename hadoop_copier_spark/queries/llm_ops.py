@@ -677,3 +677,87 @@ def p_pagerank(spark, sf_dir):
         .orderBy(F.col("rank").desc(), "node")
         .limit(50)
     )
+
+
+# --- quantized PageRank (round 12; VERDICT r11 #5) ---------------------
+_PRQ_ROUNDS = 8
+_PRQ_TOTAL = 10**12
+
+
+def _pagerank_quantized_oracle() -> str:
+    """Unrolled chained-CTE mirror of operators/pagerank.pagerank_quantized:
+    one (r{i}, d{i}) CTE pair per round, every op BIGINT add / multiply /
+    floor-div on non-negatives, so the sums are order-free and the ranks
+    hash-match bit-for-bit (no recursive CTE needed — the round budget is
+    a fixed constant shared by both spellings)."""
+    edges = (
+        "SELECT DISTINCT o_custkey + 1000000000 AS src, l_suppkey AS dst "
+        "FROM orders JOIN lineitem ON o_orderkey = l_orderkey"
+    )
+    parts = [
+        f"WITH edges AS MATERIALIZED ({edges})",
+        "vert AS MATERIALIZED (SELECT src AS node FROM edges UNION SELECT dst FROM edges)",
+        "meta AS MATERIALIZED (SELECT count(*) AS n FROM vert)",
+        "deg AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM edges GROUP BY src)",
+        f"r0 AS (SELECT node, (SELECT {_PRQ_TOTAL} // n FROM meta) AS units FROM vert)",
+    ]
+    for i in range(1, _PRQ_ROUNDS + 1):
+        p = i - 1
+        parts.append(
+            f"d{i} AS (SELECT CAST(COALESCE(SUM(r.units), 0) AS BIGINT) AS dmass "
+            f"FROM r{p} r LEFT JOIN deg ON r.node = deg.src WHERE deg.src IS NULL)"
+        )
+        parts.append(
+            f"r{i} AS (SELECT v.node, CAST(("
+            f"3 * (SELECT {_PRQ_TOTAL} // n FROM meta) "
+            f"+ 17 * (COALESCE(c.contrib, 0) + (SELECT dmass FROM d{i}) // (SELECT n FROM meta))"
+            f") // 20 AS BIGINT) AS units "
+            f"FROM vert v LEFT JOIN ("
+            f"SELECT e.dst AS node, CAST(SUM(r.units // d.outdeg) AS BIGINT) AS contrib "
+            f"FROM edges e JOIN deg d ON e.src = d.src JOIN r{p} r ON r.node = e.src "
+            f"GROUP BY e.dst) c ON c.node = v.node)"
+        )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT node, CAST(units AS BIGINT) AS rank_units FROM r{_PRQ_ROUNDS} ORDER BY node"
+    )
+
+
+@register(
+    "xh_pagerank_quantized",
+    oracle=_pagerank_quantized_oracle(),
+    tags=("graph", "quality", "iterative"),
+)
+def xh_pagerank_quantized(spark, sf_dir):
+    """Hash-checked twin of xp_pagerank (VERDICT r11 #5: the float
+    variant is rows-only because IEEE contribution sums are
+    order-dependent). The recurrence is quantized to BIGINT micro-units
+    BEFORE iteration — damping as the exact rational 17/20, per-edge
+    contributions floor-divided, dangling mass floor-shared — so every
+    per-destination sum is an exact integer in any summation order and
+    the 8-round fixed-budget ranks match DuckDB's unrolled-CTE replay
+    bit-for-bit (operators/pagerank.pagerank_quantized).
+
+    The stand-in crawl graph is DIRECTED customer->supplier (orders x
+    lineitem; customers offset into their own id space), which makes
+    every supplier a dangling node — the dangling-mass path is exercised
+    on every round, not just on edge cases.
+
+    Iterative scale shape (same as xp_pagerank): links normalized once
+    and localCheckpoint'ed, per round ONE equi join + one
+    partial-agg exchange, dangling mass via a 1-row broadcast; rounds
+    fuse lazily and ONE eager checkpoint materializes the chain. Queued
+    for the R13 driver window per the pinned rotation policy
+    (aliases.py)."""
+    from ..operators.pagerank import pagerank_quantized
+
+    o = tbl(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = tbl(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = o.join(li, o.o_orderkey == li.l_orderkey).select(
+        (F.col("o_custkey") + F.lit(1_000_000_000)).alias("src"),
+        F.col("l_suppkey").alias("dst"),
+    )
+    return (
+        pagerank_quantized(edges, rounds=_PRQ_ROUNDS, total_units=_PRQ_TOTAL)
+        .orderBy("node")
+    )

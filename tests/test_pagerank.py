@@ -111,3 +111,77 @@ def test_registry_entry_topk(spark, sf_smoke):
     # edges) dominate the head of the bipartite graph's ranking
     assert list(out["rank"]) == sorted(out["rank"], reverse=True)
     assert (out["node"].head(10) < 1_000_000_000).all()
+
+
+# --- pagerank_quantized (round 12): exact integer lockstep -------------
+
+
+def _ref_quantized(edge_list, rounds=8, total=10**12, extra_nodes=()):
+    """Pure-Python replay of the BIGINT recurrence — EXACT equality
+    expected (integer sums are order-free)."""
+    nodes = sorted(
+        {u for u, _ in edge_list} | {v for _, v in edge_list} | set(extra_nodes)
+    )
+    n = len(nodes)
+    out = {}
+    for u, v in set(edge_list):
+        out.setdefault(u, set()).add(v)
+    base = total // n
+    r = {v: base for v in nodes}
+    for _ in range(rounds):
+        contrib = {v: 0 for v in nodes}
+        for u, vs in out.items():
+            share = r[u] // len(vs)
+            for v in vs:
+                contrib[v] += share
+        dmass = sum(r[u] for u in nodes if not out.get(u))
+        r = {v: (3 * base + 17 * (contrib[v] + dmass // n)) // 20 for v in nodes}
+    return r
+
+
+@pytest.mark.parametrize(
+    "edge_list,extra",
+    [
+        ([(1, 2), (2, 3), (3, 1)], ()),                      # ring, no dangling
+        ([(1, 2), (1, 3), (2, 3)], ()),                      # 3 is dangling
+        ([(s, 0) for s in range(1, 9)] + [(0, 1)], ()),      # hub
+        ([(1, 2)], (9,)),                                    # isolated node
+        ([(1, 2), (1, 2), (2, 1), (3, 4)], ()),              # dup edges
+    ],
+)
+def test_quantized_exact_integer_lockstep(spark, edge_list, extra):
+    from hadoop_copier_spark.operators.pagerank import pagerank_quantized
+
+    nodes = None
+    if extra:
+        nodes = spark.createDataFrame([(v,) for v in extra], "node long")
+    got = {
+        r["node"]: r["rank_units"]
+        for r in pagerank_quantized(_edges_df(spark, edge_list), nodes=nodes).collect()
+    }
+    ref = _ref_quantized(edge_list, extra_nodes=extra)
+    assert got == ref  # EXACT — no tolerance
+
+
+def test_quantized_tracks_float_pagerank(spark):
+    """Quantization error is bounded: units/total within ~1e-6 of the
+    float iteration at the same fixed budget."""
+    from hadoop_copier_spark.operators.pagerank import pagerank_quantized
+
+    edge_list = [(1, 2), (2, 3), (3, 1), (1, 3), (4, 1)]
+    got = {
+        r["node"]: r["rank_units"] / 1e12
+        for r in pagerank_quantized(_edges_df(spark, edge_list)).collect()
+    }
+    ref = _ref(edge_list, iters=8)
+    for v, x in ref.items():
+        assert got[v] == pytest.approx(x, abs=1e-6)
+
+
+def test_quantized_registry_is_ordered_and_conservative(spark, sf_smoke):
+    out = REGISTRY["xh_pagerank_quantized"].fn(spark, sf_smoke).toPandas()
+    assert len(out) > 0
+    assert list(out["node"]) == sorted(out["node"])
+    # floor divisions only ever DROP mass: units sum in (0.9, 1.0] * total
+    s = int(out["rank_units"].sum())
+    assert 0 < s <= 10**12

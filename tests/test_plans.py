@@ -374,6 +374,7 @@ def test_no_unplanned_nested_loop_or_cartesian_joins(spark, sf_smoke):
         # 1-row dangling-mass broadcast per power-iteration round — the
         # same provably-single-row global-scalar attach as heavy_hitters
         "xp_pagerank",
+        "xh_pagerank_quantized",
         # 1-row bloom-bitmap broadcast onto the fact side — the filter's
         # whole point is that the fact never shuffles; the build side is
         # provably a single row (operators/bloom.py)
