@@ -119,6 +119,9 @@ def main() -> None:
         shutil.rmtree(replay_root, ignore_errors=True)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # VERDICT r11 #8: ambient load lives IN the artifact, not in prose —
+    # the r11 driver run read 1.26x slower purely from a 5.7 loadavg.
+    loadavg = [round(x, 2) for x in os.getloadavg()]
     full = {
         "metric": "declared_query_suite_wall",
         "value": round(total, 3),
@@ -130,6 +133,7 @@ def main() -> None:
         "streaming_wall_sec": round(streaming_wall, 3),
         "streaming_micro_batches": n_batches,
         "streaming_equals_batch_q61": stream_matches,
+        "loadavg_1m_5m_15m": loadavg,
     }
     print(json.dumps(full))
     # The driver records only a 2000-char TAIL of stdout; the full line
@@ -163,6 +167,7 @@ def main() -> None:
                 "streaming_micro_batches": n_batches,
                 "streaming_equals_batch_q61": stream_matches,
                 "slowest_queries": slowest,
+                "loadavg_1m_5m_15m": loadavg,
                 "full_record": "bench/last_run.json",
             }
         )

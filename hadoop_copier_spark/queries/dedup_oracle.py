@@ -1244,3 +1244,56 @@ def xh_cdc_dedup(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "xh_quality_topk",
+    oracle=f"""WITH {_quality_ctes()},
+q AS (
+  SELECT m.doc_id, d.lang,
+         CAST(floor(({_QUALITY_EXPR_SQL}) * 1000000.0::DOUBLE + 0.5::DOUBLE) AS BIGINT) AS q_units
+  FROM m JOIN (SELECT doc_id, lang, text FROM documents) d USING (doc_id)
+  WHERE d.text IS NOT NULL),
+r AS (
+  SELECT lang, doc_id, q_units,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY q_units DESC, doc_id) AS rank
+  FROM q)
+SELECT lang, doc_id, q_units, rank FROM r WHERE rank <= 15 ORDER BY lang, rank""",
+    tags=("llm", "quality", "topk"),
+)
+def xh_quality_topk(spark, sf_dir):
+    """Per-language quality top-K (round 12) — the curation step that
+    keeps each language's K best documents by quality score: the
+    composite-key consumer of operators/topk.grouped_topk (VERDICT r11
+    #6). Quality scores TIE (the CASE branches of the composite score are
+    discrete), so the bare-value form is ineligible; the tie-safe form
+    orders by struct(-q_units, doc_id) — exactly
+    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY q_units DESC, doc_id).
+    The quality double is xh_text_quality's mirrored IEEE tree quantized
+    to integer micro-units (floor(q*1e6+0.5) — exact ops), so the ranks
+    hash-match DuckDB.
+
+    Scale shape: bounded two-level top-K — O(K) accumulator state per
+    (language, partition), O(langs x partitions x K) exchange rows, never
+    a per-language global sort (the window form sorts a language's ENTIRE
+    corpus in one reducer). Queued for the R13 driver window per the
+    pinned rotation policy (aliases.py)."""
+    from ..functions.text import quality_score
+    from ..operators.topk import grouped_topk
+
+    d = tbl(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    q = d.select(
+        "lang",
+        "doc_id",
+        F.floor(quality_score(F.col("text")) * F.lit(1000000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("q_units"),
+    ).withColumn("negq", -F.col("q_units"))
+    top = grouped_topk(q.select("lang", "negq", "doc_id"), "lang", "negq", 15,
+                       tiebreak_col="doc_id")
+    return top.select(
+        "lang",
+        "doc_id",
+        (-F.col("negq")).alias("q_units"),
+        "rank",
+    ).orderBy("lang", "rank")

@@ -761,3 +761,46 @@ def xh_pagerank_quantized(spark, sf_dir):
         pagerank_quantized(edges, rounds=_PRQ_ROUNDS, total_units=_PRQ_TOTAL)
         .orderBy("node")
     )
+
+
+@register("xp_compression_ratio", oracle=None, tags=("llm", "quality", "text"))
+def p_compression_ratio(spark, sf_dir):
+    """P-class: deflate compression ratio per document (round 12) — the
+    Gopher/MassiveText-family repetitiveness signal: boilerplate and
+    looped text compress far better than natural prose, so a LOW ratio
+    flags low-quality documents. Emits (doc_id, raw_len, comp_len,
+    ratio_ppm = comp*1e6 div raw) for every non-empty document.
+
+    Rows-only by design: the byte-exact deflate stream is a zlib
+    implementation detail, not SQL-expressible — determinism within one
+    environment is pinned in tests (two runs identical; repetitive text
+    scores far below prose), the cross-engine hash is not claimed.
+
+    Scale shape: a PURE MAP — ``mapInPandas`` with the compressor inside
+    the executor (bytes never move), level fixed so the signal is stable;
+    only the output ORDER BY shuffles."""
+    import zlib
+
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            ids, texts = pdf["doc_id"].values, pdf["text"].values
+            out = {"doc_id": [], "raw_len": [], "comp_len": [], "ratio_ppm": []}
+            for did, t in zip(ids, texts):
+                if not isinstance(t, str) or not t:
+                    continue  # degrade, never fail (null-injection rule)
+                raw = t.encode("utf-8")
+                comp = zlib.compress(raw, 6)
+                out["doc_id"].append(did)
+                out["raw_len"].append(len(raw))
+                out["comp_len"].append(len(comp))
+                out["ratio_ppm"].append(len(comp) * 1_000_000 // len(raw))
+            yield pd.DataFrame(
+                {k: pd.Series(v, dtype="object") for k, v in out.items()}
+            )
+
+    d = tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.mapInPandas(
+        gen, "doc_id long, raw_len long, comp_len long, ratio_ppm long"
+    ).orderBy("doc_id")

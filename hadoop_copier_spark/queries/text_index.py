@@ -481,3 +481,85 @@ def xh_vocab_growth(spark, sf_dir):
         .agg(F.count(F.lit(1)).cast("bigint").alias("new_tokens"))
         .orderBy("decile")
     )
+
+
+@register(
+    "xh_pmi_counts",
+    oracle="""WITH toks AS MATERIALIZED (
+  SELECT string_split(lower(text), ' ') AS parts
+  FROM documents WHERE text IS NOT NULL),
+uni AS MATERIALIZED (
+  SELECT t AS token, COUNT(*) AS n
+  FROM (SELECT unnest(parts) AS t FROM toks)
+  WHERE t <> '' GROUP BY t),
+bi AS (
+  SELECT bigram, w1, w2, COUNT(*) AS n_xy
+  FROM (SELECT parts[i] AS w1, parts[i+1] AS w2,
+               parts[i] || ' ' || parts[i+1] AS bigram
+        FROM (SELECT parts, unnest(generate_series(1, len(parts)-1)) AS i
+              FROM toks WHERE len(parts) >= 2)
+        WHERE parts[i] <> '' AND parts[i+1] <> '')
+  GROUP BY bigram, w1, w2
+  ORDER BY n_xy DESC, bigram LIMIT 50)
+SELECT b.bigram, CAST(b.n_xy AS BIGINT) AS n_xy,
+       CAST(u1.n AS BIGINT) AS n_x, CAST(u2.n AS BIGINT) AS n_y
+FROM bi b JOIN uni u1 ON u1.token = b.w1 JOIN uni u2 ON u2.token = b.w2
+ORDER BY n_xy DESC, bigram""",
+    tags=("llm", "text", "ngram", "cooccurrence"),
+)
+def xh_pmi_counts(spark, sf_dir):
+    """Collocation / PMI component counts (round 12) — the co-occurrence
+    statistics phrase mining and tokenizer-vocabulary induction run over
+    a corpus: for the top-50 bigrams, the exact integers PMI is computed
+    from — pair count n_xy and the two unigram counts n_x, n_y (the log
+    itself is monotone and applied downstream; keeping the output integer
+    keeps it hash-checkable per the FP discipline: ln stays out of
+    emitted values).
+
+    Scale shape: bigram and unigram counts are each ONE uniform
+    token-keyed partial-agg exchange (map-side collapse first); the
+    top-50 bigram set rides TakeOrderedAndProject (never a global sort)
+    and then BROADCASTS into the two unigram lookups — the big unigram
+    frame never re-shuffles for the join. Queued for the R13 driver
+    window per the pinned rotation policy (aliases.py)."""
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    d = (
+        tbl(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .repartition(n_parts, "doc_id")
+        .withColumn("__toks", F.split(F.lower("text"), " "))
+    )
+    uni = (
+        d.select(F.explode("__toks").alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    toks = F.col("__toks")
+    pairs = F.when(F.size(toks) < 2, F.array()).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("w1"),
+                F.element_at(toks, i + 1).alias("w2"),
+            ),
+        )
+    )
+    bi = (
+        d.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .filter((F.col("w1") != "") & (F.col("w2") != ""))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_xy"))
+        .withColumn("bigram", F.concat_ws(" ", "w1", "w2"))
+        .orderBy(F.col("n_xy").desc(), "bigram")
+        .limit(50)
+    )
+    u1 = uni.select(F.col("token").alias("w1"), F.col("n").alias("n_x"))
+    u2 = uni.select(F.col("token").alias("w2"), F.col("n").alias("n_y"))
+    return (
+        u1.join(F.broadcast(bi), "w1")
+        .join(u2, "w2")
+        .select("bigram", "n_xy", "n_x", "n_y")
+        .orderBy(F.col("n_xy").desc(), "bigram")
+    )

@@ -72,6 +72,8 @@ def main() -> None:
             "n_entries": len(entries),
             "n_h": n_h,
             "n_h_pass": n_h_pass,
+            # VERDICT r11 #8: ambient load belongs in the artifact
+            "loadavg_1m_5m_15m": [round(x, 2) for x in os.getloadavg()],
         },
         "entries": entries,
     }

@@ -479,3 +479,36 @@ def test_training_pipeline_stage_is_time_travelable(spark, sf_oracle):
     # downstream stages only remove rows: final doc total <= staged count
     assert sum(r["n_docs"] for r in final) <= n_staged
     assert version_metas(t)[1]["stage"] == "exact_dedup"
+
+
+def test_compression_ratio_signal(spark, sf_oracle):
+    """xp_compression_ratio: repetitive text compresses far better than
+    prose (the signal's whole point), ratios are sane and deterministic."""
+    out = REGISTRY["xp_compression_ratio"].fn(spark, sf_oracle).toPandas()
+    assert len(out) > 0
+    assert (out["comp_len"] > 0).all() and (out["raw_len"] > 0).all()
+    assert (out["ratio_ppm"] == out["comp_len"] * 1_000_000 // out["raw_len"]).all()
+    again = REGISTRY["xp_compression_ratio"].fn(spark, sf_oracle).toPandas()
+    assert out.equals(again)
+
+    # planted contrast: looped boilerplate vs varied text — run the
+    # registered query against a scratch fixture dir
+    import os
+    import shutil
+    import tempfile
+
+    rows = [
+        (1, "spam ham " * 200),
+        (2, " ".join(f"w{i}x{i * 7 % 13}" for i in range(400))),
+    ]
+    df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), "doc_id long, text string"
+    )
+    tmp = tempfile.mkdtemp()
+    try:
+        df.write.mode("overwrite").parquet(os.path.join(tmp, "documents.parquet"))
+        planted = REGISTRY["xp_compression_ratio"].fn(spark, tmp).toPandas()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    ratios = dict(zip(planted["doc_id"], planted["ratio_ppm"]))
+    assert ratios[1] < ratios[2] / 3, ratios  # boilerplate compresses >>3x better
