@@ -804,3 +804,119 @@ def p_compression_ratio(spark, sf_dir):
     return d.mapInPandas(
         gen, "doc_id long, raw_len long, comp_len long, ratio_ppm long"
     ).orderBy("doc_id")
+
+
+# --- quantized PCA power iteration (round 12) --------------------------
+_PCA_ROUNDS = 3
+_PCA_UNIT = 1_000_000
+
+
+def _pca_power_oracle() -> str:
+    """Unrolled chained-CTE mirror of xh_pca_power: per round one
+    doc-space matvec (exact integer sum), a div-rescale, one dim-space
+    matvec in HUGEINT, and a max-|w| renormalization. Integer division is
+    TRUNC-toward-zero in BOTH engines (probed: -7//2 == -7 div 2 == -3),
+    so the signed rescales mirror with no CASE gymnastics."""
+    parts = [
+        f"""WITH eu AS MATERIALIZED (
+  SELECT vec_id, i - 1 AS dim,
+         CAST(floor(CAST(embedding[i] AS DOUBLE) * {_PCA_UNIT} + 0.5) AS BIGINT) AS eu
+  FROM (SELECT vec_id, embedding, unnest(generate_series(1, len(embedding))) AS i
+        FROM embeddings WHERE embedding IS NOT NULL))""",
+        f"v0 AS (SELECT DISTINCT dim, {_PCA_UNIT}::BIGINT AS vu FROM eu)",
+    ]
+    for i in range(1, _PCA_ROUNDS + 1):
+        p = i - 1
+        parts.append(
+            f"s{i} AS (SELECT e.vec_id, SUM(e.eu * v.vu) // {_PCA_UNIT} AS s "
+            f"FROM eu e JOIN v{p} v USING (dim) GROUP BY e.vec_id)"
+        )
+        parts.append(
+            f"w{i} AS (SELECT e.dim, SUM(e.eu::HUGEINT * s.s::HUGEINT) AS w "
+            f"FROM eu e JOIN s{i} s USING (vec_id) GROUP BY e.dim)"
+        )
+        parts.append(
+            f"m{i} AS (SELECT greatest(max(abs(w)), 1) AS m FROM w{i})"
+        )
+        parts.append(
+            f"v{i} AS (SELECT dim, CAST((w * {_PCA_UNIT}) // (SELECT m FROM m{i}) AS BIGINT) AS vu "
+            f"FROM w{i})"
+        )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT dim, vu AS v_units FROM v{_PCA_ROUNDS} ORDER BY dim"
+    )
+
+
+@register(
+    "xh_pca_power",
+    oracle=_pca_power_oracle(),
+    tags=("llm", "embedding", "spectral", "iterative"),
+)
+def xh_pca_power(spark, sf_dir):
+    """Top principal direction of the embedding Gram matrix by QUANTIZED
+    power iteration — the spectral signal embedding analytics pipelines
+    use for whitening, anisotropy diagnosis, and dominant-topic removal.
+    Like xh_pagerank_quantized, the float recurrence is re-defined over
+    exact integers so the per-dimension sums are order-free and the
+    result hash-matches a DuckDB unrolled-CTE replay bit-for-bit:
+
+        eu[i,j]  = floor(x_ij * 1e6 + 0.5)            (exact quantize)
+        s[i]     = (sum_j eu[i,j] * v[j]) div 1e6     (doc-space matvec)
+        w[j]     = sum_i eu[i,j] * s[i]               (dim-space matvec)
+        v'[j]    = (w[j] * 1e6) div max(|w|, 1)       (renormalize)
+
+    started from all-ones, 3 rounds. Integer division truncates toward
+    zero IDENTICALLY in Spark (`div`) and DuckDB (`//`) — probed, so the
+    signed rescales mirror exactly. The second matvec runs in
+    DECIMAL(38,0)/HUGEINT: |w| <= N * 1e6 * 64e6 overflows BIGINT near
+    N~10^5 docs, and 128-bit headroom carries it to corpus scale.
+
+    Scale shape: the embedding matrix explodes ONCE to (vec_id, dim,
+    unit) and is localCheckpoint'ed (reused 2x per round — NOT released
+    here: the returned frame is lazy and still reads those blocks; the
+    executor storage is freed with the session, the
+    CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND race pagerank.py documents); per
+    round one broadcast join on the 64-row v (doc-space matvec = one
+    uniform vec_id partial agg) + one equi join on vec_id (dim-space
+    matvec = one 64-row partial agg) + a 1-row max broadcast. Nothing
+    vocabulary- or corpus-sized ever reaches the driver. Queued for the
+    R13 driver window per the pinned rotation policy (aliases.py)."""
+    e = tbl(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
+    eu = (
+        e.select("vec_id", F.posexplode("embedding").alias("dim", "x"))
+        .select(
+            "vec_id",
+            "dim",
+            F.floor(F.col("x").cast("double") * F.lit(float(_PCA_UNIT)) + F.lit(0.5))
+            .cast("long")
+            .alias("eu"),
+        )
+        .localCheckpoint()
+    )
+    v = eu.select("dim").distinct().select(
+        "dim", F.lit(_PCA_UNIT).cast("long").alias("vu")
+    )
+    for _ in range(_PCA_ROUNDS):
+        s = (
+            eu.join(F.broadcast(v), "dim")
+            .groupBy("vec_id")
+            .agg(F.expr(f"sum(eu * vu) div {_PCA_UNIT}").alias("s"))
+        )
+        w = (
+            eu.join(s, "vec_id")
+            .groupBy("dim")
+            .agg(
+                F.sum(
+                    F.col("eu").cast("decimal(38,0)") * F.col("s").cast("decimal(38,0)")
+                ).alias("w")
+            )
+        )
+        m = w.agg(
+            F.greatest(F.max(F.abs(F.col("w"))), F.lit(1).cast("decimal(38,0)")).alias("m")
+        )
+        v = w.join(F.broadcast(m)).select(  # 1-row build side
+            "dim",
+            F.expr(f"CAST((w * {_PCA_UNIT}) div m AS BIGINT)").alias("vu"),
+        )
+    return v.select("dim", F.col("vu").alias("v_units")).orderBy("dim")

@@ -512,3 +512,43 @@ def test_compression_ratio_signal(spark, sf_oracle):
         shutil.rmtree(tmp, ignore_errors=True)
     ratios = dict(zip(planted["doc_id"], planted["ratio_ppm"]))
     assert ratios[1] < ratios[2] / 3, ratios  # boilerplate compresses >>3x better
+
+
+def test_pca_power_integer_lockstep_and_direction(spark, sf_oracle):
+    """xh_pca_power: exact Python-int replay of the quantized recurrence
+    (order-free integer sums => EXACT equality), and the resulting
+    direction aligns with a float power iteration at the same budget."""
+    from hadoop_copier_spark.queries.base import tbl
+    from hadoop_copier_spark.queries.llm_ops import _PCA_ROUNDS, _PCA_UNIT
+
+    rows = tbl(spark, sf_oracle, "embeddings").filter(
+        "embedding IS NOT NULL"
+    ).collect()
+    E = [[int(np.floor(float(x) * _PCA_UNIT + 0.5)) for x in r["embedding"]]
+         for r in rows]
+    dim = len(E[0])
+
+    def trunc_div(a, b):  # both engines truncate toward zero
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    v = [_PCA_UNIT] * dim
+    for _ in range(_PCA_ROUNDS):
+        s = [trunc_div(sum(e[j] * v[j] for j in range(dim)), _PCA_UNIT) for e in E]
+        w = [sum(E[i][j] * s[i] for i in range(len(E))) for j in range(dim)]
+        m = max(max(abs(x) for x in w), 1)
+        v = [trunc_div(x * _PCA_UNIT, m) for x in w]
+
+    got = {r["dim"]: r["v_units"]
+           for r in REGISTRY["xh_pca_power"].fn(spark, sf_oracle).collect()}
+    assert got == {j: v[j] for j in range(dim)}  # EXACT
+
+    # direction sanity: cosine vs the float recurrence at the same budget
+    Ef = np.array([[float(x) for x in r["embedding"]] for r in rows])
+    vf = np.ones(dim)
+    for _ in range(_PCA_ROUNDS):
+        vf = Ef.T @ (Ef @ vf)
+        vf = vf / np.abs(vf).max()
+    a = np.array([v[j] for j in range(dim)], dtype=np.float64)
+    cos = float(a @ vf / (np.linalg.norm(a) * np.linalg.norm(vf)))
+    assert cos > 0.999, cos
