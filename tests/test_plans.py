@@ -375,6 +375,9 @@ def test_no_unplanned_nested_loop_or_cartesian_joins(spark, sf_smoke):
         # same provably-single-row global-scalar attach as heavy_hitters
         "xp_pagerank",
         "xh_pagerank_quantized",
+        # 1-row max-|w| renormalization broadcast per power-iteration
+        # round (operators docstring: the same global-scalar attach)
+        "xh_pca_power",
         # 1-row bloom-bitmap broadcast onto the fact side — the filter's
         # whole point is that the fact never shuffles; the build side is
         # provably a single row (operators/bloom.py)
