@@ -719,3 +719,49 @@ def xh_domain_mix(spark, sf_dir):
 
 
 xh_domain_mix.__doc__ = xh_domain_mix.__doc__.replace("{budget}", str(_MIX_BUDGET))
+
+
+@register(
+    "xh_source_gini",
+    oracle="""WITH c AS (SELECT source, COUNT(*) AS x FROM documents GROUP BY source),
+r AS (SELECT x, ROW_NUMBER() OVER (ORDER BY x, source) AS i FROM c)
+SELECT CAST((1000000 * (2 * SUM(i * x) - (COUNT(*) + 1) * SUM(x)))
+            // (COUNT(*) * SUM(x)) AS BIGINT) AS gini_ppm,
+       CAST(COUNT(*) AS BIGINT) AS n_sources,
+       CAST(SUM(x) AS BIGINT) AS n_docs
+FROM r""",
+    tags=("llm", "mix", "diversity"),
+)
+def xh_source_gini(spark, sf_dir):
+    """Source-concentration Gini coefficient (round 12) — the corpus-mix
+    dashboard number: 0 = documents spread evenly across sources, ->1 =
+    one domain dominates (the signal that triggers per-source capping,
+    xh_source_cap). Exact integers end-to-end: with per-source counts
+    x_i sorted ascending and ranked i = 1..n, Gini = sum((2i - n - 1) *
+    x_i) / (n * sum(x)) — every term is a BIGINT product, emitted as an
+    exact integer-division ppm, so it hash-checks.
+
+    Scale shape: the corpus collapses to one domain-cardinality counts
+    frame (ONE uniform source-keyed partial agg); the ascending rank
+    over that frame goes through operators/prefix.global_prefix_sum
+    (range-repartition + pid-keyed prefix windows + O(P) driver offsets
+    — NEVER the single-partition ROW_NUMBER window the naive spelling
+    plans, q35's scale fix); the Gini reduction is one partial->final
+    global aggregate. Queued for the R13 driver window per the pinned
+    rotation policy (aliases.py)."""
+    from ..operators.prefix import global_prefix_sum
+
+    c = (
+        tbl(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    ranked = global_prefix_sum(c, F.lit(1), ["x", "source"], out_col="i")
+    return ranked.agg(
+        F.expr(
+            "CAST((1000000 * (2 * sum(i * x) - (count(1) + 1) * sum(x)))"
+            " div (count(1) * sum(x)) AS BIGINT)"
+        ).alias("gini_ppm"),
+        F.count(F.lit(1)).alias("n_sources"),
+        F.sum("x").cast("long").alias("n_docs"),
+    )

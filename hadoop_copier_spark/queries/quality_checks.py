@@ -447,3 +447,72 @@ def xh_bloom_prune(spark, sf_dir):
         F.count(F.when(F.col("pass") & ~F.col("member"), 1)).cast("long").alias("n_fp"),
         F.count(F.when(F.col("member") & ~F.col("pass"), 1)).cast("long").alias("n_fn"),
     )
+
+
+@register(
+    "xh_robust_stats",
+    oracle="""WITH d AS MATERIALIZED (
+  SELECT lang, n_chars FROM documents WHERE n_chars IS NOT NULL),
+med AS MATERIALIZED (
+  SELECT lang, CAST(quantile_cont(2 * n_chars, 0.5) AS BIGINT) AS med2
+  FROM d GROUP BY lang),
+dev AS MATERIALIZED (
+  SELECT d.lang, abs(2 * d.n_chars - m.med2) AS dev2
+  FROM d JOIN med m USING (lang)),
+mad AS (
+  SELECT lang, CAST(quantile_cont(2 * dev2, 0.5) AS BIGINT) AS mad4
+  FROM dev GROUP BY lang)
+SELECT v.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       MAX(m.med2) AS med_x2, MAX(a.mad4) AS mad_x4,
+       CAST(COUNT(*) FILTER (WHERE 20000 * v.dev2 > 44478 * a.mad4) AS BIGINT)
+         AS n_outliers
+FROM dev v JOIN med m USING (lang) JOIN mad a USING (lang)
+GROUP BY v.lang ORDER BY v.lang""",
+    tags=("quality", "robust", "outlier"),
+)
+def xh_robust_stats(spark, sf_dir):
+    """Robust per-language length statistics (round 12) — median/MAD
+    outlier scoring, the heavy-tail-immune form of z-score filtering
+    (one pathological 10 MB document shifts a mean filter's cutoff; it
+    moves the median not at all). The integer trick makes it
+    hash-checkable with NO float quantiles: interpolated medians of
+    2x-scaled integers are exactly integral (lo + (hi-lo)*0.5 over even
+    integers), so med and MAD are exact BIGINTs in 2x/4x units, and the
+    classic |x - med| > 3 * 1.4826 * MAD robust-z cut becomes the exact
+    integer comparison 20000*dev2 > 44478*mad4. Spark percentile and
+    DuckDB quantile_cont interpolate identically over the same integers
+    (the q33 discipline).
+
+    Scale shape: inherently two-pass (MAD needs the median first) — two
+    lang-keyed partial-agg exchanges plus a final rollup, with the tiny
+    per-language med/MAD frames BROADCAST back onto the corpus each
+    pass; the documents never shuffle. Queued for the R13 driver window
+    per the pinned rotation policy (aliases.py)."""
+    d = (
+        tbl(spark, sf_dir, "documents")
+        .filter(F.col("n_chars").isNotNull())
+        .select("lang", "n_chars")
+    )
+    med = d.groupBy("lang").agg(
+        F.expr("CAST(percentile(2 * n_chars, 0.5) AS BIGINT)").alias("med2")
+    )
+    dev = d.join(F.broadcast(med), "lang").select(
+        "lang", F.abs(2 * F.col("n_chars") - F.col("med2")).alias("dev2")
+    )
+    mad = dev.groupBy("lang").agg(
+        F.expr("CAST(percentile(2 * dev2, 0.5) AS BIGINT)").alias("mad4")
+    )
+    return (
+        dev.join(F.broadcast(med), "lang")
+        .join(F.broadcast(mad), "lang")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max("med2").alias("med_x2"),
+            F.max("mad4").alias("mad_x4"),
+            F.count(
+                F.when(20000 * F.col("dev2") > 44478 * F.col("mad4"), 1)
+            ).alias("n_outliers"),
+        )
+        .orderBy("lang")
+    )

@@ -171,3 +171,67 @@ def test_corrupt_record_isolation_accounts_for_every_line(spark, sf_smoke):
     assert rows["corrupt"].n_parsed_keys == 0
     assert rows["good"].n_rows == n_nation
     assert rows["good"].n_parsed_keys == n_nation
+
+
+def test_source_gini_planted_skew(spark):
+    """The fixture's sources are uniform (gini 0), so prove the math on a
+    planted skewed corpus against a hand-computed exact Gini."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from hadoop_copier_spark.queries import REGISTRY
+
+    # sources a..e with 1, 1, 2, 6, 10 docs
+    counts = {"a": 1, "b": 1, "c": 2, "d": 6, "e": 10}
+    rows, did = [], 0
+    for s, k in counts.items():
+        for _ in range(k):
+            rows.append((did, f"text {did}", "en", s, 10))
+            did += 1
+    df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 3),
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    xs = sorted(counts.values())
+    n, sx = len(xs), sum(xs)
+    num = sum((2 * (i + 1) - n - 1) * x for i, x in enumerate(xs))
+    want = 1_000_000 * num // (n * sx)
+    tmp = tempfile.mkdtemp()
+    try:
+        df.write.mode("overwrite").parquet(os.path.join(tmp, "documents.parquet"))
+        got = REGISTRY["xh_source_gini"].fn(spark, tmp).collect()[0]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    assert (got["gini_ppm"], got["n_sources"], got["n_docs"]) == (want, n, sx)
+    assert got["gini_ppm"] > 300_000  # visibly concentrated
+
+
+def test_robust_stats_planted_outliers(spark):
+    """MAD cut flags exactly the planted heavy-tail docs: 20 docs at
+    ~100 chars, 2 at 10000 — mean-based z would drag the cutoff, the
+    median/MAD cut must flag exactly the two."""
+    import os
+    import shutil
+    import tempfile
+
+    from hadoop_copier_spark.queries import REGISTRY
+
+    rows = [(i, "t", "en", "s", 100 + (i % 5)) for i in range(20)]
+    rows += [(100, "t", "en", "s", 10_000), (101, "t", "en", "s", 10_000)]
+    df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 3),
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    tmp = tempfile.mkdtemp()
+    try:
+        df.write.mode("overwrite").parquet(os.path.join(tmp, "documents.parquet"))
+        got = REGISTRY["xh_robust_stats"].fn(spark, tmp).collect()[0]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    assert got["n_docs"] == 22
+    assert got["n_outliers"] == 2, got
+    # median in 2x units stays in the planted bulk's range
+    assert 200 <= got["med_x2"] <= 210
