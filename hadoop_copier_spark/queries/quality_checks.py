@@ -516,3 +516,84 @@ def xh_robust_stats(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "xh_ks_drift",
+    oracle="""WITH d AS MATERIALIZED (
+  SELECT doc_id % 2 AS grp, n_chars FROM documents WHERE n_chars IS NOT NULL),
+c AS (SELECT n_chars AS v,
+             COUNT(*) FILTER (WHERE grp = 0) AS ca,
+             COUNT(*) FILTER (WHERE grp = 1) AS cb
+      FROM d GROUP BY n_chars),
+r AS (SELECT v,
+             SUM(ca) OVER (ORDER BY v) AS cum_a,
+             SUM(cb) OVER (ORDER BY v) AS cum_b
+      FROM c),
+t AS (SELECT CAST(COUNT(*) FILTER (WHERE grp = 0) AS BIGINT) AS n_a,
+             CAST(COUNT(*) FILTER (WHERE grp = 1) AS BIGINT) AS n_b
+      FROM d)
+SELECT CAST(1000000 * MAX(abs(cum_a * t.n_b - cum_b * t.n_a))
+            // greatest(t.n_a * t.n_b, 1) AS BIGINT) AS ks_ppm,
+       CAST(MAX(abs(cum_a * t.n_b - cum_b * t.n_a)) AS BIGINT) AS d_scaled,
+       t.n_a, t.n_b
+FROM r, t GROUP BY t.n_a, t.n_b""",
+    tags=("quality", "drift", "distribution"),
+)
+def xh_ks_drift(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov drift statistic (round 12) — the
+    distribution-shift monitor a pipeline runs between two corpus slices
+    (old crawl vs new crawl, train vs eval) before trusting a threshold
+    tuned on one of them. The slices here are the deterministic even/odd
+    doc_id halves over the length distribution; D = max_x |F_a(x) -
+    F_b(x)| is computed ENTIRELY in integers: the ECDF difference at each
+    distinct value is |cumA * n_b - cumB * n_a| (exact BIGINT), the
+    statistic is its max, emitted with an exact integer-division ppm —
+    hash-checkable, no floats anywhere.
+
+    Scale shape: the corpus collapses to one value-cardinality counts
+    frame (ONE uniform partial agg on the value); the two running ECDFs
+    ride a single `global_prefix_sum` pass (the two counts packed into
+    one long, decomposed after — one range exchange instead of two, and
+    never the single-partition SUM() OVER (ORDER BY) the naive spelling
+    plans); totals attach via a provably-1-row broadcast (the
+    heavy-hitters global-scalar shape) and the max is a partial->final
+    global agg. Queued for the R13 driver window per the pinned rotation
+    policy (aliases.py)."""
+    from ..operators.prefix import global_prefix_sum
+
+    d = (
+        tbl(spark, sf_dir, "documents")
+        .filter(F.col("n_chars").isNotNull())
+        .select((F.col("doc_id") % 2).alias("grp"), "n_chars")
+    )
+    c = d.groupBy(F.col("n_chars").alias("v")).agg(
+        F.count(F.when(F.col("grp") == 0, 1)).alias("ca"),
+        F.count(F.when(F.col("grp") == 1, 1)).alias("cb"),
+    )
+    # pack both counts into one long: cum = cumA * K + cumB, K > any
+    # possible cumB, so one prefix pass carries both ECDFs exactly
+    k = 1 << 31
+    packed = c.select("v", (F.col("ca") * k + F.col("cb")).alias("pk"))
+    r = global_prefix_sum(packed, "pk", ["v"], out_col="cum").select(
+        "v",
+        F.expr(f"cum div {k}").alias("cum_a"),
+        (F.col("cum") % k).alias("cum_b"),
+    )
+    t = d.agg(
+        F.count(F.when(F.col("grp") == 0, 1)).cast("long").alias("n_a"),
+        F.count(F.when(F.col("grp") == 1, 1)).cast("long").alias("n_b"),
+    )
+    diff = F.abs(F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a"))
+    return (
+        r.join(F.broadcast(t))  # 1-row build side
+        .groupBy("n_a", "n_b")
+        .agg(
+            F.expr(
+                "CAST(1000000 * max(abs(cum_a * n_b - cum_b * n_a))"
+                " div greatest(n_a * n_b, 1) AS BIGINT)"
+            ).alias("ks_ppm"),
+            F.max(diff).cast("long").alias("d_scaled"),
+        )
+        .select("ks_ppm", "d_scaled", "n_a", "n_b")
+    )

@@ -563,3 +563,82 @@ def xh_pmi_counts(spark, sf_dir):
         .select("bigram", "n_xy", "n_x", "n_y")
         .orderBy(F.col("n_xy").desc(), "bigram")
     )
+
+
+@register(
+    "xh_source_overlap",
+    oracle="""WITH st AS MATERIALIZED (
+  SELECT DISTINCT source, tok FROM (
+    SELECT source, unnest(string_split_regex(lower(text), '\\s+')) AS tok
+    FROM documents WHERE text IS NOT NULL)
+  WHERE tok <> ''),
+sizes AS MATERIALIZED (SELECT source, COUNT(*) AS sz FROM st GROUP BY source),
+inter AS (
+  SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_common
+  FROM st a JOIN st b ON a.tok = b.tok AND a.source < b.source
+  GROUP BY 1, 2)
+SELECT i.src_a, i.src_b, CAST(i.n_common AS BIGINT) AS n_common,
+       CAST(sa.sz AS BIGINT) AS n_a, CAST(sb.sz AS BIGINT) AS n_b,
+       CAST(1000000 * i.n_common // (sa.sz + sb.sz - i.n_common) AS BIGINT)
+         AS jaccard_ppm
+FROM inter i
+JOIN sizes sa ON sa.source = i.src_a
+JOIN sizes sb ON sb.source = i.src_b
+ORDER BY src_a, src_b""",
+    tags=("llm", "text", "mix", "similarity"),
+)
+def xh_source_overlap(spark, sf_dir):
+    """Pairwise source vocabulary-overlap matrix (round 12) — the
+    corpus-mix design signal: two sources with near-identical vocabulary
+    are redundant in a mixture, highly disjoint ones add diversity
+    (the same question SlimPajama-style mix tuning asks of its domains).
+    Emits exact |A∩B| / |A| / |B| and the integer-ppm Jaccard for every
+    source pair that shares at least one token.
+
+    Scale shape: the corpus collapses to the DISTINCT (source, token)
+    set first — array_distinct inside each document, then one uniform
+    token-keyed distinct exchange — so the self-join joins vocabulary
+    rows, not occurrences; per-token pair fan-out is bounded by
+    sources^2 (domain cardinality, not corpus size); the pair aggregate
+    is sources^2-row-bounded and the size lookups broadcast. Queued for
+    the R13 driver window per the pinned rotation policy (aliases.py)."""
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    d = (
+        tbl(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .repartition(n_parts, "doc_id")
+    )
+    st = (
+        d.select(
+            "source",
+            F.explode(F.array_distinct(F.split(F.lower("text"), r"\s+"))).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .distinct()
+    )
+    sizes = st.groupBy("source").agg(F.count(F.lit(1)).alias("sz"))
+    a = st.select(F.col("source").alias("src_a"), "tok")
+    b = st.select(F.col("source").alias("src_b"), "tok")
+    inter = (
+        a.join(b, "tok")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("source").alias("src_a"), F.col("sz").alias("n_a"))
+    sb = sizes.select(F.col("source").alias("src_b"), F.col("sz").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_common",
+            "n_a",
+            "n_b",
+            F.expr(
+                "CAST(1000000 * n_common div (n_a + n_b - n_common) AS BIGINT)"
+            ).alias("jaccard_ppm"),
+        )
+        .orderBy("src_a", "src_b")
+    )

@@ -378,6 +378,8 @@ def test_no_unplanned_nested_loop_or_cartesian_joins(spark, sf_smoke):
         # 1-row max-|w| renormalization broadcast per power-iteration
         # round (operators docstring: the same global-scalar attach)
         "xh_pca_power",
+        # 1-row (n_a, n_b) totals broadcast onto the ECDF frame
+        "xh_ks_drift",
         # 1-row bloom-bitmap broadcast onto the fact side — the filter's
         # whole point is that the fact never shuffles; the build side is
         # provably a single row (operators/bloom.py)

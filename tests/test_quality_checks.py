@@ -235,3 +235,43 @@ def test_robust_stats_planted_outliers(spark):
     assert got["n_outliers"] == 2, got
     # median in 2x units stays in the planted bulk's range
     assert 200 <= got["med_x2"] <= 210
+
+
+def test_ks_drift_planted_distributions(spark):
+    """KS statistic: ~0 for identical even/odd distributions, large when
+    the halves are disjoint; exact value checked against a hand-computed
+    ECDF max on a small planted corpus."""
+    import os
+    import shutil
+    import tempfile
+
+    from hadoop_copier_spark.queries import REGISTRY
+
+    def run(rows):
+        df = spark.createDataFrame(
+            spark.sparkContext.parallelize(rows, 3),
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        tmp = tempfile.mkdtemp()
+        try:
+            df.write.mode("overwrite").parquet(os.path.join(tmp, "documents.parquet"))
+            return REGISTRY["xh_ks_drift"].fn(spark, tmp).collect()[0]
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    # identical halves: even ids and odd ids see the same lengths
+    same = [(i, "t", "en", "s", 100 + (i // 2) % 5) for i in range(40)]
+    r = run(same)
+    assert r["ks_ppm"] == 0 and r["n_a"] == r["n_b"] == 20
+
+    # disjoint halves: evens short, odds long -> D = 1.0
+    disjoint = [(i, "t", "en", "s", 100 if i % 2 == 0 else 900) for i in range(40)]
+    r = run(disjoint)
+    assert r["ks_ppm"] == 1_000_000, r
+
+    # hand-computed partial overlap: evens {1,1,2,2}, odds {2,2,3,3}
+    lens = {0: 1, 2: 1, 4: 2, 6: 2, 1: 2, 3: 2, 5: 3, 7: 3}
+    partial = [(i, "t", "en", "s", lens[i]) for i in range(8)]
+    r = run(partial)
+    # F_a = {1: .5, 2: 1, 3: 1}; F_b = {1: 0, 2: .5, 3: 1}; D = .5
+    assert r["ks_ppm"] == 500_000, r
