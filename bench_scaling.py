@@ -23,6 +23,14 @@ the base corpus — the worst case for the pair-forming stages) and times
               membership join output is linear in exploded shingles;
               replicas are the worst case, every shingle shared by all
               copies)
+  cdc       — xh_cdc_dedup (round 12), content-defined chunk dedup
+              (expect ~linear: chunking is a pure map, and replication
+              multiplies per-chunk-hash group sizes — the per-hash
+              window term this probes, same as `chunk`)
+  pca       — xh_pca_power (round 12) over embeddings replicated with
+              fresh vec_ids (expect ~linear: 3 fixed rounds, each one
+              uniform vec_id agg + one 64-row agg; no term grows faster
+              than rows)
 
 Prints one JSON line with wall seconds and the x16/x1 ratio per op
 (linear => ~16, and the ratio column in bench/scaling_results.json is
@@ -72,6 +80,19 @@ def replicate(spark, out_dir: str, factor: int) -> str:
     sf_dir = os.path.join(out_dir, f"x{factor}")
     path = os.path.join(sf_dir, "documents.parquet")
     out.repartition(max(4, factor * 4)).write.mode("overwrite").parquet(path)
+
+    e = spark.read.parquet(os.path.join(BASE, "embeddings.parquet"))
+    ne = e.agg(F.max("vec_id")).collect()[0][0] + 1
+    ereps = [
+        e.select((F.col("vec_id") + F.lit(i * ne)).alias("vec_id"), "embedding", "label")
+        for i in range(factor)
+    ]
+    eout = ereps[0]
+    for r in ereps[1:]:
+        eout = eout.unionByName(r)
+    eout.repartition(max(4, factor * 4)).write.mode("overwrite").parquet(
+        os.path.join(sf_dir, "embeddings.parquet")
+    )
     return sf_dir
 
 
@@ -118,13 +139,19 @@ def main() -> None:
             r["novelty_sec"] = timed(
                 lambda: REGISTRY["xh_ngram_novelty"].fn(spark, sf_dir).count()
             )
+            r["cdc_sec"] = timed(
+                lambda: REGISTRY["xh_cdc_dedup"].fn(spark, sf_dir).count()
+            )
+            r["pca_sec"] = timed(
+                lambda: REGISTRY["xh_pca_power"].fn(spark, sf_dir).count()
+            )
             results[f"x{f}"] = r
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
     ratios = {
         op: round(results["x16"][f"{op}_sec"] / max(results["x1"][f"{op}_sec"], 1e-9), 2)
-        for op in ("exact", "minhash", "cc", "chunk", "novelty")
+        for op in ("exact", "minhash", "cc", "chunk", "novelty", "cdc", "pca")
     }
     print(
         json.dumps(
@@ -134,6 +161,7 @@ def main() -> None:
                 "base": BASE,
                 "results": results,
                 "x16_over_x1_wall_ratio": ratios,
+                "loadavg_1m_5m_15m": [round(x, 2) for x in os.getloadavg()],
             }
         )
     )
