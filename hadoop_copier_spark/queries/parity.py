@@ -225,3 +225,24 @@ def p_layout_maintenance(spark, sf_dir):
         spark.sparkContext.parallelize(rows, 1),
         "op string, files_before int, files_after int, rows long, rows_preserved boolean",
     ).orderBy("op")
+
+
+@register("xp_audio_features", oracle=None, tags=("parity", "multimodal"))
+def p_audio_features(spark, sf_dir):
+    """P-class: per-frame audio features over int16 PCM payloads (round
+    12 — completes the image/audio/video modality triad). Unlike the
+    image/video paths, NOTHING here is stubbed: raw PCM needs no codec,
+    so the decode is one np.frombuffer and the RMS-style energy +
+    zero-crossing reductions are vectorized integer math — the signals a
+    speech-curation pass gates on (silence trimming, noise heuristics).
+    1-to-many mapInPandas, bytes never leave their executor; typed
+    metadata (mime, sample_rate, n_samples) rides a struct column.
+    Rows-only driver check; the planted silence/tone contrast and exact
+    energies are pinned in tests/test_sources.py."""
+    from ..sources.multimodal import audio_frame_features, make_audio_rows
+
+    df = make_audio_rows(spark, sf_dir, n=32)
+    return (
+        audio_frame_features(df, frame=128)
+        .orderBy("sample_id", "frame_idx")
+    )

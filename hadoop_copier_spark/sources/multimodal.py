@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
@@ -247,3 +248,115 @@ def resize_images(df: DataFrame, width: int = 8, height: int = 8) -> DataFrame:
             )
 
     return df.mapInPandas(resize, schema=RESIZED_SCHEMA)
+
+
+AUDIO_FRAME_SCHEMA = (
+    "sample_id long, frame_idx long, n_samples long, "
+    "energy long, zero_crossings long"
+)
+
+
+def make_audio_rows(spark: SparkSession, sf_dir: str, n: int = 32) -> DataFrame:
+    """Deterministic synthetic audio rows: payload = signed 16-bit PCM
+    mono little-endian (the one raw-audio format that needs NO codec —
+    decoding is a numpy frombuffer, so the whole path is real, not a
+    stub). Waveform varies by sample_id: a square-ish tone whose period
+    depends on the id, with every 4th sample row silent — planted
+    contrast the tests assert on. Typed metadata (mime, sample_rate,
+    n_samples) travels in a struct column like the image/video rows."""
+    from ..tables import load_table
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < n)
+    # 16-bit samples as JVM expressions: k = 0..n_samples-1, value =
+    # silence for ids % 4 == 0 else +/- (1000 + 100*(id%8)) alternating
+    # with period (2 + id % 5). Encoded little-endian via char pairs.
+    n_samples = 400
+    amp = F.lit(1000) + (F.col("doc_id") % 8).cast("int") * F.lit(100)
+    period = (F.lit(2) + (F.col("doc_id") % 5)).cast("int")
+    ks = F.sequence(F.lit(0), F.lit(n_samples - 1))
+    sample = F.when(
+        (F.col("doc_id") % 4) == 0, F.lit(0)
+    ).otherwise(amp)  # per-row scalar; sign alternates per sample below
+    pcm = F.aggregate(
+        ks,
+        F.lit(b""),
+        lambda acc, k: F.concat(
+            acc,
+            # int16 LE of s = sample * (+1 | -1) depending on phase
+            _int16_le(
+                F.when(((k.cast("int") / period).cast("int") % 2) == 0, sample)
+                .otherwise(-sample)
+                .cast("int")
+            ),
+        ),
+    )
+    return d.select(
+        F.col("doc_id").alias("sample_id"),
+        F.lit("audio").alias("modality"),
+        pcm.alias("content"),
+        F.struct(
+            F.lit("audio/pcm;rate=16000").alias("mime"),
+            F.lit(16000).cast("int").alias("sample_rate"),
+            F.lit(n_samples).cast("int").alias("n_samples"),
+        ).alias("meta"),
+    )
+
+
+def _int16_le(v):
+    """Column: 2-byte little-endian encoding of a signed 16-bit value."""
+    u = ((v.cast("long") % 65536) + 65536) % 65536  # two's complement
+    lo = (u % 256).cast("int")
+    hi = (u / 256).cast("int")
+    return F.concat(_byte(lo), _byte(hi))
+
+
+def _byte(v):
+    """Column: single byte from an int 0..255."""
+    return F.unhex(F.lpad(F.conv(v.cast("string"), 10, 16), 2, "0"))
+
+
+def audio_frame_features(df: DataFrame, frame: int = 128) -> DataFrame:
+    """Per-frame audio features over int16 PCM payloads — RMS-style
+    energy (mean of squares, exact integer division) and zero-crossing
+    count, the two signals a speech-data curation pass gates on (silence
+    trimming, clipping/noise heuristics). 1-to-many ``mapInPandas``:
+    each payload decodes with ONE ``np.frombuffer`` (no codec, no
+    per-sample Python) and the per-frame reductions are vectorized
+    reshape sums. Map-only — bytes never leave their executor; output
+    rows = total_samples/frame, partitioning inherited."""
+
+    def gen(batches):
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("sample_id", "frame_idx", "n_samples", "energy",
+                    "zero_crossings")}
+            for sid, content in zip(pdf["sample_id"], pdf["content"]):
+                b = b"" if content is None else bytes(content)
+                x = np.frombuffer(b[: (len(b) // 2) * 2], dtype="<i2")
+                n = x.shape[0]
+                if n == 0:
+                    continue
+                n_frames = (n + frame - 1) // frame
+                pad = np.zeros(n_frames * frame, dtype=np.int64)
+                pad[:n] = x.astype(np.int64)
+                fr = pad.reshape(n_frames, frame)
+                # mean of squares over the frame's REAL samples — the
+                # zero-padded tail must not dilute the last frame
+                counts = np.full(n_frames, frame, dtype=np.int64)
+                counts[-1] = n - (n_frames - 1) * frame
+                energy = (fr * fr).sum(axis=1) // counts
+                sign = np.sign(fr)
+                zc = (np.abs(np.diff(sign, axis=1)) > 1).sum(axis=1)
+                for i in range(n_frames):
+                    out["sample_id"].append(sid)
+                    out["frame_idx"].append(i)
+                    out["n_samples"].append(n)
+                    out["energy"].append(int(energy[i]))
+                    out["zero_crossings"].append(int(zc[i]))
+            yield pd.DataFrame(
+                {k: pd.Series(v, dtype="object") for k, v in out.items()}
+            )
+
+    return df.select("sample_id", "content").mapInPandas(
+        gen, AUDIO_FRAME_SCHEMA
+    )

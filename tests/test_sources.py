@@ -126,3 +126,52 @@ def test_resize_images_exact_target_size_and_deterministic(spark, sf_oracle):
     assert all(r.n_bytes == 64 and len(bytes(r.content)) == 64 for r in wide)
     # resample draws from the source payload (not constant output)
     assert len(set(a.values())) > 1
+
+
+def test_audio_pcm_features_exact(spark, sf_smoke):
+    """Audio path (round 12): the PCM payload decodes to EXACTLY the
+    waveform the generator wrote (int16 LE round-trip), silent samples
+    (id % 4 == 0) produce zero energy and zero crossings, and tone
+    energies equal amp^2 exactly (square wave -> mean of squares ==
+    amp^2 in integer math)."""
+    import numpy as np
+
+    from hadoop_copier_spark.queries import REGISTRY
+    from hadoop_copier_spark.sources.multimodal import make_audio_rows
+
+    rows = {r["sample_id"]: bytes(r["content"])
+            for r in make_audio_rows(spark, sf_smoke, n=8).collect()}
+    x1 = np.frombuffer(rows[1], dtype="<i2")
+    assert x1.shape[0] == 400
+    amp1 = 1000 + (1 % 8) * 100
+    assert set(np.abs(x1)) == {amp1}  # square wave at exactly +/-amp
+
+    out = REGISTRY["xp_audio_features"].fn(spark, sf_smoke).collect()
+    assert out
+    by = {}
+    for r in out:
+        by.setdefault(r["sample_id"], []).append(r)
+    for sid, frames in by.items():
+        assert [r["frame_idx"] for r in frames] == list(range(len(frames)))
+        if sid % 4 == 0:  # planted silence
+            assert all(r["energy"] == 0 and r["zero_crossings"] == 0 for r in frames)
+        else:
+            amp = 1000 + (sid % 8) * 100
+            assert all(r["energy"] == amp * amp for r in frames)
+            assert all(r["zero_crossings"] > 0 for r in frames)
+    # determinism
+    again = REGISTRY["xp_audio_features"].fn(spark, sf_smoke).collect()
+    assert out == again
+
+
+def test_audio_features_degrade_on_empty_and_null(spark):
+    from hadoop_copier_spark.sources.multimodal import audio_frame_features
+
+    df = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+            [(1, None), (2, b""), (3, b"\x01")], 2  # null, empty, odd byte
+        ),
+        "sample_id long, content binary",
+    )
+    out = audio_frame_features(df).collect()
+    assert out == []  # degrade, never fail
