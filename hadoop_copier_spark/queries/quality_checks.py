@@ -597,3 +597,145 @@ def xh_ks_drift(spark, sf_dir):
         )
         .select("ks_ppm", "d_scaled", "n_a", "n_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed HyperLogLog with EXACT cross-engine verification (round 12).
+
+_HLL_M = 256  # buckets: top 8 bits of the 60-bit hash
+_HLL_REM = 4503599627370496  # 2^52 — remaining 52 bits carry rho
+_HLL_H60_SQL = "('0x' || substr(md5(text), 1, 15))::BIGINT"
+# alpha_256 * m^2, computed ONCE in Python and embedded as a repr'd
+# double literal: a `0.7213 / ...` spelled inline parses as DECIMAL in
+# both engines with engine-specific scale rules (probed: estimates
+# diverged at 4e-9 relative), while the shortest-round-trip repr parses
+# to the identical double everywhere.
+_HLL_ALPHA_M2 = repr(0.7213 / (1.0 + 1.079 / _HLL_M) * _HLL_M * _HLL_M)
+
+
+def _hll_oracle() -> str:
+    return f"""WITH h AS MATERIALIZED (
+  SELECT ({_HLL_H60_SQL}) AS h FROM documents),
+b AS (SELECT h // {_HLL_REM} AS bucket, h % {_HLL_REM} AS rem FROM h),
+r AS (SELECT bucket,
+             MAX(CASE WHEN rem = 0 THEN 53 ELSE 53 - length(bin(rem)) END) AS reg,
+             CAST(COUNT(DISTINCT rem) AS BIGINT) AS nd,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM b GROUP BY bucket),
+g AS (SELECT gs.bucket, COALESCE(r.reg, 0) AS reg,
+             COALESCE(r.nd, 0) AS nd, COALESCE(r.n, 0) AS n
+      FROM generate_series(0, {_HLL_M - 1}) gs(bucket)
+      LEFT JOIN r ON r.bucket = gs.bucket),
+s AS (SELECT CAST(SUM(1::BIGINT << CAST(53 - reg AS INT)) AS BIGINT) AS sum_units,
+             CAST(COUNT(*) FILTER (WHERE reg = 0) AS BIGINT) AS v_zero_registers,
+             CAST(SUM(nd) AS BIGINT) AS n_distinct_exact,
+             CAST(SUM(n) AS BIGINT) AS n_docs,
+             string_agg(reg::VARCHAR, ',' ORDER BY bucket) AS registers
+      FROM g),
+e AS (SELECT *,
+             CAST({_HLL_ALPHA_M2} AS DOUBLE)
+               / (CAST(sum_units AS DOUBLE) / 9007199254740992.0) AS hll_raw_estimate
+      FROM s)
+SELECT CAST({_HLL_M} AS BIGINT) AS m, n_docs, n_distinct_exact, v_zero_registers,
+       sum_units, registers, hll_raw_estimate,
+       CASE WHEN n_distinct_exact = 0 THEN CAST(0 AS BIGINT)
+            ELSE CAST(FLOOR(1e6
+                   * abs(hll_raw_estimate - CAST(n_distinct_exact AS DOUBLE))
+                   / CAST(n_distinct_exact AS DOUBLE) + 0.5) AS BIGINT)
+       END AS err_ppm
+FROM e"""
+
+
+@register(
+    "xh_hll_registers",
+    oracle=_hll_oracle(),
+    tags=("quality", "sketch", "cardinality"),
+)
+def xh_hll_registers(spark, sf_dir):
+    """Distributed HyperLogLog cardinality sketch with EXACT cross-engine
+    verification — unlike ``approx_count_distinct`` (whose internal
+    sketch is engine-specific and unverifiable), this builds the HLL
+    registers from the portable 60-bit md5 hash so DuckDB reconstructs
+    the identical 256-register state bit-for-bit: bucket = top 8 bits,
+    rho = leading zeros of the remaining 52 bits + 1 (bit length via the
+    base-2 string, exact on integers in both engines). The harmonic-mean
+    denominator is summed in exact BIGINT units of 2^-53 (each term
+    2^(53-reg) is an exact shift, so the sum is order-free), and the one
+    double division + alpha*m^2 multiply that follow are correctly
+    rounded IEEE ops over a mirrored tree — even the float estimate
+    hash-matches. Emits registers (serialized), sum-units, zero-register
+    count, the raw estimate, and its ppm error vs the exact distinct
+    count (computed in the same pass: buckets partition the hash space,
+    so per-bucket distinct counts sum to the global one). The standard
+    small-range linear-counting correction (m*ln(m/V)) is deliberately
+    NOT emitted — ln is libm, not correctly rounded, the one op class
+    the verify discipline keeps out of emitted values.
+
+    Scale shape: ONE partial-agg exchange of at most 256*(partitions)
+    tiny rows — the corpus never shuffles; register fill + rollup run on
+    a 256-row frame. At 100 TB an HLL union across sources/shards is
+    this same max-merge, which is why registers (not estimates) are the
+    emitted state. Queued for the R14 driver window per the pinned
+    rotation policy (aliases.py)."""
+    h = tbl(spark, sf_dir, "documents").select(
+        F.conv(F.substring(F.md5("text"), 1, 15), 16, 10).cast("long").alias("h")
+    )
+    b = h.select(
+        F.floor(F.col("h") / _HLL_REM).alias("bucket"),
+        (F.col("h") % _HLL_REM).alias("rem"),
+    )
+    r = b.groupBy("bucket").agg(
+        F.max(
+            F.when(F.col("rem") == 0, F.lit(53)).otherwise(
+                53 - F.length(F.conv(F.col("rem").cast("string"), 10, 2))
+            )
+        ).alias("reg"),
+        F.count_distinct("rem").alias("nd"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    g = (
+        spark.range(_HLL_M)
+        .select(F.col("id").alias("bucket"))
+        .join(F.broadcast(r), "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce(F.col("reg"), F.lit(0)).alias("reg"),
+            F.coalesce(F.col("nd"), F.lit(0)).alias("nd"),
+            F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+        )
+    )
+    s = g.agg(
+        F.sum(F.expr("shiftleft(1L, CAST(53 - reg AS INT))")).alias("sum_units"),
+        F.count(F.when(F.col("reg") == 0, 1)).alias("v_zero_registers"),
+        F.sum("nd").cast("long").alias("n_distinct_exact"),
+        F.sum("n").cast("long").alias("n_docs"),
+        F.expr(
+            "concat_ws(',', transform(array_sort(collect_list(struct(bucket, reg))),"
+            " x -> CAST(x.reg AS STRING)))"
+        ).alias("registers"),
+    )
+    e = s.withColumn(
+        "hll_raw_estimate",
+        F.expr(
+            f"CAST({_HLL_ALPHA_M2} AS DOUBLE)"
+            " / (CAST(sum_units AS DOUBLE) / 9007199254740992.0)"
+        ),
+    )
+    return e.select(
+        F.lit(_HLL_M).cast("long").alias("m"),
+        "n_docs",
+        "n_distinct_exact",
+        "v_zero_registers",
+        "sum_units",
+        "registers",
+        "hll_raw_estimate",
+        F.when(F.col("n_distinct_exact") == 0, F.lit(0).cast("long"))
+        .otherwise(
+            F.expr(
+                "CAST(FLOOR(1e6"
+                " * abs(hll_raw_estimate - CAST(n_distinct_exact AS DOUBLE))"
+                " / CAST(n_distinct_exact AS DOUBLE) + 0.5) AS BIGINT)"
+            )
+        )
+        .alias("err_ppm"),
+    )

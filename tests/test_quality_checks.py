@@ -275,3 +275,69 @@ def test_ks_drift_planted_distributions(spark):
     r = run(partial)
     # F_a = {1: .5, 2: 1, 3: 1}; F_b = {1: 0, 2: .5, 3: 1}; D = .5
     assert r["ks_ppm"] == 500_000, r
+
+
+def test_hll_registers_match_python_reference(spark, sf_smoke):
+    """The 256 HLL registers equal an independent Python recomputation
+    from hashlib.md5 — pinning the bucket/rho decomposition itself, not
+    just Spark-vs-DuckDB agreement (both could share a bug)."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from hadoop_copier_spark.queries import REGISTRY
+
+    texts = pq.read_table(f"{sf_smoke}/documents.parquet", columns=["text"])[
+        "text"
+    ].to_pylist()
+    want = [0] * 256
+    seen = set()
+    for t in texts:
+        h = int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+        seen.add(h)
+        bucket, rem = h >> 52, h & ((1 << 52) - 1)
+        rho = 53 - rem.bit_length() if rem else 53
+        want[bucket] = max(want[bucket], rho)
+
+    row = REGISTRY["xh_hll_registers"].fn(spark, sf_smoke).collect()[0]
+    assert [int(x) for x in row["registers"].split(",")] == want
+    assert row["n_distinct_exact"] == len(seen)
+    assert row["v_zero_registers"] == sum(1 for r in want if r == 0)
+    assert row["sum_units"] == sum(1 << (53 - r) for r in want)
+    # raw estimate reproducible from the registers in pure Python
+    est = (0.7213 / (1.0 + 1.079 / 256) * 256 * 256) / (
+        row["sum_units"] / 9007199254740992.0
+    )
+    assert row["hll_raw_estimate"] == est
+
+
+def test_hll_union_is_register_max(spark, sf_smoke):
+    """The defining distributed-merge property: registers of a corpus
+    union equal the elementwise max of per-shard registers — why the
+    operator emits registers (mergeable state), not just an estimate."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from hadoop_copier_spark.queries import REGISTRY
+
+    fn = REGISTRY["xh_hll_registers"].fn
+    full = [int(x) for x in fn(spark, sf_smoke).collect()[0]["registers"].split(",")]
+
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+    tmp = tempfile.mkdtemp()
+    try:
+        shards = []
+        for i, pred in enumerate([F.col("doc_id") % 2 == 0, F.col("doc_id") % 2 == 1]):
+            sd = os.path.join(tmp, f"shard{i}")
+            docs.filter(pred).write.mode("overwrite").parquet(
+                os.path.join(sd, "documents.parquet")
+            )
+            shards.append(
+                [int(x) for x in fn(spark, sd).collect()[0]["registers"].split(",")]
+            )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    assert [max(a, b) for a, b in zip(*shards)] == full
