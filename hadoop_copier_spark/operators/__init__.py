@@ -11,7 +11,7 @@ from .dedup import (  # noqa: F401
 )
 from .layout import compact_parquet, zorder_rewrite  # noqa: F401
 from .merge import merge_upsert  # noqa: F401
-from .prefix import global_prefix_sum  # noqa: F401
+from .prefix import global_prefix_sum, grouped_rank  # noqa: F401
 from .similarity import (  # noqa: F401
     cosine_topk,
     ivf_ann_topk,

@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["global_prefix_sum"]
+__all__ = ["global_prefix_sum", "grouped_rank"]
 
 
 def global_prefix_sum(
@@ -77,3 +77,63 @@ def global_prefix_sum(
     )
     cum = (F.sum("__psv").over(w) + off).cast("long").alias(out_col)
     return idx.select(*df.columns, cum)
+
+
+def grouped_rank(
+    df: DataFrame,
+    group_cols: list,
+    order_cols: list,
+    out_col: str = "rk",
+) -> DataFrame:
+    """``df`` + a 1-based BIGINT ``out_col`` = rank within each group in
+    the total order given by ``order_cols`` (must be total WITHIN a group
+    — include a unique tiebreak). The keyed generalization of
+    ``global_prefix_sum``: a naive ``ROW_NUMBER() OVER (PARTITION BY
+    group ORDER BY ...)`` sorts each group in ONE task, so a skewed group
+    (one source holding half a 100 TB corpus) becomes a single-machine
+    sort. Here rows range-partition on (group, order) — a big group
+    SPANS partitions — and ranks are fixed up from per-(partition, group)
+    counts: O(P x G) driver metadata rows, valid when the group count G
+    is domain-bounded (sources, languages), which is the only regime
+    where per-group EXACT ranks make sense anyway. Output row order is
+    unspecified."""
+    spark = df.sparkSession
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    keys = [*group_cols, *order_cols]
+    parted = df.repartitionByRange(n_parts, *keys).sortWithinPartitions(*keys)
+    idx = (
+        parted.withColumn("__mid", F.monotonically_increasing_id())
+        .withColumn("__pid", F.shiftright(F.col("__mid"), 33).cast("int"))
+        .withColumn("__lidx", F.col("__mid") % F.lit(1 << 33))
+        .drop("__mid")
+        .localCheckpoint()  # pin the sampled range boundaries across jobs
+    )
+    counts = sorted(
+        (tuple(r[g] for g in group_cols), r["__pid"], r["n"])
+        for r in idx.groupBy("__pid", *group_cols)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )  # <= P x G rows: metadata, not data
+    rows, acc, cur = [], 0, None
+    for gkey, pid, n in counts:
+        if gkey != cur:
+            cur, acc = gkey, 0
+        rows.append((*gkey, pid, acc))
+        acc += n
+    schema_cols = [df.schema[g] for g in group_cols]
+    if rows:
+        off_df = spark.createDataFrame(
+            spark.sparkContext.parallelize(rows, 1),
+            schema=(
+                ", ".join(
+                    f"{f.name} {f.dataType.simpleString()}" for f in schema_cols
+                )
+                + ", __pid int, __off long"
+            ),
+        )
+        joined = idx.join(F.broadcast(off_df), [*group_cols, "__pid"])
+    else:  # empty input
+        joined = idx.withColumn("__off", F.lit(0).cast("long"))
+    w = Window.partitionBy("__pid", *group_cols).orderBy("__lidx")
+    rk = (F.col("__off") + F.row_number().over(w)).cast("long").alias(out_col)
+    return joined.select(*df.columns, rk)

@@ -1297,3 +1297,212 @@ def xh_quality_topk(spark, sf_dir):
         (-F.col("negq")).alias("q_units"),
         "rank",
     ).orderBy("lang", "rank")
+
+
+# ---------------------------------------------------------------------------
+# Cross-document duplicated-span coverage (round 12).
+
+_SPAN_K = 3  # word k-gram width; spans under k tokens use the whole doc
+
+
+def _span_dedup_oracle() -> str:
+    return f"""WITH toks AS MATERIALIZED (
+  SELECT doc_id, {_TOKENS_SQL} AS tk FROM documents
+),
+t AS MATERIALIZED (
+  SELECT doc_id, tk, len(tk) AS n FROM toks WHERE len(tk) > 0
+),
+grams AS MATERIALIZED (
+  SELECT doc_id,
+         CASE WHEN n < {_SPAN_K} THEN CAST(n AS BIGINT)
+              ELSE {_SPAN_K} END AS span,
+         u.pos AS pos,
+         ({_H60_SQL.format(s='u.g')}) AS h
+  FROM (
+    SELECT doc_id, n, unnest(
+      CASE WHEN n < {_SPAN_K}
+           THEN [struct_pack(pos := 1, g := array_to_string(tk, ' '))]
+           ELSE [struct_pack(pos := i,
+                             g := tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+                 for i in generate_series(1, n - {_SPAN_K} + 1)]
+      END) AS u
+    FROM t)
+),
+nd AS (
+  SELECT h FROM grams GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+),
+dup AS (
+  SELECT g.doc_id, g.pos, g.span,
+         LAG(g.pos) OVER (PARTITION BY g.doc_id ORDER BY g.pos) AS prev
+  FROM grams g SEMI JOIN nd USING (h)
+),
+agg AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_dup_grams,
+         CAST(SUM(CASE WHEN prev IS NULL THEN span
+                       ELSE LEAST(span, pos - prev) END) AS BIGINT)
+           AS covered_tokens
+  FROM dup GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(t.n AS BIGINT) AS n_tokens,
+       CAST(CASE WHEN t.n < {_SPAN_K} THEN 1
+                 ELSE t.n - {_SPAN_K} + 1 END AS BIGINT) AS n_grams,
+       COALESCE(a.n_dup_grams, 0) AS n_dup_grams,
+       COALESCE(a.covered_tokens, 0) AS covered_tokens,
+       (COALESCE(a.covered_tokens, 0) * 1000000) // t.n AS dup_ppm
+FROM t LEFT JOIN agg a USING (doc_id)
+ORDER BY doc_id"""
+
+
+@register(
+    "xh_span_dedup",
+    oracle=_span_dedup_oracle(),
+    tags=("llm", "dedup", "span", "oracle-twin"),
+)
+def xh_span_dedup(spark, sf_dir):
+    """Cross-document duplicated-SPAN coverage (round 12) — the
+    distributed approximation of suffix-array substring dedup (the
+    'train-set memorization' filter): a token position is duplicated if
+    it lies inside any word 3-gram that occurs in >= 2 DISTINCT
+    documents, and the per-doc duplicated fraction is the EXACT length
+    of the union of those overlapping 3-token intervals — computed with
+    the sorted-gap identity |union| = sum(min(span, pos - prev_pos))
+    (first interval contributes its full span), so no interval is
+    double-counted. Differs from xh_ngram_novelty on both axes: it
+    measures positional COVERAGE (how much of the text is duplicated,
+    not how many distinct shingles are novel) and only cross-doc
+    repetition counts (within-doc repeats are xh_repetition's signal).
+    Docs shorter than the gram width contribute one whole-doc gram whose
+    span is their full length; zero-token docs are excluded (their
+    ppm is undefined). Exact integers end-to-end; ppm by truncating
+    integer division.
+
+    Scale shape: grams explode ONCE from a localCheckpoint barrier (the
+    _shingle_hashes CSE discipline); duplicated grams are ONE uniform
+    gram-hash partial agg (HAVING >= 2 distinct docs) and the probe is a
+    SEMI join on that same hash; the interval union is a per-doc window
+    over dup positions only (bounded by doc length, never corpus-wide);
+    the rollup is one doc_id exchange. Queued for the R13 driver window
+    per the pinned rotation policy (aliases.py)."""
+    d = _with_tokens(tbl(spark, sf_dir, "documents"))
+    t = d.select("doc_id", "tk", F.size("tk").alias("n")).filter(F.col("n") > 0)
+    garr = F.when(
+        F.col("n") < _SPAN_K, F.array(F.concat_ws(" ", F.col("tk")))
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.col("n") - _SPAN_K + 1),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(F.col("tk"), i),
+                F.element_at(F.col("tk"), i + F.lit(1)),
+                F.element_at(F.col("tk"), i + F.lit(2)),
+            ),
+        )
+    )
+    g = (
+        t.withColumn("__g", garr)  # materialize before the hash lambda (CSE)
+        .select(
+            "doc_id",
+            "n",
+            F.when(F.col("n") < _SPAN_K, F.col("n").cast("long"))
+            .otherwise(F.lit(_SPAN_K).cast("long"))
+            .alias("span"),
+            F.transform(F.col("__g"), lambda s: _h60(s)).alias("hs"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    grams = g.select(
+        "doc_id", "span", F.posexplode("hs").alias("p0", "h")
+    ).select("doc_id", "span", (F.col("p0") + 1).alias("pos"), "h")
+    nd = grams.groupBy("h").agg(
+        F.count_distinct("doc_id").alias("ndocs")
+    ).filter(F.col("ndocs") >= 2).select("h")
+    from pyspark.sql import Window as _W
+
+    dup = grams.join(nd, "h", "left_semi").withColumn(
+        "prev", F.lag("pos").over(_W.partitionBy("doc_id").orderBy("pos"))
+    )
+    agg = dup.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_dup_grams"),
+        F.sum(
+            F.when(F.col("prev").isNull(), F.col("span")).otherwise(
+                F.least(F.col("span"), F.col("pos") - F.col("prev"))
+            )
+        ).alias("covered_tokens"),
+    )
+    return (
+        t.select("doc_id", "n")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n").cast("long").alias("n_tokens"),
+            F.when(F.col("n") < _SPAN_K, F.lit(1).cast("long"))
+            .otherwise((F.col("n") - _SPAN_K + 1).cast("long"))
+            .alias("n_grams"),
+            F.coalesce(F.col("n_dup_grams"), F.lit(0)).cast("long").alias("n_dup_grams"),
+            F.coalesce(F.col("covered_tokens"), F.lit(0))
+            .cast("long")
+            .alias("covered_tokens"),
+            F.expr(
+                "(COALESCE(covered_tokens, 0L) * 1000000L) div n"
+            ).alias("dup_ppm"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Normalization-collapsed exact dedup (round 12).
+
+_NORM_SQL = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+
+
+@register(
+    "xh_norm_dedup",
+    oracle=f"""WITH d AS MATERIALIZED (
+  SELECT doc_id, md5(text) AS raw_h,
+         ({_H60_SQL.format(s=_NORM_SQL)}) AS norm_h
+  FROM documents)
+SELECT norm_h,
+       CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+       CAST(COUNT(*) AS BIGINT) AS n_copies,
+       CAST(COUNT(DISTINCT raw_h) AS BIGINT) AS n_raw_variants
+FROM d GROUP BY norm_h ORDER BY norm_h""",
+    tags=("llm", "dedup", "normalize", "oracle-twin"),
+)
+def xh_norm_dedup(spark, sf_dir):
+    """Normalization-collapsed exact dedup (round 12) — the CCNet /
+    RefinedWeb 'fuzzy-exact' pass: canonicalize text (lowercase,
+    non-alphanumeric runs to one space, trim) BEFORE hashing, so
+    reformatted copies — case changes, punctuation variants, whitespace
+    reflow — land in one group that byte-exact dedup (q56) treats as
+    distinct documents. Emits every group with its keeper (lowest
+    doc_id), copy count, and the count of RAW byte-level variants inside
+    the group — n_raw_variants > 1 is precisely the dedup yield that
+    normalization buys. The canonicalizer is deliberately ASCII-safe
+    JVM/SQL ([^a-z0-9]+ means the same under Java regex and RE2) so both
+    engines hash identical canonical strings; full-Unicode NFKC+casefold
+    exists as the opt-in ``nfkc_casefold`` path (its pandas UDF has no
+    DuckDB mirror, so it stays out of the hash-checked twin).
+
+    Scale shape: one projection (regex + md5, whole-stage codegen) and
+    ONE uniform content-hash partial-agg exchange — identical cost to
+    exact dedup at any corpus size. Queued for the R13 driver window per
+    the pinned rotation policy (aliases.py)."""
+    d = tbl(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5("text").alias("raw_h"),
+        _h60(
+            F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " "))
+        ).alias("norm_h"),
+    )
+    return (
+        d.groupBy("norm_h")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.count_distinct("raw_h").alias("n_raw_variants"),
+        )
+        .orderBy("norm_h")
+    )

@@ -765,3 +765,72 @@ def xh_source_gini(spark, sf_dir):
         F.count(F.lit(1)).alias("n_sources"),
         F.sum("x").cast("long").alias("n_docs"),
     )
+
+
+_SPLIT_TRAIN_PCT, _SPLIT_VAL_PCT = 80, 10
+
+
+@register(
+    "xh_stratified_split",
+    oracle=f"""WITH d AS MATERIALIZED (
+  SELECT doc_id, source,
+         ({_H60_SQL.format(s="'split:' || CAST(doc_id AS VARCHAR)")}) AS h
+  FROM documents),
+r AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY h, doc_id) AS rk,
+         COUNT(*) OVER (PARTITION BY source) AS n
+  FROM d)
+SELECT doc_id, source, CAST(rk AS BIGINT) AS rk,
+       CASE WHEN rk <= (n * {_SPLIT_TRAIN_PCT}) // 100 THEN 'train'
+            WHEN rk <= (n * {_SPLIT_TRAIN_PCT}) // 100
+                      + (n * {_SPLIT_VAL_PCT}) // 100 THEN 'val'
+            ELSE 'test' END AS split
+FROM r ORDER BY doc_id""",
+    tags=("llm", "curation", "split", "oracle-twin"),
+)
+def xh_stratified_split(spark, sf_dir):
+    """Stratified train/val/test assignment with EXACT per-source
+    proportions (round 12): within every source, docs order by a
+    deterministic portable hash (doc_id tiebreak — a total order) and
+    the first floor(80%) ranks go to train, the next floor(10%) to val,
+    the rest to test. The hash ordering makes the split pseudorandom but
+    reproducible; exact stratification is what a simple hash-range split
+    (xh_hash_split) cannot give — there a 10-doc source may land 0 val
+    docs, here every source's proportions are exact to floor rounding.
+
+    Scale shape: per-source ranks come from operators/prefix.grouped_rank
+    — rows range-partition on (source, hash, doc_id) so a skewed source
+    SPANS partitions, and ranks are fixed up from O(P x sources) driver
+    metadata rows + pid-local windows; NEVER the naive one-task-per-
+    source ROW_NUMBER sort. Per-source totals attach via a broadcast of
+    the domain-cardinality counts frame. Queued for the R13 driver
+    window per the pinned rotation policy (aliases.py)."""
+    from ..operators.prefix import grouped_rank
+
+    d = tbl(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        _h60(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))).alias("h"),
+    )
+    ranked = grouped_rank(d, ["source"], ["h", "doc_id"], out_col="rk")
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    n_train = (F.col("n") * _SPLIT_TRAIN_PCT).cast("long") / 100
+    n_val = (F.col("n") * _SPLIT_VAL_PCT).cast("long") / 100
+    return (
+        ranked.join(F.broadcast(counts), "source")
+        .select(
+            "doc_id",
+            "source",
+            "rk",
+            F.when(
+                F.col("rk") <= F.floor(n_train), F.lit("train")
+            )
+            .when(
+                F.col("rk") <= F.floor(n_train) + F.floor(n_val), F.lit("val")
+            )
+            .otherwise(F.lit("test"))
+            .alias("split"),
+        )
+        .orderBy("doc_id")
+    )

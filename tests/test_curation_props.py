@@ -290,3 +290,81 @@ def test_vocab_growth_accounting_identity(spark, tmp_path):
     out2 = {r["decile"]: r["new_tokens"]
             for r in REGISTRY["xh_vocab_growth"].fn(spark, d2).collect()}
     assert out2 == {0: 3}
+
+
+def test_span_dedup_planted_coverage_exact(spark):
+    """Hand-built corpus pins the interval-union semantics: a shared
+    5-token span covers exactly 5 tokens (overlapping dup 3-grams are
+    unioned, not summed), within-doc-only repetition is NOT flagged
+    (cross-doc definition), short docs dedup on their whole-doc gram,
+    and two disjoint dup regions in one doc sum their unions."""
+    import shutil
+    import tempfile
+
+    docs = {
+        1: "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10",   # fully unique
+        2: "a b c d e x1 x2 x3",               # shares 'a b c d e'
+        3: "y1 y2 a b c d e",                  # shares 'a b c d e'
+        4: "r r r r r r",                      # within-doc repeats only
+        5: "a b",                              # short, duplicated whole-doc
+        6: "a b",
+        7: "a b c q1 q2 q3 q4 c d e",          # two disjoint dup regions
+    }
+    rows = [(i, t, "en", "s", len(t)) for i, t in docs.items()]
+    df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 3),
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    tmp = tempfile.mkdtemp()
+    try:
+        df.write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+        got = {
+            r["doc_id"]: (
+                r["n_tokens"], r["n_grams"], r["n_dup_grams"],
+                r["covered_tokens"], r["dup_ppm"],
+            )
+            for r in REGISTRY["xh_span_dedup"].fn(spark, tmp).collect()
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    assert got == {
+        1: (10, 8, 0, 0, 0),
+        2: (8, 6, 3, 5, 625_000),
+        3: (7, 5, 3, 5, 714_285),
+        4: (6, 4, 0, 0, 0),
+        5: (2, 1, 1, 2, 1_000_000),
+        6: (2, 1, 1, 2, 1_000_000),
+        7: (10, 8, 2, 6, 600_000),
+    }
+
+
+def test_norm_dedup_collapses_reformatted_copies(spark):
+    """Reformatted copies (case, punctuation, whitespace reflow) land in
+    one group with the lowest doc_id as keeper; n_raw_variants counts the
+    byte-level variants that exact dedup would have kept separately; a
+    genuinely different doc stays its own group."""
+    import shutil
+    import tempfile
+
+    rows = [
+        (1, "The quick brown fox, jumps!", "en", "s", 27),
+        (2, "the  QUICK   brown fox jumps", "en", "s", 28),   # reflowed copy
+        (3, "THE QUICK BROWN FOX JUMPS.", "en", "s", 26),     # case+punct copy
+        (4, "the quick brown fox jumps", "en", "s", 25),      # already canonical
+        (5, "a completely different document", "en", "s", 31),
+        (6, "the quick brown fox, jumps!".replace("the", "The"), "en", "s", 27),
+    ]
+    df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 2),
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    tmp = tempfile.mkdtemp()
+    try:
+        df.write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+        out = REGISTRY["xh_norm_dedup"].fn(spark, tmp).collect()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    groups = {r["keep_id"]: (r["n_copies"], r["n_raw_variants"]) for r in out}
+    # docs 1,2,3,4,6 all canonicalize to 'the quick brown fox jumps';
+    # doc 6 is byte-identical to doc 1, so raw variants = 4, copies = 5
+    assert groups == {1: (5, 4), 5: (1, 1)}
