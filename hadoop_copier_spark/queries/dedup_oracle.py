@@ -1506,3 +1506,159 @@ def xh_norm_dedup(spark, sf_dir):
         )
         .orderBy("norm_h")
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (round 12).
+
+_WINNOW_K = 3  # word k-gram width (shares the corpus shingle convention)
+_WINNOW_W = 4  # winnowing window: one fingerprint per w consecutive grams
+
+
+def _winnow_oracle() -> str:
+    return f"""WITH toks AS MATERIALIZED (
+  SELECT doc_id, {_TOKENS_SQL} AS tk FROM documents
+),
+t AS MATERIALIZED (
+  SELECT doc_id, tk, len(tk) AS n FROM toks WHERE len(tk) > 0
+),
+grams AS MATERIALIZED (
+  SELECT doc_id,
+         CASE WHEN n < {_WINNOW_K} THEN CAST(1 AS BIGINT)
+              ELSE CAST(n - {_WINNOW_K} + 1 AS BIGINT) END AS n_grams,
+         u.pos AS pos,
+         ({_H60_SQL.format(s='u.g')}) AS h
+  FROM (
+    SELECT doc_id, n, unnest(
+      CASE WHEN n < {_WINNOW_K}
+           THEN [struct_pack(pos := 1, g := array_to_string(tk, ' '))]
+           ELSE [struct_pack(pos := i,
+                             g := tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+                 for i in generate_series(1, n - {_WINNOW_K} + 1)]
+      END) AS u
+    FROM t)
+),
+wmins AS (
+  SELECT doc_id, n_grams, pos,
+         MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN {_WINNOW_W - 1} PRECEDING AND CURRENT ROW)
+           AS fp
+  FROM grams
+),
+fps AS MATERIALIZED (
+  SELECT DISTINCT doc_id, n_grams, fp
+  FROM wmins WHERE pos >= LEAST({_WINNOW_W}, n_grams)
+),
+shared AS (
+  SELECT fp FROM fps GROUP BY fp HAVING COUNT(DISTINCT doc_id) >= 2
+),
+agg AS (
+  SELECT f.doc_id,
+         ANY_VALUE(f.n_grams) AS n_grams,
+         CAST(COUNT(*) AS BIGINT) AS n_fps,
+         CAST(SUM(CASE WHEN s.fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_shared_fps
+  FROM fps f LEFT JOIN shared s USING (fp)
+  GROUP BY f.doc_id
+)
+SELECT doc_id, n_grams, n_fps, n_shared_fps,
+       (n_shared_fps * 1000000) // n_fps AS shared_ppm
+FROM agg ORDER BY doc_id"""
+
+
+@register(
+    "xh_winnow_fingerprint",
+    oracle=_winnow_oracle(),
+    tags=("llm", "dedup", "fingerprint", "oracle-twin"),
+)
+def xh_winnow_fingerprint(spark, sf_dir):
+    """Winnowing document fingerprints (round 12) — the MOSS local
+    fingerprinting algorithm (Schleimer, Wilkerson, Aiken, SIGMOD '03):
+    hash every word 3-gram, slide a window of w=4 consecutive gram
+    hashes over each document, and select the minimum hash of every
+    window; the distinct selected hashes are the document's fingerprint
+    set. Winnowing's guarantee — any shared run of w+k-1 tokens between
+    two documents yields at least one shared fingerprint — makes the
+    per-doc shared-fingerprint fraction a plagiarism/overlap detector at
+    a ~1/w density of the full shingle set (the storage knob full-shingle
+    methods like xh_span_dedup lack). Documents shorter than one gram
+    contribute their whole text as one gram; with fewer grams than the
+    window, the single full-prefix window applies (pos >= least(w,
+    n_grams) keeps exactly the valid window ends — window frames clip
+    identically in both engines). Sharing is cross-document (>= 2
+    DISTINCT docs). Exact integers end-to-end; ppm by truncating
+    division.
+
+    Scale shape: grams explode ONCE from a localCheckpoint barrier; the
+    window min is per-doc, bounded by doc length, never corpus-wide; the
+    fingerprint set then carries ~1/w of the gram volume into ONE uniform
+    fp-hash partial agg (HAVING >= 2 distinct docs) whose probe is a
+    broadcast-or-shuffle equi join on the same hash; the rollup is one
+    doc_id exchange. Queued for the R13 driver window per the pinned
+    rotation policy (aliases.py)."""
+    d = _with_tokens(tbl(spark, sf_dir, "documents"))
+    t = d.select("doc_id", "tk", F.size("tk").alias("n")).filter(F.col("n") > 0)
+    garr = F.when(
+        F.col("n") < _WINNOW_K, F.array(F.concat_ws(" ", F.col("tk")))
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.col("n") - _WINNOW_K + 1),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(F.col("tk"), i),
+                F.element_at(F.col("tk"), i + F.lit(1)),
+                F.element_at(F.col("tk"), i + F.lit(2)),
+            ),
+        )
+    )
+    g = (
+        t.withColumn("__g", garr)  # materialize before the hash lambda (CSE)
+        .select(
+            "doc_id",
+            F.when(F.col("n") < _WINNOW_K, F.lit(1).cast("long"))
+            .otherwise((F.col("n") - _WINNOW_K + 1).cast("long"))
+            .alias("n_grams"),
+            F.transform(F.col("__g"), lambda s: _h60(s)).alias("hs"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    grams = g.select(
+        "doc_id", "n_grams", F.posexplode("hs").alias("p0", "h")
+    ).select("doc_id", "n_grams", (F.col("p0") + 1).alias("pos"), "h")
+    from pyspark.sql import Window as _W
+
+    win = (
+        _W.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(-(_WINNOW_W - 1), 0)
+    )
+    fps = (
+        grams.withColumn("fp", F.min("h").over(win))
+        .filter(F.col("pos") >= F.least(F.lit(_WINNOW_W), F.col("n_grams")))
+        .select("doc_id", "n_grams", "fp")
+        .distinct()
+    )
+    shared = (
+        fps.groupBy("fp")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("fp", F.lit(1).alias("is_shared"))
+    )
+    agg = (
+        fps.join(shared, "fp", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.first("n_grams").alias("n_grams"),
+            F.count(F.lit(1)).alias("n_fps"),
+            F.sum(F.coalesce(F.col("is_shared"), F.lit(0)))
+            .cast("long")
+            .alias("n_shared_fps"),
+        )
+    )
+    return agg.select(
+        "doc_id",
+        "n_grams",
+        F.col("n_fps").cast("long").alias("n_fps"),
+        "n_shared_fps",
+        F.expr("(n_shared_fps * 1000000L) div n_fps").alias("shared_ppm"),
+    ).orderBy("doc_id")

@@ -834,3 +834,152 @@ def xh_stratified_split(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance weights (round 12)
+# ---------------------------------------------------------------------------
+
+_DSIR_B = 8192  # hashed feature buckets
+_DSIR_TARGET = ("src0", "src1", "src2", "src3")  # the "curated" slice
+_DSIR_TARGET_SQL = ", ".join(f"'{s}'" for s in _DSIR_TARGET)
+_DSIR_TOKENS_SQL = (
+    "list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')"
+)
+
+
+@register(
+    "xh_dsir_weights",
+    oracle=f"""WITH t AS MATERIALIZED (
+  SELECT doc_id, source,
+         source IN ({_DSIR_TARGET_SQL}) AS is_t,
+         {_DSIR_TOKENS_SQL} AS tk
+  FROM documents),
+feat AS MATERIALIZED (
+  SELECT doc_id, is_t,
+         ({_H60_SQL.format(s="tk[i] || ' ' || tk[i+1]")}) % {_DSIR_B} AS b
+  FROM (SELECT doc_id, is_t, tk, unnest(generate_series(1, len(tk) - 1)) AS i
+        FROM t WHERE len(tk) >= 2)),
+cnt AS MATERIALIZED (
+  SELECT b,
+         SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS c_t,
+         SUM(CASE WHEN is_t THEN 0 ELSE 1 END) AS c_r
+  FROM feat GROUP BY b),
+tot AS MATERIALIZED (
+  SELECT SUM(c_t) AS tot_t, SUM(c_r) AS tot_r FROM cnt),
+w AS MATERIALIZED (
+  SELECT b,
+         ((c_t + 1) * 1000000) // (tot.tot_t + {_DSIR_B})
+           - ((c_r + 1) * 1000000) // (tot.tot_r + {_DSIR_B}) AS wgt
+  FROM cnt, tot),
+ds AS (
+  SELECT f.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_features,
+         CAST(SUM(w.wgt) AS BIGINT) AS weight
+  FROM feat f JOIN w USING (b) GROUP BY f.doc_id)
+SELECT t.doc_id, t.source,
+       CAST(CASE WHEN t.is_t THEN 1 ELSE 0 END AS BIGINT) AS is_target,
+       COALESCE(d.n_features, 0) AS n_features,
+       COALESCE(d.weight, 0) AS weight,
+       CASE WHEN COALESCE(d.n_features, 0) = 0 THEN 0
+            ELSE d.weight // d.n_features END AS avg_w_ppm
+FROM t LEFT JOIN ds d USING (doc_id)
+ORDER BY doc_id""",
+    tags=("llm", "curation", "selection", "oracle-twin"),
+)
+def xh_dsir_weights(spark, sf_dir):
+    """DSIR-style importance weights (round 12) — Data Selection via
+    Importance Resampling (Xie et al., NeurIPS 2023): score every raw
+    document by how much its hashed n-gram feature distribution looks
+    like a curated target slice versus the rest of the corpus. Features
+    are word bigrams hashed into 8192 buckets; the per-bucket
+    weight is the add-one-smoothed probability DIFFERENCE in exact
+    integer ppm, (c_t+1)*1e6 div (tot_t+B) - (c_r+1)*1e6 div (tot_r+B)
+    — a declared linear variant of the paper's log-likelihood ratio
+    (log is libm and engine-divergent, so it stays out of hash-checked
+    values; the ppm difference preserves the sign and the
+    high-target-mass ordering that selection consumes). A document's
+    weight is the sum over its feature OCCURRENCES; docs with fewer
+    than two tokens carry zero features and weight 0. The integer
+    divisions truncate toward zero identically in both engines
+    (probed: Spark `div` / DuckDB `//`).
+
+    Scale shape: bigram features explode once; the per-bucket counts
+    collapse via ONE uniform bucket-keyed partial agg to <= B rows
+    (bounded metadata, not data); the two corpus totals are an O(1)
+    driver scalar off that frame; the per-bucket weight table
+    BROADCASTS back onto the exploded features, so the corpus shuffles
+    exactly once more (the per-doc rollup on doc_id). Queued for the
+    R13 driver window per the pinned rotation policy (aliases.py)."""
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    t = (
+        tbl(spark, sf_dir, "documents")
+        .repartition(n_parts, "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            F.col("source").isin(*_DSIR_TARGET).alias("is_t"),
+            F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "").alias(
+                "tk"
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
+    feat = (
+        t.filter(F.size("tk") >= 2)
+        .select(
+            "doc_id",
+            "is_t",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("tk") - 1),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at(F.col("tk"), i),
+                        F.element_at(F.col("tk"), i + F.lit(1)),
+                    ),
+                )
+            ).alias("g"),
+        )
+        .select("doc_id", "is_t", (_h60(F.col("g")) % _DSIR_B).alias("b"))
+    )
+    cnt = feat.groupBy("b").agg(
+        F.sum(F.when(F.col("is_t"), 1).otherwise(0)).alias("c_t"),
+        F.sum(F.when(F.col("is_t"), 0).otherwise(1)).alias("c_r"),
+    )
+    cnt = cnt.localCheckpoint(eager=True)  # <= B rows; reused twice
+    tot = cnt.agg(F.sum("c_t").alias("tt"), F.sum("c_r").alias("tr")).collect()[0]
+    tot_t, tot_r = int(tot["tt"] or 0), int(tot["tr"] or 0)
+    w = cnt.select(
+        "b",
+        (
+            F.expr(f"((c_t + 1) * 1000000L) div {tot_t + _DSIR_B}L")
+            - F.expr(f"((c_r + 1) * 1000000L) div {tot_r + _DSIR_B}L")
+        ).alias("wgt"),
+    )
+    ds = (
+        feat.join(F.broadcast(w), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_features"),
+            F.sum("wgt").alias("weight"),
+        )
+    )
+    return (
+        t.select("doc_id", "source", "is_t")
+        .join(ds, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            F.when(F.col("is_t"), 1).otherwise(0).cast("long").alias("is_target"),
+            F.coalesce(F.col("n_features"), F.lit(0))
+            .cast("long")
+            .alias("n_features"),
+            F.coalesce(F.col("weight"), F.lit(0)).cast("long").alias("weight"),
+            F.expr(
+                "CASE WHEN COALESCE(n_features, 0L) = 0 THEN 0L"
+                "     ELSE weight div n_features END"
+            ).alias("avg_w_ppm"),
+        )
+        .orderBy("doc_id")
+    )

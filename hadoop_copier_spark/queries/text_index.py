@@ -642,3 +642,86 @@ def xh_source_overlap(spark, sf_dir):
         )
         .orderBy("src_a", "src_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Out-of-vocabulary rate (round 12)
+# ---------------------------------------------------------------------------
+
+_OOV_VOCAB_K = 64  # corpus-derived vocabulary size (count desc, token asc)
+
+
+@register(
+    "xh_oov_rate",
+    oracle=f"""WITH t AS MATERIALIZED (
+  SELECT doc_id, tk, len(tk) AS n
+  FROM (SELECT doc_id, {_TOKENS_SQL} AS tk FROM documents)
+  WHERE len(tk) > 0),
+tok AS MATERIALIZED (
+  SELECT doc_id, unnest(tk) AS tok FROM t),
+vocab AS MATERIALIZED (
+  SELECT tok FROM (
+    SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok
+    ORDER BY c DESC, tok LIMIT {_OOV_VOCAB_K})),
+oov AS (
+  SELECT doc_id, COUNT(*) AS n_oov
+  FROM tok ANTI JOIN vocab USING (tok) GROUP BY doc_id)
+SELECT t.doc_id,
+       CAST(t.n AS BIGINT) AS n_tokens,
+       CAST(COALESCE(o.n_oov, 0) AS BIGINT) AS n_oov,
+       (COALESCE(o.n_oov, 0) * 1000000) // t.n AS oov_ppm
+FROM t LEFT JOIN oov o USING (doc_id)
+ORDER BY doc_id""",
+    tags=("llm", "text", "quality", "oracle-twin"),
+)
+def xh_oov_rate(spark, sf_dir):
+    """Per-document out-of-vocabulary rate (round 12) — the classic
+    lexicon quality filter (CCNet-family): derive the corpus's own
+    top-K vocabulary (count desc, token asc — a total order, so the K
+    boundary is deterministic under count ties) and emit, per document,
+    the exact count and integer-ppm fraction of token OCCURRENCES that
+    fall outside it. High OOV flags gibberish / boilerplate / wrong-
+    language docs; near-zero OOV flags templated text. Zero-token docs
+    are excluded (their rate is undefined). Exact integers end-to-end.
+
+    Scale shape: the token arrays materialize ONCE behind a
+    localCheckpoint and both consumers explode from that barrier; the
+    vocabulary is one uniform token-keyed partial agg collapsed to K
+    rows (vocabulary cardinality, not corpus size) and the membership
+    probe is a broadcast LEFT ANTI join — the corpus's exploded tokens
+    never shuffle for the probe; the per-doc rollup is one doc_id
+    exchange. Queued for the R13 driver window per the pinned rotation
+    policy (aliases.py)."""
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    t = (
+        tbl(spark, sf_dir, "documents")
+        .repartition(n_parts, "doc_id")
+        .select("doc_id", _tokens_col().alias("tk"))
+        .withColumn("n", F.size("tk"))
+        .filter(F.col("n") > 0)
+        .localCheckpoint(eager=True)
+    )
+    tok = t.select("doc_id", F.explode("tk").alias("tok"))
+    vocab = (
+        tok.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), "tok")
+        .limit(_OOV_VOCAB_K)
+        .select("tok")
+    )
+    oov = (
+        tok.join(F.broadcast(vocab), "tok", "left_anti")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_oov"))
+    )
+    return (
+        t.select("doc_id", "n")
+        .join(oov, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n").cast("long").alias("n_tokens"),
+            F.coalesce(F.col("n_oov"), F.lit(0)).cast("long").alias("n_oov"),
+            F.expr("(COALESCE(n_oov, 0L) * 1000000L) div n").alias("oov_ppm"),
+        )
+        .orderBy("doc_id")
+    )

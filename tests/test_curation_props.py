@@ -368,3 +368,121 @@ def test_norm_dedup_collapses_reformatted_copies(spark):
     # docs 1,2,3,4,6 all canonicalize to 'the quick brown fox jumps';
     # doc 6 is byte-identical to doc 1, so raw variants = 4, copies = 5
     assert groups == {1: (5, 4), 5: (1, 1)}
+
+
+def _write_docs(spark, rows, tmp, n_parts=3):
+    df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, n_parts),
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+
+
+def _winnow_reference(text, k=3, w=4):
+    """Brute-force winnowing fingerprint set (Schleimer et al. fig. 5,
+    min-only variant): h60 of word k-grams, distinct window minima."""
+    import hashlib
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    toks = [t for t in text.lower().split() if t]
+    if not toks:
+        return None
+    if len(toks) < k:
+        grams = [" ".join(toks)]
+    else:
+        grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+    hs = [h60(g) for g in grams]
+    eff_w = min(w, len(hs))
+    return {min(hs[max(0, i - w + 1) : i + 1]) for i in range(eff_w - 1, len(hs))}
+
+
+def test_winnow_fingerprint_matches_bruteforce(spark, tmp_path):
+    """Registry output must equal the textbook per-doc winnowing set and
+    the cross-doc sharing derived from it, on a corpus exercising every
+    edge: long docs, doc shorter than the gram, doc with fewer grams
+    than the window, exact copies, partial overlap, and a doc whose
+    adjacent windows share one minimum (distinct-collapse)."""
+    docs = {
+        1: "a b c d e f g h i j k l",
+        2: "z1 z2 a b c d e f z3 z4",      # shares a long run with doc 1
+        3: "x y",                           # < k tokens: whole-doc gram
+        4: "x y",                           # exact short copy
+        5: "p q r s",                       # 2 grams < window of 4
+        6: "only unique tokens here truly", # no sharing
+    }
+    rows = [(i, t, "en", "s", len(t)) for i, t in docs.items()]
+    tmp = str(tmp_path / "winnow")
+    _write_docs(spark, rows, tmp)
+    got = {
+        r["doc_id"]: (r["n_fps"], r["n_shared_fps"])
+        for r in REGISTRY["xh_winnow_fingerprint"].fn(spark, tmp).collect()
+    }
+    ref = {i: _winnow_reference(t) for i, t in docs.items()}
+    from collections import Counter
+
+    owners = Counter()
+    for i, fps in ref.items():
+        for fp in fps:
+            owners[fp] += 1
+    expect = {
+        i: (len(fps), sum(1 for fp in fps if owners[fp] >= 2))
+        for i, fps in ref.items()
+    }
+    assert got == expect
+    # the guarantee that motivates winnowing: docs 1 and 2 share a run of
+    # w + k - 1 = 6 tokens, so they MUST share at least one fingerprint
+    assert ref[1] & ref[2]
+
+
+def test_oov_rate_vocab_boundary(spark, tmp_path):
+    """With the top-64 vocabulary larger than a tiny corpus's lexicon,
+    every token is in-vocab (ppm 0); planting > 64 distinct singletons
+    pushes exactly the count-tied, lexicographically-later tokens out,
+    and the OOV counts follow the (count desc, token asc) boundary."""
+    # corpus counts: 'common' x11, then w00/w62/w63/w79 x2 (doc 3 repeats
+    # them), then 76 singletons. Vocab(64) = common + the four count-2
+    # tokens + the 59 lexicographically-first singletons (w01..w59), so
+    # doc 1's OOV set is exactly {w60, w61, w64..w78} (17 tokens) — the
+    # boundary splits a count-tie by token order.
+    rows = [(1, " ".join(f"w{i:02d}" for i in range(80)), "en", "s", 0),
+            (2, "common " * 10, "en", "s", 0),
+            (3, "common w00 w62 w63 w79", "en", "s", 0)]
+    tmp = str(tmp_path / "oov")
+    _write_docs(spark, rows, tmp)
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_oov"], r["oov_ppm"])
+        for r in REGISTRY["xh_oov_rate"].fn(spark, tmp).collect()
+    }
+    assert got == {
+        1: (80, 17, 212_500),
+        2: (10, 0, 0),
+        3: (5, 0, 0),           # its repeats promoted themselves in-vocab
+    }
+
+
+def test_dsir_weights_separate_target_like_docs(spark, tmp_path):
+    """Documents made of target-slice bigrams must score strictly above
+    documents made of raw-only bigrams, and a doc with no bigrams gets
+    weight 0 — the selection ordering DSIR consumes. Exact values are
+    oracle-checked; this pins the semantics on a designed corpus."""
+    target_text = "alpha beta gamma delta"
+    raw_text = "omega psi chi phi"
+    rows = (
+        [(i, target_text, "en", "src0", 0) for i in range(1, 5)]
+        + [(i, raw_text, "en", "src9", 0) for i in range(5, 9)]
+        + [(9, target_text, "en", "src9", 0),   # raw doc that LOOKS curated
+           (10, "solo", "en", "src9", 0)]       # < 2 tokens: no features
+    )
+    tmp = str(tmp_path / "dsir")
+    _write_docs(spark, rows, tmp)
+    out = {r["doc_id"]: r for r in
+           REGISTRY["xh_dsir_weights"].fn(spark, tmp).collect()}
+    assert out[10]["n_features"] == 0 and out[10]["weight"] == 0
+    # the raw doc built from target bigrams outranks every raw-only doc
+    assert out[9]["weight"] > out[5]["weight"]
+    # and matches the target docs' weight exactly (same features)
+    assert out[9]["weight"] == out[1]["weight"]
+    assert all(out[i]["is_target"] == 1 for i in range(1, 5))
+    assert all(out[i]["is_target"] == 0 for i in range(5, 11))
