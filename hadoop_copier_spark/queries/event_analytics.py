@@ -517,3 +517,146 @@ def xh_subseq_search(spark, sf_dir):
         .orderBy("dist_u6", "user_id", "event_id")
         .limit(_SSQ_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# Exponential time-decay aggregates (round 12)
+# ---------------------------------------------------------------------------
+
+_DECAY_MAX_AGE = 30  # days; weight = 2^-(age) halving daily, floor at 2^-30
+
+
+@register(
+    "xh_decayed_counts",
+    oracle=f"""WITH e AS MATERIALIZED (
+  SELECT event_type,
+         LEAST(date_diff('day', CAST(ts AS DATE),
+                         (SELECT MAX(CAST(ts AS DATE)) FROM events)),
+               {_DECAY_MAX_AGE}) AS age
+  FROM events)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(1::BIGINT << ({_DECAY_MAX_AGE} - age)) AS BIGINT)
+         AS decayed_units,
+       CAST(SUM(1::BIGINT << ({_DECAY_MAX_AGE} - age))
+            // (1::BIGINT << {_DECAY_MAX_AGE}) AS BIGINT) AS effective_n
+FROM e GROUP BY event_type ORDER BY event_type""",
+    tags=("events", "decay", "oracle-twin"),
+)
+def xh_decayed_counts(spark, sf_dir):
+    """Exponentially time-decayed event counts (round 12) — the
+    freshness-weighted popularity signal (one-day half-life): each event
+    contributes 2^-age_days, so yesterday's event counts half of
+    today's. The decay weight is an EXACT binary fraction held in BIGINT
+    units of 2^-30 (a bit shift, not pow()), so the sum is order-free
+    and hash-checks — the float spelling exp(-age*ln2) would be libm-
+    divergent AND accumulation-order-dependent. Ages cap at 30 days
+    (the unit floor: older events still count one unit, which keeps the
+    weight total exact rather than silently dropping the tail);
+    ``effective_n`` is the decayed total expressed in whole fresh-event
+    equivalents (truncating shift — both engines' integer division
+    truncates toward zero on these non-negative values).
+
+    Scale shape: the reference day is an O(1) driver scalar (one MAX);
+    weights are bit shifts inside whole-stage codegen; the only exchange
+    is ONE uniform event_type partial agg — partial sums combine
+    map-side, so the exchange carries event-type cardinality, not event
+    rows. BIGINT headroom: 2^30 units x up to ~2^33 rows per type; at
+    larger per-type row counts lower the unit scale (documented knob).
+    Queued for the R13 driver window per the pinned rotation policy
+    (aliases.py)."""
+    ev = tbl(spark, sf_dir, "events")
+    ref_day = ev.agg(F.max(F.to_date("ts")).alias("d")).collect()[0]["d"]
+    e = ev.select(
+        "event_type",
+        F.least(
+            F.datediff(F.lit(ref_day), F.to_date("ts")),
+            F.lit(_DECAY_MAX_AGE),
+        ).alias("age"),
+    )
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.expr(
+                f"CAST(SUM(shiftleft(1L, {_DECAY_MAX_AGE} - age)) AS BIGINT)"
+            ).alias("decayed_units"),
+            F.expr(
+                f"CAST(SUM(shiftleft(1L, {_DECAY_MAX_AGE} - age))"
+                f"     div shiftleft(1L, {_DECAY_MAX_AGE}) AS BIGINT)"
+            ).alias("effective_n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit (round 12)
+# ---------------------------------------------------------------------------
+
+_KANON_K = 5  # each quasi-identifier class must cover >= k distinct users
+
+
+@register(
+    "xh_k_anonymity",
+    oracle=f"""WITH cls AS MATERIALIZED (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         COUNT(*) AS n_rows,
+         COUNT(DISTINCT user_id) AS n_users
+  FROM events GROUP BY event_type, CAST(ts AS DATE))
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_classes,
+       CAST(SUM(CASE WHEN n_users < {_KANON_K} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violating,
+       CAST(SUM(CASE WHEN n_users < {_KANON_K} THEN n_users ELSE 0 END)
+            AS BIGINT) AS users_at_risk,
+       CAST(SUM(CASE WHEN n_users < {_KANON_K} THEN n_rows ELSE 0 END)
+            AS BIGINT) AS rows_at_risk,
+       CAST(MIN(n_users) AS BIGINT) AS min_class_users
+FROM cls GROUP BY event_type ORDER BY event_type""",
+    tags=("events", "privacy", "oracle-twin"),
+)
+def xh_k_anonymity(spark, sf_dir):
+    """k-anonymity audit (round 12) — the release-gate privacy check a
+    pipeline runs before an event log (or any user-keyed slice of a
+    training corpus) leaves the curated zone: group the stream by its
+    quasi-identifier combination (event_type, day) and flag every
+    equivalence class observed for FEWER than k=5 distinct users — rows
+    in such a class re-identify their users by the QI alone (Sweeney's
+    k-anonymity model). Emits the per-event-type audit summary: class
+    count, violating-class count, distinct users and raw rows at risk,
+    and the worst (minimum) class width. All exact integers.
+
+    Scale shape: the exact distinct-user count per class is one
+    two-phase exchange on ((event_type, day), user_id) — Spark's
+    partial-distinct expansion combines map-side, so the exchange
+    carries near-class-cardinality, not event rows; the per-type rollup
+    then reduces class-cardinality rows. Nothing is corpus-quadratic
+    and nothing collects. Queued for the R13 driver window per the
+    pinned rotation policy (aliases.py)."""
+    cls = (
+        tbl(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+    )
+    k = F.lit(_KANON_K)
+    return (
+        cls.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_classes"),
+            F.sum(F.when(F.col("n_users") < k, 1).otherwise(0))
+            .cast("long")
+            .alias("n_violating"),
+            F.sum(F.when(F.col("n_users") < k, F.col("n_users")).otherwise(0))
+            .cast("long")
+            .alias("users_at_risk"),
+            F.sum(F.when(F.col("n_users") < k, F.col("n_rows")).otherwise(0))
+            .cast("long")
+            .alias("rows_at_risk"),
+            F.min("n_users").cast("long").alias("min_class_users"),
+        )
+        .orderBy("event_type")
+    )

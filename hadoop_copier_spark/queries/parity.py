@@ -246,3 +246,43 @@ def p_audio_features(spark, sf_dir):
         audio_frame_features(df, frame=128)
         .orderBy("sample_id", "frame_idx")
     )
+
+
+@register("xp_image_phash", oracle=None, tags=("parity", "multimodal", "dedup"))
+def p_image_phash(spark, sf_dir):
+    """P-class: perceptual-hash near-duplicate detection over binary
+    image payloads (round 12) — the image-side analog of MinHash-LSH
+    text dedup: aHash per payload via mapInPandas (locality-preserving
+    stubbed decode, sources/multimodal.image_phash), then candidate
+    pairs from a banded equi-join on 16-bit hash bands and JVM
+    bit_count(xor) verification — never all-pairs. The corpus is the
+    64 image rows plus planted lightly-perturbed copies (one byte
+    overwritten IN PLACE, fresh ids) which MUST land hamming-close to
+    their sources — the same-length requirement mirrors the real
+    decoder's domain, where a local edit to a same-dimension image
+    moves only the thumbnail cells it touches (a length change is a
+    re-crop, not a near-dup); the guarantee plus determinism is pinned
+    in tests/test_sources.py.
+    Rows-only by design: the stub decoder's byte resample is an
+    implementation detail a SQL engine has no business mirroring.
+    Scale: map-only hashing; ONE uniform band-key exchange proposes
+    candidates; verification touches in-bucket pairs only."""
+    from ..sources.multimodal import (
+        image_phash,
+        make_multimodal_rows,
+        phash_neardup_pairs,
+    )
+
+    base = make_multimodal_rows(spark, sf_dir, n=64).filter(
+        F.col("modality") == "image"
+    )
+    planted = base.filter(F.col("sample_id") < 8).select(
+        (F.col("sample_id") + 1000).alias("sample_id"),
+        F.col("modality"),
+        F.overlay(
+            F.col("content"), F.encode(F.lit("X"), "utf-8"), F.lit(1)
+        ).alias("content"),
+        F.col("meta"),
+    )
+    ph = image_phash(base.unionByName(planted))
+    return phash_neardup_pairs(ph, max_hamming=6).orderBy("id_a", "id_b")

@@ -360,3 +360,93 @@ def audio_frame_features(df: DataFrame, frame: int = 128) -> DataFrame:
     return df.select("sample_id", "content").mapInPandas(
         gen, AUDIO_FRAME_SCHEMA
     )
+
+
+PHASH_SCHEMA = "sample_id long, phash long"
+
+
+def image_phash(df: DataFrame) -> DataFrame:
+    """Perceptual average-hash (aHash) per image payload, as one BIGINT.
+
+    Decode is the same capability-stubbed story as ``decode_feature``:
+    the payload is resampled at 64 evenly-spaced byte offsets into an
+    8x8 "grayscale" grid (LOCALITY-PRESERVING — a lightly perturbed
+    payload moves only the cells it touches, so true near-dups land
+    hamming-close, which is the property the banded near-dup join
+    exploits; a digest-based stub would destroy it). Bit i is set when
+    cell i >= the grid mean; the 64 bits pack MSB-first into a signed
+    long. Swap the resample for a real decoder's 8x8 grayscale
+    thumbnail when one exists — nothing downstream changes.
+    Scale: map-only mapInPandas, vectorized per Arrow batch; bytes
+    never leave the executors."""
+
+    def ph(batches):
+        for pdf in batches:
+            out = []
+            for sid, content in zip(pdf["sample_id"], pdf["content"]):
+                b = b"" if content is None else bytes(content)
+                if not b:
+                    out.append({"sample_id": sid, "phash": 0})
+                    continue
+                idx = np.linspace(0, len(b) - 1, 64).astype(int)
+                cells = np.frombuffer(b, dtype=np.uint8)[idx].astype(np.float64)
+                bits = (cells >= cells.mean()).astype(np.int64)
+                v = 0
+                for bit in bits:
+                    v = (v << 1) | int(bit)
+                if v >= 1 << 63:  # reinterpret as signed 64-bit
+                    v -= 1 << 64
+                out.append({"sample_id": sid, "phash": v})
+            yield pd.DataFrame(out, columns=["sample_id", "phash"])
+
+    return df.mapInPandas(ph, schema=PHASH_SCHEMA)
+
+
+def phash_neardup_pairs(
+    ph: DataFrame, max_hamming: int = 6, bands: int = 4
+) -> DataFrame:
+    """Banded near-duplicate pairs over perceptual hashes — the image-side
+    MinHash-LSH discipline: split the 64-bit hash into ``bands`` equal
+    bit bands; any pair within ``max_hamming`` (< bands by pigeonhole,
+    for max_hamming <= bands - 1 per-band guarantees; here band
+    collisions propose, hamming verifies) agrees exactly on at least one
+    band, so candidates come from equi-joining on (band_idx, band_value)
+    — NEVER an all-pairs cross join. Verification is JVM bit_count(xor).
+    Scale: one uniform band-key exchange proposes; in-bucket pairs only
+    are verified; output is the verified pair list."""
+    width = 64 // bands
+    mask = (1 << width) - 1
+    banded = ph.select(
+        "sample_id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("bi"),
+                        F.shiftrightunsigned("phash", b * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bv"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("sample_id", "phash", "band.bi", "band.bv")
+    a = banded.select(
+        F.col("bi"), F.col("bv"),
+        F.col("sample_id").alias("id_a"), F.col("phash").alias("ph_a"),
+    )
+    b = banded.select(
+        F.col("bi"), F.col("bv"),
+        F.col("sample_id").alias("id_b"), F.col("phash").alias("ph_b"),
+    )
+    return (
+        a.join(b, ["bi", "bv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "ph_a", "ph_b")
+        .distinct()
+        .withColumn("hamming", F.expr("CAST(bit_count(ph_a ^ ph_b) AS BIGINT)"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

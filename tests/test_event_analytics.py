@@ -164,3 +164,69 @@ def test_subseq_search_finds_affine_copy_at_distance_zero(spark, planted_series)
     assert best.user_id == 1 and best.event_id == 5, top[:3]
     assert best.dist_u6 == 0
     assert all(r.user_id != 2 for r in top), "flat windows must be excluded"
+
+
+@pytest.fixture(scope="module")
+def decay_events(spark, tmp_path_factory):
+    """Ages relative to the corpus max day (Jan 31): two fresh events,
+    one 1-day-old, one 30-days-old (exactly at the cap boundary), all
+    of one type; a second type entirely 30+ days stale."""
+    rows = [
+        (1, _ts(31, 9), 1, "fresh", 1.0, "{}"),
+        (2, _ts(31, 10), 2, "fresh", 1.0, "{}"),
+        (3, _ts(30, 9), 3, "fresh", 1.0, "{}"),
+        (4, _ts(1, 9), 4, "fresh", 1.0, "{}"),     # age 30 == cap
+        (5, _ts(1, 9), 5, "stale", 1.0, "{}"),     # age 30
+        (6, _ts(2, 9), 6, "stale", 1.0, "{}"),     # age 29
+    ]
+    df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 2),
+        schema="event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string",
+    )
+    root = tmp_path_factory.mktemp("decay_events")
+    df.write.parquet(f"{root}/events.parquet")
+    return str(root)
+
+
+def test_decayed_counts_exact_binary_weights(spark, decay_events):
+    """Hand-computed 2^-age sums in 2^-30 units: fresh = 2 + 1/2 + 2^-30,
+    stale = 2^-30 + 2^-29; effective_n truncates toward zero."""
+    out = {r["event_type"]: r for r in
+           REGISTRY["xh_decayed_counts"].fn(spark, decay_events).collect()}
+    u = 1 << 30
+    assert out["fresh"]["n_events"] == 4
+    assert out["fresh"]["decayed_units"] == 2 * u + u // 2 + 1
+    assert out["fresh"]["effective_n"] == 2
+    assert out["stale"]["n_events"] == 2
+    assert out["stale"]["decayed_units"] == 1 + 2
+    assert out["stale"]["effective_n"] == 0
+
+
+def test_k_anonymity_flags_thin_classes(spark, tmp_path_factory):
+    """(type, day) classes: A/day1 has 5 distinct users (passes k=5),
+    A/day2 has 2 users over 3 rows (violates), B/day1 has 1 user
+    (violates) — the summary counts users AND raw rows at risk."""
+    rows = (
+        [(i, _ts(1, 9), i, "A", 1.0, "{}") for i in range(1, 6)]
+        + [(10, _ts(2, 9), 7, "A", 1.0, "{}"),
+           (11, _ts(2, 10), 7, "A", 1.0, "{}"),
+           (12, _ts(2, 11), 8, "A", 1.0, "{}"),
+           (13, _ts(1, 9), 9, "B", 1.0, "{}")]
+    )
+    df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 2),
+        schema="event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string",
+    )
+    root = tmp_path_factory.mktemp("kanon_events")
+    df.write.parquet(f"{root}/events.parquet")
+    out = {r["event_type"]: r for r in
+           REGISTRY["xh_k_anonymity"].fn(spark, str(root)).collect()}
+    a, b = out["A"], out["B"]
+    assert (a["n_classes"], a["n_violating"]) == (2, 1)
+    assert (a["users_at_risk"], a["rows_at_risk"]) == (2, 3)
+    assert a["min_class_users"] == 2
+    assert (b["n_classes"], b["n_violating"]) == (1, 1)
+    assert (b["users_at_risk"], b["rows_at_risk"]) == (1, 1)
+    assert b["min_class_users"] == 1

@@ -175,3 +175,50 @@ def test_audio_features_degrade_on_empty_and_null(spark):
     )
     out = audio_frame_features(df).collect()
     assert out == []  # degrade, never fail
+
+
+def test_image_phash_reference_and_neardup_guarantee(spark, sf_oracle):
+    """The aHash must equal a numpy re-derivation per payload (exact
+    bit packing, signed reinterpretation); the banded join must surface
+    every planted same-length single-byte edit as a low-hamming pair and
+    must stay free of self-pairs and duplicates."""
+    import numpy as np
+
+    from hadoop_copier_spark.sources.multimodal import image_phash
+
+    base = make_multimodal_rows(spark, sf_oracle, n=16).filter(
+        F.col("modality") == "image"
+    )
+    got = {r["sample_id"]: r["phash"] for r in image_phash(base).collect()}
+    for r in base.collect():
+        b = bytes(r["content"])
+        idx = np.linspace(0, len(b) - 1, 64).astype(int)
+        cells = np.frombuffer(b, dtype=np.uint8)[idx].astype(np.float64)
+        v = 0
+        for bit in (cells >= cells.mean()).astype(int):
+            v = (v << 1) | int(bit)
+        if v >= 1 << 63:
+            v -= 1 << 64
+        assert got[r["sample_id"]] == v
+    # registry query: planted near-dups found, no junk
+    rows = REGISTRY["xp_image_phash"].fn(spark, sf_oracle).collect()
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in rows}
+    assert len(pairs) == len(rows)  # distinct-collapse held
+    for i in range(0, 8, 2):
+        assert pairs[(i, i + 1000)] <= 6
+    assert all(a < b for a, b in pairs)
+    assert all(h <= 6 for h in pairs.values())
+
+
+def test_image_phash_empty_and_null_payloads(spark):
+    """Empty/NULL content degrades to phash 0, never a task failure."""
+    from hadoop_copier_spark.sources.multimodal import image_phash
+
+    df = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+            [(1, "image", b""), (2, "image", None), (3, "image", b"abc")], 1
+        ),
+        "sample_id long, modality string, content binary",
+    )
+    out = {r["sample_id"]: r["phash"] for r in image_phash(df).collect()}
+    assert out[1] == 0 and out[2] == 0 and out[3] != 0
