@@ -1662,3 +1662,192 @@ def xh_winnow_fingerprint(spark, sf_dir):
         "n_shared_fps",
         F.expr("(n_shared_fps * 1000000L) div n_fps").alias("shared_ppm"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# LSH candidate-stage recall/precision audit (round 12).
+
+_EVAL_MAX_ID = 200  # bounded audit subset (sampled in a real corpus)
+
+
+def _lsh_recall_oracle() -> str:
+    shingles_subset = _SHINGLES_SQL.replace(
+        "FROM documents", f"FROM documents WHERE doc_id < {_EVAL_MAX_ID}"
+    )
+    return f"""WITH {shingles_subset},
+sig AS MATERIALIZED (
+  SELECT doc_id,
+         {_SIG_COLS_SQL}
+  FROM sh
+),
+bands AS (
+  {_BANDS_SQL}
+),
+cand AS MATERIALIZED (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.h1 = b.h1 AND a.h2 = b.h2
+   AND a.doc_id < b.doc_id
+),
+inv AS MATERIALIZED (
+  SELECT doc_id, unnest(hs) AS h FROM sh
+),
+touch AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM inv a JOIN inv b ON a.h = b.h AND a.doc_id < b.doc_id
+),
+exact AS MATERIALIZED (
+  SELECT t.id_a, t.id_b
+  FROM touch t
+  JOIN sh x ON t.id_a = x.doc_id
+  JOIN sh y ON t.id_b = y.doc_id
+  WHERE 10 * len(list_intersect(x.hs, y.hs))
+        >= 7 * (len(x.hs) + len(y.hs) - len(list_intersect(x.hs, y.hs)))
+),
+u AS (
+  SELECT COALESCE(e.id_a, c.id_a) AS id_a,
+         (e.id_a IS NOT NULL) AS is_exact,
+         (c.id_a IS NOT NULL) AS is_cand
+  FROM exact e FULL JOIN cand c ON e.id_a = c.id_a AND e.id_b = c.id_b
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM sh) AS n_docs,
+       CAST(SUM(CASE WHEN is_exact THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+       CAST(SUM(CASE WHEN is_cand THEN 1 ELSE 0 END) AS BIGINT) AS n_cand,
+       CAST(SUM(CASE WHEN is_exact AND is_cand THEN 1 ELSE 0 END) AS BIGINT)
+         AS tp,
+       CAST(SUM(CASE WHEN is_cand AND NOT is_exact THEN 1 ELSE 0 END)
+            AS BIGINT) AS fp,
+       CAST(SUM(CASE WHEN is_exact AND NOT is_cand THEN 1 ELSE 0 END)
+            AS BIGINT) AS fn,
+       CAST(CASE WHEN SUM(CASE WHEN is_cand THEN 1 ELSE 0 END) = 0
+                 THEN 1000000
+                 ELSE SUM(CASE WHEN is_exact AND is_cand THEN 1 ELSE 0 END)
+                      * 1000000
+                      // SUM(CASE WHEN is_cand THEN 1 ELSE 0 END) END
+            AS BIGINT) AS precision_ppm,
+       CAST(CASE WHEN SUM(CASE WHEN is_exact THEN 1 ELSE 0 END) = 0
+                 THEN 1000000
+                 ELSE SUM(CASE WHEN is_exact AND is_cand THEN 1 ELSE 0 END)
+                      * 1000000
+                      // SUM(CASE WHEN is_exact THEN 1 ELSE 0 END) END
+            AS BIGINT) AS recall_ppm
+FROM u"""
+
+
+@register(
+    "xh_lsh_recall_eval",
+    oracle=_lsh_recall_oracle(),
+    tags=("llm", "dedup", "eval", "oracle-twin"),
+)
+def xh_lsh_recall_eval(spark, sf_dir):
+    """LSH candidate-stage quality audit (round 12) — the harness that
+    answers "are 4 bands x r=2 enough?" with MEASUREMENT instead of the
+    S-curve rule of thumb: on a bounded audit subset (doc_id < 200;
+    a uniform sample in a real corpus) compute the EXACT Jaccard >= 0.7
+    pair set and the banded candidate pair set with the production
+    MinHash parameters (same RandomState(42) permutations as
+    operators/dedup.py), then emit one summary row of tp/fp/fn and
+    integer-ppm precision/recall. Recall < 1e6 here means the band
+    configuration is missing true near-dups AT ANY SCALE (the
+    signature math is scale-free), which is exactly when to add bands
+    or widen rows — the documented tuning loop for the 100 TB dedup
+    pass. Empty-set conventions: precision/recall define to 1e6 when
+    their denominator is empty (vacuously perfect), mirrored in both
+    engines.
+
+    Scale shape: everything is subset-bounded by construction; the
+    exact side joins docs through an inverted shingle index (pairs
+    sharing >= 1 shingle — a J >= 0.7 pair always shares one), never a
+    cross join; the candidate side is the production band-key equi
+    join; the shingle frame checkpoints once and feeds signatures,
+    the inverted index, and both verify sides."""
+    d = tbl(spark, sf_dir, "documents").filter(F.col("doc_id") < _EVAL_MAX_ID)
+    sh = _shingle_hashes(d).localCheckpoint(eager=True)
+    sig = sh.select("doc_id", *[_sig_col(i) for i in range(_K)])
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.col(f"s{2 * b}").alias("h1"),
+                F.col(f"s{2 * b + 1}").alias("h2"),
+            )
+            for b in range(_BANDS)
+        ]
+    )
+    bands = sig.select("doc_id", F.explode(band_structs).alias("bd")).select(
+        "doc_id", "bd.band", "bd.h1", "bd.h2"
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.h1") == F.col("b.h1"))
+            & (F.col("a.h2") == F.col("b.h2"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+        .withColumn("is_cand", F.lit(True))
+    )
+    inv = sh.select("doc_id", F.explode("hs").alias("h"))
+    ia, ib = inv.alias("ia"), inv.alias("ib")
+    touch = (
+        ia.join(
+            ib,
+            (F.col("ia.h") == F.col("ib.h"))
+            & (F.col("ia.doc_id") < F.col("ib.doc_id")),
+        )
+        .select(
+            F.col("ia.doc_id").alias("id_a"), F.col("ib.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+    x = sh.select(F.col("doc_id").alias("id_a"), F.col("hs").alias("__ha"))
+    y = sh.select(F.col("doc_id").alias("id_b"), F.col("hs").alias("__hb"))
+    inter = F.size(F.array_intersect(F.col("__ha"), F.col("__hb")))
+    union_ = F.size("__ha") + F.size("__hb") - inter
+    exact = (
+        touch.join(x, "id_a")
+        .join(y, "id_b")
+        .filter(F.lit(10) * inter >= F.lit(7) * union_)
+        .select("id_a", "id_b")
+        .withColumn("is_exact", F.lit(True))
+    )
+    u = exact.join(cand, ["id_a", "id_b"], "full_outer").select(
+        F.coalesce(F.col("is_exact"), F.lit(False)).alias("is_exact"),
+        F.coalesce(F.col("is_cand"), F.lit(False)).alias("is_cand"),
+    )
+    n_docs = sh.count()
+    return u.agg(
+        F.lit(n_docs).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("is_exact"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_exact"),
+        F.sum(F.when(F.col("is_cand"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_cand"),
+        F.sum(F.when(F.col("is_exact") & F.col("is_cand"), 1).otherwise(0))
+        .cast("long")
+        .alias("tp"),
+        F.sum(F.when(F.col("is_cand") & ~F.col("is_exact"), 1).otherwise(0))
+        .cast("long")
+        .alias("fp"),
+        F.sum(F.when(F.col("is_exact") & ~F.col("is_cand"), 1).otherwise(0))
+        .cast("long")
+        .alias("fn"),
+        F.expr(
+            "CASE WHEN SUM(CASE WHEN is_cand THEN 1 ELSE 0 END) = 0"
+            "     THEN 1000000L"
+            "     ELSE SUM(CASE WHEN is_exact AND is_cand THEN 1 ELSE 0 END)"
+            "          * 1000000L"
+            "          div SUM(CASE WHEN is_cand THEN 1 ELSE 0 END) END"
+        ).alias("precision_ppm"),
+        F.expr(
+            "CASE WHEN SUM(CASE WHEN is_exact THEN 1 ELSE 0 END) = 0"
+            "     THEN 1000000L"
+            "     ELSE SUM(CASE WHEN is_exact AND is_cand THEN 1 ELSE 0 END)"
+            "          * 1000000L"
+            "          div SUM(CASE WHEN is_exact THEN 1 ELSE 0 END) END"
+        ).alias("recall_ppm"),
+    )

@@ -983,3 +983,97 @@ def xh_dsir_weights(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "xh_split_leakage",
+    oracle=f"""WITH d AS MATERIALIZED (
+  SELECT doc_id, source, md5(text) AS ch,
+         ({_H60_SQL.format(s="'split:' || CAST(doc_id AS VARCHAR)")}) AS h
+  FROM documents),
+r AS MATERIALIZED (
+  SELECT doc_id, source, ch,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY h, doc_id) AS rk,
+         COUNT(*) OVER (PARTITION BY source) AS n
+  FROM d),
+s AS MATERIALIZED (
+  SELECT doc_id, source, ch,
+         CASE WHEN rk <= (n * {_SPLIT_TRAIN_PCT}) // 100 THEN 'train'
+              WHEN rk <= (n * {_SPLIT_TRAIN_PCT}) // 100
+                        + (n * {_SPLIT_VAL_PCT}) // 100 THEN 'val'
+              ELSE 'test' END AS split
+  FROM r),
+th AS MATERIALIZED (SELECT DISTINCT ch FROM s WHERE split = 'train'),
+f AS (
+  SELECT s.source, s.split, (t.ch IS NOT NULL) AS leaked
+  FROM s LEFT JOIN th t USING (ch))
+SELECT source,
+       CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_train,
+       CAST(SUM(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_val,
+       CAST(SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_test,
+       CAST(SUM(CASE WHEN split = 'val' AND leaked THEN 1 ELSE 0 END)
+            AS BIGINT) AS leaked_val,
+       CAST(SUM(CASE WHEN split = 'test' AND leaked THEN 1 ELSE 0 END)
+            AS BIGINT) AS leaked_test
+FROM f GROUP BY source ORDER BY source""",
+    tags=("llm", "curation", "split", "eval", "oracle-twin"),
+)
+def xh_split_leakage(spark, sf_dir):
+    """Train/eval leakage audit over the stratified split (round 12) —
+    the check every pretraining setup runs before trusting its held-out
+    loss: a val/test document whose EXACT content (md5) also appears in
+    the train partition is leaked — the model will have memorized it,
+    and the eval number is fiction. Composes two r12 operators: the
+    assignment IS xh_stratified_split's (same hash order, same floor
+    arithmetic — one source of truth, the function itself), and the
+    identity key is the exact-dedup content hash. Leakage is GLOBAL by
+    design: a test doc matching a train doc from another source still
+    leaks. Emits the per-source split sizes and leaked-doc counts.
+
+    Scale shape: the split reuses grouped_rank's skew-safe range
+    machinery; the audit adds ONE distinct on train content hashes and
+    one hash-keyed LEFT probe to flag val/test docs (exact-dedup cost),
+    then a domain-bounded source rollup. Queued for the R13 driver
+    window per the pinned rotation policy (aliases.py)."""
+    assign = xh_stratified_split(spark, sf_dir).select(
+        "doc_id", "source", "split"
+    )
+    ch = tbl(spark, sf_dir, "documents").select(
+        "doc_id", F.md5("text").alias("ch")
+    )
+    s = assign.join(ch, "doc_id")
+    th = (
+        s.filter(F.col("split") == "train")
+        .select("ch")
+        .distinct()
+        .withColumn("leaked", F.lit(True))
+    )
+    f = s.join(th, "ch", "left").select(
+        "source", "split", F.coalesce(F.col("leaked"), F.lit(False)).alias("leaked")
+    )
+    return (
+        f.groupBy("source")
+        .agg(
+            F.sum(F.when(F.col("split") == "train", 1).otherwise(0))
+            .cast("long")
+            .alias("n_train"),
+            F.sum(F.when(F.col("split") == "val", 1).otherwise(0))
+            .cast("long")
+            .alias("n_val"),
+            F.sum(F.when(F.col("split") == "test", 1).otherwise(0))
+            .cast("long")
+            .alias("n_test"),
+            F.sum(F.when((F.col("split") == "val") & F.col("leaked"), 1).otherwise(0))
+            .cast("long")
+            .alias("leaked_val"),
+            F.sum(
+                F.when((F.col("split") == "test") & F.col("leaked"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("leaked_test"),
+        )
+        .orderBy("source")
+    )

@@ -486,3 +486,39 @@ def test_dsir_weights_separate_target_like_docs(spark, tmp_path):
     assert out[9]["weight"] == out[1]["weight"]
     assert all(out[i]["is_target"] == 1 for i in range(1, 5))
     assert all(out[i]["is_target"] == 0 for i in range(5, 11))
+
+
+def test_lsh_recall_eval_accounting_and_planted_copy(spark, tmp_path):
+    """tp/fp/fn must tile the two pair sets exactly, and a planted exact
+    copy (Jaccard 1.0) is BOTH an exact pair and an LSH candidate — any
+    band configuration catches identical signatures — so tp >= 1."""
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog today", "en", "s", 0),
+        (2, "the quick brown fox jumps over the lazy dog today", "en", "s", 0),
+        (3, "entirely different text with no overlap at all here", "en", "s", 0),
+        (4, "another unrelated document of fresh tokens only now", "en", "s", 0),
+    ]
+    tmp = str(tmp_path / "lsh_eval")
+    _write_docs(spark, rows, tmp)
+    r = REGISTRY["xh_lsh_recall_eval"].fn(spark, tmp).collect()[0]
+    assert r["tp"] + r["fn"] == r["n_exact"]
+    assert r["tp"] + r["fp"] == r["n_cand"]
+    assert r["tp"] >= 1 and r["n_docs"] == 4
+    assert r["recall_ppm"] == 1_000_000  # the only exact pair is the copy
+
+
+def test_split_leakage_planted_duplicates(spark, tmp_path):
+    """A 10-doc source of IDENTICAL content must leak its val and test
+    docs (train holds the same text no matter how the hash orders the
+    ids); a source of all-unique texts must leak nothing."""
+    rows = [(i, "same text everywhere", "en", "dup_src", 0) for i in range(10)]
+    rows += [(100 + i, f"unique text number {i}", "en", "uniq_src", 0)
+             for i in range(10)]
+    tmp = str(tmp_path / "leak")
+    _write_docs(spark, rows, tmp)
+    out = {r["source"]: r for r in
+           REGISTRY["xh_split_leakage"].fn(spark, tmp).collect()}
+    d, u = out["dup_src"], out["uniq_src"]
+    assert (d["n_train"], d["n_val"], d["n_test"]) == (8, 1, 1)
+    assert (d["leaked_val"], d["leaked_test"]) == (1, 1)
+    assert (u["leaked_val"], u["leaked_test"]) == (0, 0)
