@@ -53,7 +53,8 @@ xh_k_anonymity, xh_ks_drift, xh_lsh_recall_eval, xh_norm_dedup,
 xh_oov_rate, xh_pagerank_quantized, xh_pca_power, xh_pmi_counts,
 xh_quality_topk, xh_robust_stats, xh_source_gini, xh_source_overlap,
 xh_span_dedup, xh_split_leakage, xh_stratified_split,
-xh_winnow_fingerprint — never driver-checked, in name order);
+xh_tpch_q14, xh_tpch_q19, xh_tpch_q4, xh_winnow_fingerprint — never
+driver-checked, in name order);
 then q45-q47 (r10) and the 31 round-7 xh_* ops on
 r10 evidence (xh_bm25_topk, xh_cohort_retention, xh_consistent_sample,
 xh_dedup_clusters, xh_dq_profile, xh_dup_rate, xh_embed_quantize,

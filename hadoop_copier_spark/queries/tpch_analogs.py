@@ -239,3 +239,180 @@ def xh_tpch_q18(spark, sf_dir):
         .orderBy(F.col("totalprice_cents").desc(), "o_orderkey")
         .limit(100)
     )
+
+
+@register(
+    "xh_tpch_q14",
+    oracle=f"""SELECT CAST(epoch(date_trunc('month', l.l_shipdate)) AS BIGINT)
+         AS ship_month_sec,
+       CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                     THEN {ocents('l.l_extendedprice')}
+                          * (100 - {ocents('l.l_discount')})
+                     ELSE 0 END) AS BIGINT) AS promo_rev_e4,
+       CAST({_REV_SQL} AS BIGINT) AS total_rev_e4,
+       CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                     THEN {ocents('l.l_extendedprice')}
+                          * (100 - {ocents('l.l_discount')})
+                     ELSE 0 END) * 1000000
+            // SUM({ocents('l.l_extendedprice')}
+                   * (100 - {ocents('l.l_discount')})) AS BIGINT)
+         AS promo_ppm
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY date_trunc('month', l.l_shipdate)
+ORDER BY ship_month_sec""",
+    tags=("tpch", "join", "agg"),
+)
+def xh_tpch_q14(spark, sf_dir):
+    """TPC-H Q14 analog (promotion effect): the share of each ship
+    month's discounted revenue that came from PROMO-type parts — the
+    classic fact ⋈ dimension ratio report. The fixture's p_type domain
+    is flat ('PROMO', not 'PROMO BURNISHED...'), so the predicate is
+    equality rather than a prefix match; revenue follows the q24
+    exact-integer discipline (cents x (100 - discount-cents) summed in
+    DECIMAL(38,0)) and the ratio is integer ppm via truncating division
+    on the exact sums — no floats anywhere, unlike the spec's 100.00*.
+
+    Plan at 100 TB: part is a true dimension and BROADCASTS, so
+    lineitem's only exchange is the bounded month rollup
+    (partial->final on ~date-range/30 groups); the scan reads exactly
+    the five columns the query needs (column pruning pins ReadSchema)."""
+    li = tbl(spark, sf_dir, "lineitem")
+    p = tbl(spark, sf_dir, "part")
+    disc = (
+        cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
+    ).cast("decimal(38,0)")
+    promo = F.when(F.col("p_type") == "PROMO", disc).otherwise(
+        F.lit(0).cast("decimal(38,0)")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(F.date_trunc("month", "l_shipdate").alias("__m"))
+        .agg(
+            F.sum(promo).cast("bigint").alias("promo_rev_e4"),
+            F.sum(disc).cast("bigint").alias("total_rev_e4"),
+        )
+        .select(
+            F.unix_timestamp("__m").cast("bigint").alias("ship_month_sec"),
+            "promo_rev_e4",
+            "total_rev_e4",
+            F.expr(
+                "CAST((CAST(promo_rev_e4 AS DECIMAL(38,0)) * 1000000)"
+                "     div total_rev_e4 AS BIGINT)"
+            ).alias("promo_ppm"),
+        )
+        .orderBy("ship_month_sec")
+    )
+
+
+@register(
+    "xh_tpch_q4",
+    oracle="""SELECT o.o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1996-07-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND date_diff('day', CAST(o.o_orderdate AS DATE),
+                    CAST(l.l_shipdate AS DATE)) > 60)
+GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority""",
+    tags=("tpch", "join", "agg", "subquery"),
+)
+def xh_tpch_q4(spark, sf_dir):
+    """TPC-H Q4 analog (order priority checking): orders in a quarter
+    window that had at least one LATE line item, counted per priority
+    class. The fixture has no commit/receipt dates, so 'late' is the
+    declared adaptation ship > order date + 60 days — the shape under
+    test is identical: a correlated EXISTS whose correct plan is a LEFT
+    SEMI join (each order counts ONCE no matter how many late items).
+
+    Plan at 100 TB: the quarter filter pushes into the orders scan
+    BEFORE the semi join (PushedFilters), the semi join shuffles both
+    sides once on orderkey with the compound lateness predicate
+    evaluated join-side, and the priority rollup is a 5-group
+    partial->final aggregate."""
+    o = tbl(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    li = tbl(spark, sf_dir, "lineitem")
+    late = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey)
+        & (
+            F.datediff(F.to_date(li.l_shipdate), F.to_date(o.o_orderdate))
+            > 60
+        ),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+_Q19_ARMS = (
+    ("Brand#12", 1, 15, 20),
+    ("Brand#23", 1, 25, 35),
+    ("Brand#3", 1, 40, 50),
+)
+
+_Q19_ARMS_SQL = " OR ".join(
+    f"(p.p_brand = '{b}' AND p.p_size BETWEEN {lo} AND {hi}"
+    f" AND l.l_quantity <= {q})"
+    for b, lo, hi, q in _Q19_ARMS
+)
+_Q19_PART_SQL = " OR ".join(
+    f"(p.p_brand = '{b}' AND p.p_size BETWEEN {lo} AND {hi})"
+    for b, lo, hi, _ in _Q19_ARMS
+)
+
+
+@register(
+    "xh_tpch_q19",
+    oracle=f"""SELECT CAST({_REV_SQL} AS BIGINT) AS revenue_e4,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE ({_Q19_ARMS_SQL}) AND ({_Q19_PART_SQL})""",
+    tags=("tpch", "join", "filter"),
+)
+def xh_tpch_q19(spark, sf_dir):
+    """TPC-H Q19 analog (discounted revenue, disjunctive predicates):
+    revenue over three OR-ed (brand, size-range, quantity-cap) arms —
+    the benchmark's planner stress test for DISJUNCTIONS THAT SPAN THE
+    JOIN. A naive plan joins all of lineitem to all of part and filters
+    after; the right plan derives the part-only implication of the OR
+    (brand/size union) and pushes it into the dimension scan before the
+    join. That implied predicate is spelled EXPLICITLY here (and in the
+    oracle, where it is a no-op on the result) — the engine-convention
+    way to guarantee the pushdown a 100 TB run needs rather than hoping
+    a future optimizer infers it. The fixture keeps the spec's brand/
+    size/quantity axes (no container column; shipmode is absent), and
+    money follows the exact-integer revenue discipline.
+
+    Plan: part pre-filters to the brand/size union then BROADCASTS;
+    lineitem's quantity caps evaluate post-join (they reference both
+    sides through the OR); output is a single partial->final global
+    aggregate row."""
+    li = tbl(spark, sf_dir, "lineitem")
+    p = tbl(spark, sf_dir, "part")
+    part_union = None
+    full = None
+    for b, lo, hi, q in _Q19_ARMS:
+        pu = (
+            (F.col("p_brand") == b)
+            & F.col("p_size").between(lo, hi)
+        )
+        arm = pu & (F.col("l_quantity") <= q)
+        part_union = pu if part_union is None else (part_union | pu)
+        full = arm if full is None else (full | arm)
+    return (
+        li.join(F.broadcast(p.filter(part_union)), li.l_partkey == p.p_partkey)
+        .filter(full)
+        .agg(
+            _rev_e4(),
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+        )
+    )
