@@ -31,6 +31,15 @@ the base corpus — the worst case for the pair-forming stages) and times
               fresh vec_ids (expect ~linear: 3 fixed rounds, each one
               uniform vec_id agg + one 64-row agg; no term grows faster
               than rows)
+  span      — xh_span_dedup (round 12), duplicated-span coverage
+              (replicas make EVERY gram cross-doc-duplicated — the dup
+              probe passes the whole corpus, the worst case for the
+              per-doc interval-union window; expect ~linear: windows
+              stay doc-length-bounded)
+  winnow    — xh_winnow_fingerprint (round 12), winnowing fingerprints
+              (expect ~linear: the window min is per-doc, and the
+              fingerprint agg state is one row per DISTINCT fingerprint
+              — constant under replication)
 
 Prints one JSON line with wall seconds and the x16/x1 ratio per op
 (linear => ~16, and the ratio column in bench/scaling_results.json is
@@ -145,13 +154,20 @@ def main() -> None:
             r["pca_sec"] = timed(
                 lambda: REGISTRY["xh_pca_power"].fn(spark, sf_dir).count()
             )
+            r["span_sec"] = timed(
+                lambda: REGISTRY["xh_span_dedup"].fn(spark, sf_dir).count()
+            )
+            r["winnow_sec"] = timed(
+                lambda: REGISTRY["xh_winnow_fingerprint"].fn(spark, sf_dir).count()
+            )
             results[f"x{f}"] = r
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
     ratios = {
         op: round(results["x16"][f"{op}_sec"] / max(results["x1"][f"{op}_sec"], 1e-9), 2)
-        for op in ("exact", "minhash", "cc", "chunk", "novelty", "cdc", "pca")
+        for op in ("exact", "minhash", "cc", "chunk", "novelty", "cdc", "pca",
+                   "span", "winnow")
     }
     print(
         json.dumps(
