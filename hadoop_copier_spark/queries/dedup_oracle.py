@@ -1851,3 +1851,66 @@ def xh_lsh_recall_eval(spark, sf_dir):
             "          div SUM(CASE WHEN is_exact THEN 1 ELSE 0 END) END"
         ).alias("recall_ppm"),
     )
+
+
+@register(
+    "xh_source_dup_matrix",
+    oracle="""WITH cs AS MATERIALIZED (
+  SELECT md5(text) AS ch, source, MIN(doc_id) AS first_id
+  FROM documents GROUP BY md5(text), source)
+SELECT a.source AS src_a, b.source AS src_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared,
+       CAST(SUM(CASE WHEN a.first_id < b.first_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_a_first,
+       CAST(SUM(CASE WHEN b.first_id < a.first_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_b_first
+FROM cs a JOIN cs b ON a.ch = b.ch AND a.source < b.source
+GROUP BY a.source, b.source
+ORDER BY src_a, src_b""",
+    tags=("llm", "dedup", "provenance", "oracle-twin"),
+)
+def xh_source_dup_matrix(spark, sf_dir):
+    """Cross-source exact-duplicate matrix with first-seen attribution
+    (round 12) — the 'who copies whom' dashboard behind crawl-source
+    triage: for every source pair, how many distinct CONTENTS appear in
+    both, and which source saw each shared content first (minimum
+    doc_id — ingestion order in the fixture convention). A pair where
+    n_a_first dominates says b is largely re-serving a's content —
+    drop-or-deprioritize evidence the scalar dup-rate
+    (xh_dup_rate_by_source) can't give, and the content-identity
+    complement of xh_source_overlap's vocabulary view.
+
+    Scale shape: the corpus collapses to one row per DISTINCT
+    (content-hash, source) with its min doc_id — ONE uniform exchange;
+    the self-join joins those collapsed rows on the hash, so per-hash
+    fan-out is bounded by sources^2 (domain cardinality, never corpus
+    size); the pair rollup is sources^2-bounded. Queued for the R13
+    driver window per the pinned rotation policy (aliases.py)."""
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    cs = (
+        tbl(spark, sf_dir, "documents")
+        .repartition(n_parts, "doc_id")
+        .groupBy(F.md5("text").alias("ch"), F.col("source"))
+        .agg(F.min("doc_id").alias("first_id"))
+    )
+    a = cs.select(
+        "ch", F.col("source").alias("src_a"), F.col("first_id").alias("fa")
+    )
+    b = cs.select(
+        "ch", F.col("source").alias("src_b"), F.col("first_id").alias("fb")
+    )
+    return (
+        a.join(b, "ch")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shared"),
+            F.sum(F.when(F.col("fa") < F.col("fb"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_a_first"),
+            F.sum(F.when(F.col("fb") < F.col("fa"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_b_first"),
+        )
+        .orderBy("src_a", "src_b")
+    )

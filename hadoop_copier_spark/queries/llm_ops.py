@@ -920,3 +920,85 @@ def xh_pca_power(spark, sf_dir):
             F.expr(f"CAST((w * {_PCA_UNIT}) div m AS BIGINT)").alias("vu"),
         )
     return v.select("dim", F.col("vu").alias("v_units")).orderBy("dim")
+
+
+@register(
+    "xh_embed_centroid_drift",
+    oracle="""WITH u AS MATERIALIZED (
+  SELECT label, vec_id % 2 AS half, t.i AS dim,
+         CAST(FLOOR(CAST(t.x AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS uq
+  FROM embeddings,
+       LATERAL (SELECT unnest(embedding) AS x,
+                       generate_subscripts(embedding, 1) AS i) AS t),
+d AS (
+  SELECT label, dim,
+         SUM(CASE WHEN half = 0 THEN uq ELSE 0 END) AS s_even,
+         SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS n_even,
+         SUM(CASE WHEN half = 1 THEN uq ELSE 0 END) AS s_odd,
+         SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS n_odd
+  FROM u GROUP BY label, dim)
+SELECT label,
+       CAST(MAX(n_even) AS BIGINT) AS n_even,
+       CAST(MAX(n_odd) AS BIGINT) AS n_odd,
+       CAST(SUM(ABS(s_even * n_odd - s_odd * n_even)) AS BIGINT)
+         AS l1_cross_units
+FROM d GROUP BY label ORDER BY label""",
+    tags=("llm", "embeddings", "drift", "oracle-twin"),
+)
+def xh_embed_centroid_drift(spark, sf_dir):
+    """Per-label embedding-centroid drift between corpus halves
+    (round 12) — the ML-ops monitor that catches a feature-pipeline or
+    encoder change: if the even-vec_id half and the odd half of a label
+    were drawn from the same distribution, their centroids agree; a
+    large per-label L1 gap flags drift (the embedding-space analog of
+    xh_ks_drift on lengths). Exact integers throughout: components
+    quantize to 1e-6 units via the established FLOOR(x*1e6+0.5) rule
+    (FLOAT->DOUBLE is exact, so both engines floor the same double),
+    and the halves compare CROSS-MULTIPLIED — |s_even*n_odd -
+    s_odd*n_even| — so no division ever happens and the per-dim terms
+    sum order-free. n_even/n_odd are constant across dims of a label
+    (MAX is just the hash-stable way to surface them).
+
+    Scale shape: the vectors explode to (label, dim, half, unit) rows
+    once and collapse via ONE uniform (label, dim)-keyed partial agg —
+    exchange rows are labels x dims (domain-bounded), not corpus rows;
+    the label rollup is a second domain-bounded agg. BIGINT headroom:
+    1e6-unit sums x corpus rows x counts fits ~1e5 vectors/label; at
+    larger per-label populations promote the cross-product to
+    DECIMAL(38,0) (the xh_pca_power discipline). Queued for the R13
+    driver window per the pinned rotation policy (aliases.py)."""
+    e = tbl(spark, sf_dir, "embeddings")
+    u = e.select(
+        "label",
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode("embedding").alias("dim", "x"),
+    ).select(
+        "label",
+        "half",
+        "dim",
+        F.expr(
+            "CAST(FLOOR(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)"
+        ).alias("uq"),
+    )
+    d = u.groupBy("label", "dim").agg(
+        F.sum(F.when(F.col("half") == 0, F.col("uq")).otherwise(0)).alias("s_even"),
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("n_even"),
+        F.sum(F.when(F.col("half") == 1, F.col("uq")).otherwise(0)).alias("s_odd"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("n_odd"),
+    )
+    return (
+        d.groupBy("label")
+        .agg(
+            F.max("n_even").cast("long").alias("n_even"),
+            F.max("n_odd").cast("long").alias("n_odd"),
+            F.sum(
+                F.abs(
+                    F.col("s_even") * F.col("n_odd")
+                    - F.col("s_odd") * F.col("n_even")
+                )
+            )
+            .cast("long")
+            .alias("l1_cross_units"),
+        )
+        .orderBy("label")
+    )

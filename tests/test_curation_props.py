@@ -522,3 +522,54 @@ def test_split_leakage_planted_duplicates(spark, tmp_path):
     assert (d["n_train"], d["n_val"], d["n_test"]) == (8, 1, 1)
     assert (d["leaked_val"], d["leaked_test"]) == (1, 1)
     assert (u["leaked_val"], u["leaked_test"]) == (0, 0)
+
+
+def test_source_dup_matrix_first_seen_attribution(spark, tmp_path):
+    """Shared contents attribute to the source with the lower min
+    doc_id; unshared contents never create a pair row."""
+    rows = [
+        (1, "content X", "en", "srcA", 0),
+        (2, "content Y", "en", "srcA", 0),
+        (3, "content X", "en", "srcB", 0),
+        (4, "content Z", "en", "srcB", 0),
+        (5, "content X", "en", "srcC", 0),
+        (6, "content X", "en", "srcC", 0),   # dup within C: still ONE content
+    ]
+    tmp = str(tmp_path / "dupmat")
+    _write_docs(spark, rows, tmp)
+    out = {(r["src_a"], r["src_b"]): (r["n_shared"], r["n_a_first"], r["n_b_first"])
+           for r in REGISTRY["xh_source_dup_matrix"].fn(spark, tmp).collect()}
+    assert out == {
+        ("srcA", "srcB"): (1, 1, 0),
+        ("srcA", "srcC"): (1, 1, 0),
+        ("srcB", "srcC"): (1, 1, 0),
+    }
+
+
+def test_embed_centroid_drift_zero_iff_halves_agree(spark, tmp_path):
+    """Identical even/odd halves drift exactly 0; a shifted odd half
+    drifts positive — and the cross-multiplied statistic is unchanged
+    by doubling both halves (scale-free in counts)."""
+    import shutil
+
+    def write(rows, name):
+        d = str(tmp_path / name)
+        spark.createDataFrame(
+            spark.sparkContext.parallelize(rows, 2),
+            "vec_id long, embedding array<float>, label int",
+        ).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+        return d
+
+    base = [[0.5, -0.25, 1.0], [0.125, 0.75, -0.5]]
+    same = [(2 * i + h, base[i], 7) for i in range(2) for h in (0, 1)]
+    d1 = write(same, "same")
+    out = REGISTRY["xh_embed_centroid_drift"].fn(spark, d1).collect()
+    assert [(r["label"], r["l1_cross_units"]) for r in out] == [(7, 0)]
+    shifted = [(2 * i + h, [x + (0.5 if h else 0.0) for x in base[i]], 7)
+               for i in range(2) for h in (0, 1)]
+    d2 = write(shifted, "shifted")
+    r = REGISTRY["xh_embed_centroid_drift"].fn(spark, d2).collect()[0]
+    # each of 3 dims drifts by 0.5 units/vector: |s_e*n_o - s_o*n_e| =
+    # 2*2*500000 per dim, 3 dims => 6e6
+    assert r["l1_cross_units"] == 6_000_000
+    shutil.rmtree(str(tmp_path), ignore_errors=True)
