@@ -48,7 +48,7 @@ round-7 xh_* ops (r10) — queued next.
 R13 QUEUE LEDGER (stalest driver evidence after this window, in rotation
 order — never-checked first, then ties by name): the H operators added
 mid-r12 after this window was pinned queue first (xh_bloom_prune,
-xh_cdc_dedup, xh_decayed_counts, xh_dsir_weights,
+xh_cdc_dedup, xh_datetime_matrix, xh_decayed_counts, xh_dsir_weights,
 xh_embed_centroid_drift, xh_hll_registers, xh_k_anonymity, xh_ks_drift,
 xh_lsh_recall_eval, xh_norm_dedup, xh_oov_rate, xh_pagerank_quantized,
 xh_pca_power, xh_pmi_counts, xh_quality_topk, xh_robust_stats,

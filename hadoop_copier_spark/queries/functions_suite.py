@@ -332,3 +332,57 @@ def p_uuid_keys(spark, sf_dir):
     tests assert uniqueness + RFC-4122 format."""
     n = tbl(spark, sf_dir, "nation")
     return n.select("n_nationkey", F.expr("uuid()").alias("request_id")).orderBy("n_nationkey")
+
+
+@register(
+    "xh_datetime_matrix",
+    oracle="""SELECT event_id,
+       CAST(quarter(ts) AS INT) AS q,
+       CAST(weekofyear(ts) AS INT) AS iso_week,
+       CAST(dayofyear(ts) AS INT) AS doy,
+       CAST(hour(ts) AS INT) AS hh,
+       CAST(minute(ts) AS INT) AS mi,
+       CAST(second(ts) AS INT) AS ss,
+       CAST(epoch(date_trunc('week', ts)) AS BIGINT) AS week_start_sec,
+       CAST(epoch(date_trunc('quarter', ts)) AS BIGINT) AS quarter_start_sec,
+       CAST(epoch(CAST(CAST(ts AS DATE) + INTERVAL 2 MONTH AS TIMESTAMP))
+            AS BIGINT) AS plus2mo_sec
+FROM events ORDER BY event_id""",
+    tags=("functions", "datetime", "oracle-twin"),
+)
+def xh_datetime_matrix(spark, sf_dir):
+    """Datetime function-parity matrix (round 12) — extends q50's date
+    suite to the time-of-day and calendar functions it skipped, on the
+    events stream (which, unlike o_orderdate, has non-midnight
+    components): quarter, ISO week number (both engines implement the
+    ISO-8601 week), day-of-year, hour/minute/second, Monday-start week
+    and quarter truncation (as epoch seconds — the q61/q63 timestamp
+    discipline), and add_months' MONTH-END CLAMP (Jan 31 + 2 months =
+    Mar 31 via clamping through Feb — Spark add_months and DuckDB's
+    date + INTERVAL share the clamp; applied on the DATE to keep the
+    arithmetic integer). Fractional months_between stays out (float,
+    engine-divergent denominator convention).
+
+    Scale: scan -> project inside whole-stage codegen -> order by the
+    unique key; no exchange before the output sort."""
+    e = tbl(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.quarter("ts").alias("q"),
+        F.weekofyear("ts").alias("iso_week"),
+        F.dayofyear("ts").alias("doy"),
+        F.hour("ts").alias("hh"),
+        F.minute("ts").alias("mi"),
+        F.second("ts").alias("ss"),
+        F.unix_timestamp(F.date_trunc("week", "ts"))
+        .cast("long")
+        .alias("week_start_sec"),
+        F.unix_timestamp(F.date_trunc("quarter", "ts"))
+        .cast("long")
+        .alias("quarter_start_sec"),
+        F.unix_timestamp(
+            F.add_months(F.col("ts").cast("date"), 2).cast("timestamp")
+        )
+        .cast("long")
+        .alias("plus2mo_sec"),
+    ).orderBy("event_id")

@@ -551,3 +551,69 @@ def test_grouped_rank_skewed_group_spans_partitions(spark):
         .collect()[0]["c"]
     )
     assert span > 1, "skewed group collapsed into a single range partition"
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprints ≡ brute-force reference on arbitrary corpora (r12)
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "d", "e"]), min_size=1, max_size=12),
+        min_size=1,
+        max_size=8,
+    ),
+    n_parts=st.sampled_from([1, 4]),
+)
+def test_winnow_fingerprint_matches_reference_on_random_corpora(
+    spark, tmp_path_factory, docs, n_parts
+):
+    """For ANY corpus and input partitioning, the registry operator's
+    (n_fps, n_shared_fps) must equal a pure-Python winnowing
+    re-derivation — tiny alphabet + short docs maximize dup-gram and
+    window-tie density, the regimes where an off-by-one in the window
+    frame or the sub-window rule would show."""
+    import hashlib
+    import shutil
+
+    from hadoop_copier_spark.queries import REGISTRY
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def ref_fps(toks, k=3, w=4):
+        if len(toks) < k:
+            grams = [" ".join(toks)]
+        else:
+            grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+        hs = [h60(g) for g in grams]
+        eff = min(w, len(hs))
+        return {
+            min(hs[max(0, i - w + 1) : i + 1]) for i in range(eff - 1, len(hs))
+        }
+
+    rows = [(i, " ".join(t), "en", "s", 0) for i, t in enumerate(docs)]
+    root = tmp_path_factory.mktemp("winnow_prop")
+    tmp = str(root)
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, n_parts),
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+    try:
+        got = {
+            r["doc_id"]: (r["n_fps"], r["n_shared_fps"])
+            for r in REGISTRY["xh_winnow_fingerprint"].fn(spark, tmp).collect()
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    fps = {i: ref_fps(t) for i, t in enumerate(docs)}
+    owners = {}
+    for i, s_ in fps.items():
+        for fp in s_:
+            owners.setdefault(fp, set()).add(i)
+    expect = {
+        i: (len(s_), sum(1 for fp in s_ if len(owners[fp]) >= 2))
+        for i, s_ in fps.items()
+    }
+    assert got == expect
