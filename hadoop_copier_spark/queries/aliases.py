@@ -50,12 +50,13 @@ order — never-checked first, then ties by name): the H operators added
 mid-r12 after this window was pinned queue first (xh_bloom_prune,
 xh_cdc_dedup, xh_datetime_matrix, xh_decayed_counts, xh_dsir_weights,
 xh_embed_centroid_drift, xh_hll_registers, xh_k_anonymity, xh_ks_drift,
-xh_lsh_recall_eval, xh_norm_dedup, xh_oov_rate, xh_pagerank_quantized,
-xh_pca_power, xh_pmi_counts, xh_quality_topk, xh_robust_stats,
+xh_lsh_recall_eval, xh_market_basket, xh_norm_dedup, xh_oov_rate,
+xh_pagerank_quantized, xh_pca_power, xh_pmi_counts, xh_quality_topk,
+xh_robust_stats,
 xh_source_dup_matrix, xh_source_gini, xh_source_overlap,
 xh_span_dedup, xh_split_leakage, xh_stratified_split,
-xh_tpch_q14, xh_tpch_q19, xh_tpch_q4, xh_winnow_fingerprint — never
-driver-checked, in name order);
+xh_tpch_q14, xh_tpch_q19, xh_tpch_q22, xh_tpch_q4,
+xh_winnow_fingerprint — never driver-checked, in name order);
 then q45-q47 (r10) and the 31 round-7 xh_* ops on
 r10 evidence (xh_bm25_topk, xh_cohort_retention, xh_consistent_sample,
 xh_dedup_clusters, xh_dq_profile, xh_dup_rate, xh_embed_quantize,

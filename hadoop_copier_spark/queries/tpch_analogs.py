@@ -416,3 +416,153 @@ def xh_tpch_q19(spark, sf_dir):
             F.count(F.lit(1)).cast("long").alias("n_items"),
         )
     )
+
+
+_BASKET_TOP = 50
+
+
+@register(
+    "xh_market_basket",
+    oracle=f"""WITH items AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n AS MATERIALIZED (
+  SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM items),
+pc AS MATERIALIZED (
+  SELECT l_partkey, COUNT(*) AS n_part FROM items GROUP BY l_partkey),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         COUNT(*) AS n_both
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey)
+SELECT p.part_a, p.part_b,
+       CAST(p.n_both AS BIGINT) AS n_both,
+       CAST(ca.n_part AS BIGINT) AS n_a,
+       CAST(cb.n_part AS BIGINT) AS n_b,
+       CAST(p.n_both * 1000000 // n.n_orders AS BIGINT) AS support_ppm,
+       CAST(p.n_both * n.n_orders * 1000000 // (ca.n_part * cb.n_part)
+            AS BIGINT) AS lift_ppm
+FROM pairs p
+JOIN pc ca ON ca.l_partkey = p.part_a
+JOIN pc cb ON cb.l_partkey = p.part_b
+CROSS JOIN n
+ORDER BY n_both DESC, part_a, part_b
+LIMIT {_BASKET_TOP}""",
+    tags=("tpch", "basket", "join", "oracle-twin"),
+)
+def xh_market_basket(spark, sf_dir):
+    """Pairwise market-basket mining (round 12) — the association-rule
+    support/lift table over the order star (the A-priori k=2 pass, the
+    workhorse of co-purchase analytics): for the top co-occurring part
+    pairs, exact order counts, integer-ppm support (share of all
+    orders containing both) and integer-ppm lift (observed co-rate
+    over the independence expectation n_a*n_b/N^2 — cross-multiplied,
+    no floats, truncating division in both engines). Output bounded to
+    the top-50 pairs by co-count with a (part_a, part_b) tiebreak.
+
+    Scale shape: baskets collapse to DISTINCT (order, part) first (one
+    uniform exchange); the pair generation is a within-order self-join
+    whose fan-out is C(items-per-order, 2) — bounded by basket size,
+    never corpus-quadratic; the pair aggregate is one uniform
+    (part_a, part_b) exchange; part marginals and the 1-row order
+    count attach via broadcast; top-50 is TakeOrderedAndProject.
+    BIGINT headroom for lift's cross product: n_both*N*1e6 <= N^2*1e6
+    caps around N = 3e6 orders — past that promote to DECIMAL(38,0)
+    (the xh_pca_power discipline, documented knob). Queued for the R13
+    driver window per the pinned rotation policy (aliases.py)."""
+    li = tbl(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = items.select("l_orderkey").distinct().count()
+    pc = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_part"))
+    a = items.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
+    )
+    b = items.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b")
+    )
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    ca = pc.select(F.col("l_partkey").alias("part_a"), F.col("n_part").alias("n_a"))
+    cb = pc.select(F.col("l_partkey").alias("part_b"), F.col("n_part").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(ca), "part_a")
+        .join(F.broadcast(cb), "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            F.col("n_both").cast("long").alias("n_both"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.expr(f"CAST(n_both * 1000000L div {n_orders}L AS BIGINT)").alias(
+                "support_ppm"
+            ),
+            F.expr(
+                f"CAST(n_both * {n_orders}L * 1000000L div (n_a * n_b) AS BIGINT)"
+            ).alias("lift_ppm"),
+        )
+        .orderBy(F.col("n_both").desc(), "part_a", "part_b")
+        .limit(_BASKET_TOP)
+    )
+
+
+@register(
+    "xh_tpch_q22",
+    oracle=f"""WITH pos AS MATERIALIZED (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM({ocents('c_acctbal')}) AS BIGINT) AS s
+  FROM customer WHERE c_acctbal > 0),
+rich AS MATERIALIZED (
+  SELECT c.c_custkey, c.c_nationkey, {ocents('c.c_acctbal')} AS bal_cents
+  FROM customer c, pos
+  WHERE c.c_acctbal > 0 AND {ocents('c.c_acctbal')} * pos.n > pos.s),
+inactive AS (
+  SELECT r.* FROM rich r ANTI JOIN orders o ON r.c_custkey = o.o_custkey)
+SELECT n.n_name,
+       CAST(COUNT(*) AS BIGINT) AS n_custs,
+       CAST(SUM(i.bal_cents) AS BIGINT) AS total_acctbal_cents
+FROM inactive i JOIN nation n ON i.c_nationkey = n.n_nationkey
+GROUP BY n.n_name ORDER BY n.n_name""",
+    tags=("tpch", "subquery", "anti-join", "oracle-twin"),
+)
+def xh_tpch_q22(spark, sf_dir):
+    """TPC-H Q22 analog (global sales opportunity): customers with an
+    ABOVE-AVERAGE positive account balance who have placed NO orders,
+    rolled up per nation (the fixture's country axis — it has no phone
+    country codes). The benchmark's scalar-subquery + ANTI-join
+    composition. The above-average test is CROSS-MULTIPLIED into exact
+    integers — bal_cents * N > SUM(cents) — so the float average never
+    exists and the boundary customer classifies identically in both
+    engines (the xh_embed_centroid_drift discipline).
+
+    Plan at 100 TB: the (N, SUM) pair is one partial->final global agg
+    collapsed to an O(1) driver scalar; the rich-customer filter is a
+    scan-side predicate using those two literals; the no-orders test is
+    a LEFT ANTI join on custkey (one exchange each side — at scale the
+    orders side prunes to the distinct-custkey aggregate first if AQE
+    sizes say so); nation broadcasts; the rollup is nation-bounded."""
+    c = tbl(spark, sf_dir, "customer")
+    pos = c.filter(F.col("c_acctbal") > 0).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cents("c_acctbal")).cast("long").alias("s"),
+    ).collect()[0]
+    n_pos, s_pos = int(pos["n"] or 0), int(pos["s"] or 0)
+    rich = c.filter(
+        (F.col("c_acctbal") > 0)
+        & (cents("c_acctbal") * F.lit(n_pos) > F.lit(s_pos))
+    ).select("c_custkey", "c_nationkey", cents("c_acctbal").alias("bal_cents"))
+    o = tbl(spark, sf_dir, "orders")
+    inactive = rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
+    n = tbl(spark, sf_dir, "nation")
+    return (
+        inactive.join(F.broadcast(n), inactive.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_custs"),
+            F.sum("bal_cents").cast("long").alias("total_acctbal_cents"),
+        )
+        .orderBy("n_name")
+    )

@@ -230,3 +230,34 @@ def test_k_anonymity_flags_thin_classes(spark, tmp_path_factory):
     assert (b["n_classes"], b["n_violating"]) == (1, 1)
     assert (b["users_at_risk"], b["rows_at_risk"]) == (1, 1)
     assert b["min_class_users"] == 1
+
+
+def test_market_basket_support_and_lift_exact(spark, tmp_path_factory):
+    """Hand-computed 3-basket corpus: support counts distinct orders
+    (line-item duplicates collapse), lift is the cross-multiplied
+    independence ratio, and a never-co-occurring pair emits no row."""
+    rows = [
+        # (l_orderkey, l_partkey, ...) — minimal lineitem columns used
+        (1, 100), (1, 200), (1, 200),   # dup line item: still ONE item
+        (2, 100), (2, 200),
+        (3, 100), (3, 300),
+    ]
+    df = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+            [(ok, pk, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O",
+              datetime(2024, 1, 1)) for ok, pk in rows], 2),
+        schema="l_orderkey bigint, l_partkey bigint, l_suppkey bigint, "
+        "l_linenumber bigint, l_quantity double, l_extendedprice double, "
+        "l_discount double, l_tax double, l_returnflag string, "
+        "l_linestatus string, l_shipdate timestamp",
+    )
+    root = tmp_path_factory.mktemp("basket")
+    df.write.parquet(f"{root}/lineitem.parquet")
+    out = {(r["part_a"], r["part_b"]): r for r in
+           REGISTRY["xh_market_basket"].fn(spark, str(root)).collect()}
+    ab, ac = out[(100, 200)], out[(100, 300)]
+    assert (ab["n_both"], ab["n_a"], ab["n_b"]) == (2, 3, 2)
+    assert ab["support_ppm"] == 666_666
+    assert ab["lift_ppm"] == 1_000_000      # 2*3/(3*2): independent-looking
+    assert (ac["n_both"], ac["lift_ppm"]) == (1, 1_000_000)
+    assert (200, 300) not in out
