@@ -471,7 +471,14 @@ def xh_market_basket(spark, sf_dir):
     (the xh_pca_power discipline, documented knob). Queued for the R13
     driver window per the pinned rotation policy (aliases.py)."""
     li = tbl(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
+    # one distinct exchange, materialized once: FOUR consumers (both pair
+    # sides, the marginals, the order count) read the basket-item frame
+    # from executor storage instead of re-running scan+distinct each
+    items = (
+        li.select("l_orderkey", "l_partkey")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     n_orders = items.select("l_orderkey").distinct().count()
     pc = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_part"))
     a = items.select(
