@@ -50,7 +50,8 @@ order — never-checked first, then ties by name): the H operators added
 mid-r12 after this window was pinned queue first (xh_bloom_prune,
 xh_cdc_dedup, xh_datetime_matrix, xh_decayed_counts, xh_dsir_weights,
 xh_embed_centroid_drift, xh_hll_registers, xh_k_anonymity, xh_ks_drift,
-xh_lsh_recall_eval, xh_market_basket, xh_norm_dedup, xh_oov_rate,
+xh_lsh_recall_eval, xh_market_basket, xh_multi_signal_dedup,
+xh_norm_dedup, xh_oov_rate,
 xh_pagerank_quantized, xh_pca_power, xh_pmi_counts, xh_quality_topk,
 xh_robust_stats,
 xh_source_dup_matrix, xh_source_gini, xh_source_overlap,

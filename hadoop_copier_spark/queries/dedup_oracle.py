@@ -1914,3 +1914,129 @@ def xh_source_dup_matrix(spark, sf_dir):
         )
         .orderBy("src_a", "src_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-signal dedup consolidation (round 12).
+
+
+def _multi_signal_oracle() -> str:
+    return f"""WITH RECURSIVE {_SHINGLES_SQL},
+sig AS MATERIALIZED (
+  SELECT doc_id,
+         {_SIG_COLS_SQL}
+  FROM sh
+),
+bands AS (
+  {_BANDS_SQL}
+),
+near AS MATERIALIZED (
+  SELECT c.id_a, c.id_b
+  FROM (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.h1 = b.h1 AND a.h2 = b.h2
+         AND a.doc_id < b.doc_id) c
+  JOIN sh x ON c.id_a = x.doc_id
+  JOIN sh y ON c.id_b = y.doc_id
+  WHERE 10 * len(list_intersect(x.hs, y.hs))
+        >= 7 * (len(x.hs) + len(y.hs) - len(list_intersect(x.hs, y.hs)))
+),
+ch AS MATERIALIZED (
+  SELECT doc_id, md5(text) AS ch FROM documents),
+grp AS MATERIALIZED (
+  SELECT ch, MIN(doc_id) AS keep, COUNT(*) AS n FROM ch GROUP BY ch),
+exact AS MATERIALIZED (
+  SELECT g.keep AS id_a, c.doc_id AS id_b
+  FROM ch c JOIN grp g USING (ch) WHERE c.doc_id <> g.keep),
+all_edges AS MATERIALIZED (
+  SELECT id_a, id_b FROM near UNION SELECT id_a, id_b FROM exact),
+edges AS MATERIALIZED (
+  SELECT id_a AS u, id_b AS v FROM all_edges
+  UNION SELECT id_b, id_a FROM all_edges),
+reach(u, v) AS (
+  SELECT doc_id, doc_id FROM ch
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v
+)
+SELECT r.u AS doc_id,
+       CAST(MIN(r.v) AS BIGINT) AS cluster_id,
+       CAST(MAX(CASE WHEN g.n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS is_exact_dup,
+       CAST(MAX(CASE WHEN nn.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS is_near_dup
+FROM reach r
+JOIN ch c ON c.doc_id = r.u
+JOIN grp g USING (ch)
+LEFT JOIN (SELECT id_a AS doc_id FROM near
+           UNION SELECT id_b FROM near) nn ON nn.doc_id = r.u
+GROUP BY r.u ORDER BY doc_id"""
+
+
+@register(
+    "xh_multi_signal_dedup",
+    oracle=_multi_signal_oracle(),
+    tags=("llm", "dedup", "components", "oracle-twin"),
+)
+def xh_multi_signal_dedup(spark, sf_dir):
+    """Multi-signal dedup consolidation (round 12) — the step that turns
+    the separate dedup detectors into ONE keep/drop decision: exact-dup
+    edges (content md5, star-shaped group-min->member) UNION the
+    verified MinHash+LSH near-dup pairs (the production 4-band
+    signatures + exact Jaccard >= 0.7 check, composed from
+    xh_minhash_lsh_pairs' own function) form a single graph; every doc
+    gets the MIN doc_id of its connected component as cluster_id — the
+    canonical representative a writer keeps — plus per-doc provenance
+    flags saying WHICH signal implicated it (is_exact_dup /
+    is_near_dup), the triage columns a curation dashboard needs when
+    the two detectors disagree. A reformatted near-copy chains to its
+    source's exact-dup group through the union, which neither signal
+    alone clusters — the reason this op exists.
+
+    Scale shape: every component is the already-audited scale plan —
+    exact edges are one content-hash exchange emitting star edges
+    (never within-group quadratic), near edges are the band-bucket
+    join, and the consolidation is O(log diameter) pointer-jumping CC
+    (operators/components.py) over edge counts linear in dup volume;
+    the provenance flags are two hash-keyed probes. Oracle: DuckDB
+    recursive min-reachability over the identical edge set. Queued for
+    the R13 driver window per the pinned rotation policy (aliases.py)."""
+    from ..operators.components import dedup_clusters
+
+    d = tbl(spark, sf_dir, "documents")
+    ch = d.select("doc_id", F.md5("text").alias("ch"))
+    grp = ch.groupBy("ch").agg(
+        F.min("doc_id").alias("keep"), F.count(F.lit(1)).alias("n")
+    )
+    chg = ch.join(grp, "ch").localCheckpoint(eager=True)  # reused 3x
+    exact = chg.filter(F.col("doc_id") != F.col("keep")).select(
+        F.col("keep").alias("id_a"), F.col("doc_id").alias("id_b")
+    )
+    near = (
+        xh_minhash_lsh_pairs(spark, sf_dir)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)  # feeds the union AND the flag probe
+    )
+    pairs = exact.unionByName(near).distinct()
+    clusters = dedup_clusters(pairs, nodes=d.select("doc_id"))
+    near_docs = (
+        near.select(F.col("id_a").alias("doc_id"))
+        .unionByName(near.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+        .withColumn("__near", F.lit(1))
+    )
+    return (
+        clusters.join(
+            chg.select("doc_id", (F.col("n") > 1).cast("int").alias("__ex")),
+            "doc_id",
+        )
+        .join(near_docs, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("cluster_id").cast("long").alias("cluster_id"),
+            F.col("__ex").cast("long").alias("is_exact_dup"),
+            F.coalesce(F.col("__near"), F.lit(0))
+            .cast("long")
+            .alias("is_near_dup"),
+        )
+        .orderBy("doc_id")
+    )

@@ -573,3 +573,28 @@ def test_embed_centroid_drift_zero_iff_halves_agree(spark, tmp_path):
     # 2*2*500000 per dim, 3 dims => 6e6
     assert r["l1_cross_units"] == 6_000_000
     shutil.rmtree(str(tmp_path), ignore_errors=True)
+
+
+def test_multi_signal_dedup_chains_near_copy_into_exact_group(spark, tmp_path):
+    """The scenario the consolidation op exists for: docs 1 and 2 are
+    byte-identical (exact signal), doc 3 is a one-token near-copy of 1
+    (near signal ONLY — its md5 differs), doc 4 is unrelated. The union
+    graph must place 1, 2 AND 3 in one cluster with canonical id 1,
+    with provenance flags saying which detector implicated each doc."""
+    base = " ".join(f"w{i}" for i in range(24))
+    rows = [
+        (1, base, "en", "s", 0),
+        (2, base, "en", "s", 0),
+        (3, base.replace("w10", "CHANGED"), "en", "s", 0),
+        (4, "totally different text entirely here", "en", "s", 0),
+    ]
+    tmp = str(tmp_path / "multisig")
+    _write_docs(spark, rows, tmp)
+    got = {r["doc_id"]: (r["cluster_id"], r["is_exact_dup"], r["is_near_dup"])
+           for r in REGISTRY["xh_multi_signal_dedup"].fn(spark, tmp).collect()}
+    assert got == {
+        1: (1, 1, 1),   # exact dup of 2, near dup of 3
+        2: (1, 1, 1),
+        3: (1, 0, 1),   # near-only: chained in through the union
+        4: (4, 0, 0),
+    }
