@@ -286,3 +286,69 @@ def p_image_phash(spark, sf_dir):
     )
     ph = image_phash(base.unionByName(planted))
     return phash_neardup_pairs(ph, max_hamming=6).orderBy("id_a", "id_b")
+
+
+@register("xp_right_to_erasure", oracle=None, tags=("parity", "snapshots", "privacy"))
+def p_right_to_erasure(spark, sf_dir):
+    """P-class: GDPR/CCPA right-to-erasure over the versioned snapshot
+    layer (round 12) — the deletion workflow a user-keyed lakehouse
+    table must support: given erasure requests for a set of user_ids,
+    rewrite the current snapshot WITHOUT their rows (one LEFT ANTI join
+    against the broadcast request list — a full-scan rewrite, the
+    honest cost of physical erasure on immutable storage) and commit it
+    as a new version. Emits one verification row per version: total
+    rows, rows belonging to the erased users (must hit 0 in the new
+    version), and an order-free checksum of every OTHER user's rows
+    (must be IDENTICAL across versions — erasure may not disturb
+    surviving data). The audit trail is the point of doing this through
+    snapshots: the pre-erasure version remains readable until `vacuum`
+    ages it out, which is the retention/erasure trade regulators
+    actually negotiate (then `vacuum(keep_last=1)` makes the purge
+    physical — exercised in tests/test_snapshots semantics).
+
+    Scale: the rewrite is scan -> broadcast ANTI join -> write (no
+    shuffle of the fact table); the per-version audit aggregates are
+    one pass each."""
+    from ..operators.snapshots import read_snapshot, write_snapshot
+
+    base = scratch_dir("erasure")
+    t = os.path.join(base, "tbl")
+    ev = tbl(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    write_snapshot(ev, t)
+    erase = ev.select("user_id").distinct().orderBy("user_id").limit(3)
+    erased_ids = [r["user_id"] for r in erase.collect()]
+    v2_df = read_snapshot(spark, t, 1).join(
+        F.broadcast(erase), "user_id", "left_anti"
+    )
+    write_snapshot(v2_df, t, mode="overwrite")
+    rows = []
+    for v in (1, 2):
+        snap = read_snapshot(spark, t, v).withColumns(
+            {
+                "__keep": ~F.col("user_id").isin(erased_ids),
+                "__rh": F.xxhash64("event_id", "user_id", "event_type"),
+            }
+        )
+        agg = snap.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("user_id").isin(erased_ids), 1).otherwise(0)
+            ).alias("n_erased_users_rows"),
+            # XOR fold: order-free like a sum but can't overflow ANSI
+            # BIGINT arithmetic; erased rows contribute the identity 0
+            F.expr(
+                "bit_xor(CASE WHEN __keep THEN __rh ELSE 0L END)"
+            ).alias("others_checksum"),
+        ).collect()[0]
+        rows.append(
+            (v, agg["n"], int(agg["n_erased_users_rows"] or 0),
+             int(agg["others_checksum"] or 0))
+        )
+    assert rows[1][2] == 0, "erased users must have zero rows in v2"
+    assert rows[0][3] == rows[1][3], "other users' rows must be untouched"
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1),
+        "version int, n_rows long, n_erased_users_rows long, others_checksum long",
+    ).orderBy("version")

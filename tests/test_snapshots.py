@@ -156,3 +156,19 @@ def test_streaming_snapshot_sink_exactly_once_across_restart(spark, sf_oracle, t
     writer = snapshot_batch_writer(tbl_dir)
     writer(parts[0], min(ids))
     assert len(read_snapshot(spark, tbl_dir).collect()) == len(want)
+
+
+def test_right_to_erasure_registry_invariants(spark, sf_smoke):
+    """The erasure workflow's contract: v2 holds zero rows for the
+    erased users, strictly fewer total rows, an unchanged
+    others-checksum, and the PRE-erasure version stays readable (the
+    audit-trail property) until vacuumed."""
+    from hadoop_copier_spark.queries import REGISTRY
+
+    rows = {r["version"]: r for r in
+            REGISTRY["xp_right_to_erasure"].fn(spark, sf_smoke).collect()}
+    v1, v2 = rows[1], rows[2]
+    assert v1["n_erased_users_rows"] > 0
+    assert v2["n_erased_users_rows"] == 0
+    assert v2["n_rows"] == v1["n_rows"] - v1["n_erased_users_rows"]
+    assert v1["others_checksum"] == v2["others_checksum"]
