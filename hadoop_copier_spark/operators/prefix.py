@@ -109,12 +109,20 @@ def grouped_rank(
         .localCheckpoint()  # pin the sampled range boundaries across jobs
     )
     counts = sorted(
-        (tuple(r[g] for g in group_cols), r["__pid"], r["n"])
-        for r in idx.groupBy("__pid", *group_cols)
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
+        (
+            (tuple(r[g] for g in group_cols), r["__pid"], r["n"])
+            for r in idx.groupBy("__pid", *group_cols)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        ),
+        # NULL is a valid window partition (ROW_NUMBER() OVER (PARTITION
+        # BY g) ranks the NULL group like any other); Python can't order
+        # None against non-None, so sort None-first per column. Only
+        # CONTIGUITY of equal group keys matters for the offset scan, not
+        # which group comes first.
+        key=lambda t: (tuple((v is not None, v) for v in t[0]), t[1]),
     )  # <= P x G rows: metadata, not data
-    rows, acc, cur = [], 0, None
+    rows, acc, cur = [], 0, object()
     for gkey, pid, n in counts:
         if gkey != cur:
             cur, acc = gkey, 0
@@ -122,16 +130,23 @@ def grouped_rank(
         acc += n
     schema_cols = [df.schema[g] for g in group_cols]
     if rows:
+        # Offset columns get fresh names + a null-SAFE equi join: a plain
+        # `join(on=[group_cols...])` uses NULL-rejecting equality and
+        # would silently drop every NULL-group row from the output.
         off_df = spark.createDataFrame(
             spark.sparkContext.parallelize(rows, 1),
             schema=(
                 ", ".join(
-                    f"{f.name} {f.dataType.simpleString()}" for f in schema_cols
+                    f"__g{i} {f.dataType.simpleString()}"
+                    for i, f in enumerate(schema_cols)
                 )
-                + ", __pid int, __off long"
+                + ", __opid int, __off long"
             ),
         )
-        joined = idx.join(F.broadcast(off_df), [*group_cols, "__pid"])
+        cond = F.col("__pid") == F.col("__opid")
+        for i, g in enumerate(group_cols):
+            cond = cond & F.col(g).eqNullSafe(F.col(f"__g{i}"))
+        joined = idx.join(F.broadcast(off_df), cond)
     else:  # empty input
         joined = idx.withColumn("__off", F.lit(0).cast("long"))
     w = Window.partitionBy("__pid", *group_cols).orderBy("__lidx")

@@ -553,37 +553,64 @@ def xh_ks_drift(spark, sf_dir):
 
     Scale shape: the corpus collapses to one value-cardinality counts
     frame (ONE uniform partial agg on the value); the two running ECDFs
-    ride a single `global_prefix_sum` pass (the two counts packed into
-    one long, decomposed after — one range exchange instead of two, and
-    never the single-partition SUM() OVER (ORDER BY) the naive spelling
-    plans); totals attach via a provably-1-row broadcast (the
-    heavy-hitters global-scalar shape) and the max is a partial->final
-    global agg. Queued for the R13 driver window per the pinned rotation
-    policy (aliases.py)."""
-    from ..operators.prefix import global_prefix_sum
-
+    ride a single `global_prefix_sum` pass when safe (the two counts
+    packed into one long, decomposed after — one range exchange instead
+    of two, and never the single-partition SUM() OVER (ORDER BY) the
+    naive spelling plans). The packing is GUARDED, not assumed: cum =
+    cumA * 2^31 + cumB is exact only while every cumulative count stays
+    below 2^31 (~2.1 B rows per half); a 1-row probe of the half totals
+    picks the packed pass when safe and falls back to two prefix passes
+    past the bound — same values, one extra exchange, never a silent
+    overflow (r12 ADVICE item). Totals attach via a provably-1-row
+    broadcast (the heavy-hitters global-scalar shape) and the max is a
+    partial->final global agg."""
     d = (
         tbl(spark, sf_dir, "documents")
         .filter(F.col("n_chars").isNotNull())
         .select((F.col("doc_id") % 2).alias("grp"), "n_chars")
     )
-    c = d.groupBy(F.col("n_chars").alias("v")).agg(
+    return _ks_two_sample(spark, d, "n_chars")
+
+
+def _ks_two_sample(spark, d, value_col, pack_k=1 << 31):
+    """Exact integer two-sample KS over ``d(grp in {0,1}, value_col)``.
+
+    ``pack_k`` is the ECDF packing radix: both cumulative counts ride one
+    long as cumA * pack_k + cumB, which is exact only while every
+    cumulative count < pack_k AND the packed value fits a signed 64-bit
+    long (cumA * pack_k + cumB < 2^63, guaranteed for the default radix
+    when cumA < 2^31). The half totals are the maxima of their cumulative
+    series, so a 1-row probe of (n_a, n_b) decides up front: packed
+    single prefix pass when max(n_a, n_b) < pack_k, else two unpacked
+    prefix passes (identical values, one extra range exchange). Tests
+    drive ``pack_k`` down to force the fallback on small data and assert
+    both paths hash-identical (tests/test_quality_checks.py)."""
+    from ..operators.prefix import global_prefix_sum
+
+    c = d.groupBy(F.col(value_col).alias("v")).agg(
         F.count(F.when(F.col("grp") == 0, 1)).alias("ca"),
         F.count(F.when(F.col("grp") == 1, 1)).alias("cb"),
     )
-    # pack both counts into one long: cum = cumA * K + cumB, K > any
-    # possible cumB, so one prefix pass carries both ECDFs exactly
-    k = 1 << 31
-    packed = c.select("v", (F.col("ca") * k + F.col("cb")).alias("pk"))
-    r = global_prefix_sum(packed, "pk", ["v"], out_col="cum").select(
-        "v",
-        F.expr(f"cum div {k}").alias("cum_a"),
-        (F.col("cum") % k).alias("cum_b"),
-    )
-    t = d.agg(
+    tot = d.agg(
         F.count(F.when(F.col("grp") == 0, 1)).cast("long").alias("n_a"),
         F.count(F.when(F.col("grp") == 1, 1)).cast("long").alias("n_b"),
-    )
+    ).collect()[0]  # 1-row scalar probe: picks the ECDF plan shape
+    n_a, n_b = int(tot["n_a"] or 0), int(tot["n_b"] or 0)
+    if max(n_a, n_b) < pack_k:
+        packed = c.select("v", (F.col("ca") * pack_k + F.col("cb")).alias("pk"))
+        r = global_prefix_sum(packed, "pk", ["v"], out_col="cum").select(
+            "v",
+            F.expr(f"cum div {pack_k}").alias("cum_a"),
+            (F.col("cum") % pack_k).alias("cum_b"),
+        )
+    else:  # past the packing bound: two exact prefix passes, no radix
+        r = global_prefix_sum(
+            global_prefix_sum(c, "ca", ["v"], out_col="cum_a"),
+            "cb",
+            ["v"],
+            out_col="cum_b",
+        ).select("v", "cum_a", "cum_b")
+    t = spark.createDataFrame([(n_a, n_b)], "n_a long, n_b long")
     diff = F.abs(F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a"))
     return (
         r.join(F.broadcast(t))  # 1-row build side

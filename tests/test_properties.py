@@ -487,7 +487,12 @@ def test_grouped_topk_composite_key_matches_window_with_ties(
 @settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     rows=st.lists(
-        st.tuples(st.integers(0, 3), st.integers(0, 1000)),
+        # group key may be NULL: ROW_NUMBER() OVER (PARTITION BY g) treats
+        # the NULL group as a real partition, so grouped_rank must too
+        # (None-safe driver sort + eqNullSafe offset join).
+        st.tuples(
+            st.one_of(st.none(), st.integers(0, 3)), st.integers(0, 1000)
+        ),
         min_size=0,
         max_size=80,
         unique=True,            # (group, value) unique => total order per group
@@ -498,7 +503,8 @@ def test_grouped_rank_matches_window_row_number(spark, rows, n_parts):
     """operators/prefix.grouped_rank must equal ROW_NUMBER() OVER
     (PARTITION BY g ORDER BY v) for any data and any input partitioning —
     the range-repartition + per-(pid, group) offset fix-up is a pure plan
-    transformation of the skew-prone per-group window sort."""
+    transformation of the skew-prone per-group window sort. Includes
+    NULL group keys (a valid window partition)."""
     from hadoop_copier_spark.operators.prefix import grouped_rank
 
     df = spark.createDataFrame(
@@ -551,6 +557,26 @@ def test_grouped_rank_skewed_group_spans_partitions(spark):
         .collect()[0]["c"]
     )
     assert span > 1, "skewed group collapsed into a single range partition"
+
+
+def test_grouped_rank_null_group_keys(spark):
+    """A NULL group key is a real window partition: NULL-group rows must
+    be ranked among themselves (1..n), never dropped (the NULL-rejecting
+    equi-join failure mode) nor crash the driver-side offset sort (the
+    None-vs-str TypeError failure mode). Mixed None/str keys exercise
+    both."""
+    from hadoop_copier_spark.operators.prefix import grouped_rank
+
+    rows = [(None, i) for i in range(7)] + [("a", 10), ("a", 11), ("b", 12)]
+    df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 4), "g string, v long"
+    )
+    out = grouped_rank(df, ["g"], ["v"]).collect()
+    assert len(out) == len(rows), "NULL-group rows were dropped"
+    got = {(r["g"], r["v"]): r["rk"] for r in out}
+    for i in range(7):
+        assert got[(None, i)] == i + 1
+    assert got[("a", 10)] == 1 and got[("a", 11)] == 2 and got[("b", 12)] == 1
 
 
 # ---------------------------------------------------------------------------

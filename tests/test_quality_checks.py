@@ -277,6 +277,29 @@ def test_ks_drift_planted_distributions(spark):
     assert r["ks_ppm"] == 500_000, r
 
 
+def test_ks_drift_packing_fallback_matches_packed_path(spark):
+    """The ECDF packing bound is guarded, not assumed (r12 ADVICE): when
+    a half total reaches the packing radix, _ks_two_sample must switch to
+    two unpacked prefix passes and produce IDENTICAL values. Driving
+    pack_k below the data size forces the fallback on a small corpus —
+    including totals that would corrupt a radix-4 packing (cumB up to 13
+    >= pack_k) — and an adversarial boundary case sits exactly AT the
+    radix (max(n_a, n_b) == pack_k triggers the fallback, since a
+    cumulative count may equal the total)."""
+    from hadoop_copier_spark.queries.quality_checks import _ks_two_sample
+
+    rows = [(i % 2, (17 * i) % 7) for i in range(25)]  # n_a=13, n_b=12
+    d = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 3), "grp long, v long"
+    )
+    packed = _ks_two_sample(spark, d, "v").collect()[0]  # default radix
+    for k in (4, 13):  # far below the totals; exactly AT max(n_a, n_b)
+        fb = _ks_two_sample(spark, d, "v", pack_k=k).collect()[0]
+        assert fb == packed, (k, fb, packed)
+    # sanity: 14 > both totals -> packed path, same values again
+    assert _ks_two_sample(spark, d, "v", pack_k=14).collect()[0] == packed
+
+
 def test_hll_registers_match_python_reference(spark, sf_smoke):
     """The 256 HLL registers equal an independent Python recomputation
     from hashlib.md5 — pinning the bucket/rho decomposition itself, not
