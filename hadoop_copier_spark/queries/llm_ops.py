@@ -256,7 +256,11 @@ def p_text_analysis(spark, sf_dir):
 def p_tfidf(spark, sf_dir):
     """P-class: SQL-built TF-IDF, top-3 terms per document (sampled docs).
     tf = in-doc count, idf = ln((N+1)/(df+1)) + 1; one shuffle for the
-    (doc,token) counts, token df joined back (broadcast at this card.)."""
+    (doc,token) counts, token df joined back. The idf join is token-keyed
+    and UNHINTED: the vocabulary grows Heaps-law with the corpus (the
+    repo's own xh_vocab_growth measures it), so a forced broadcast of the
+    full-vocab frame cannot survive 100 TB — AQE picks broadcast when the
+    actual size is small (r12 verdict item)."""
     from pyspark.sql import Window as W
 
     d = tbl(spark, sf_dir, "documents")
@@ -270,7 +274,7 @@ def p_tfidf(spark, sf_dir):
         "idf", F.log((F.lit(float(n_docs + 1))) / (F.col("df") + 1)) + 1.0
     )
     scored = (
-        tf.join(F.broadcast(idf), "token")
+        tf.join(idf, "token")  # token-keyed, unhinted: AQE decides
         .withColumn("tfidf", F.col("tf") * F.col("idf"))
         .filter(F.col("doc_id") % 20 == 0)
     )
@@ -962,12 +966,41 @@ def xh_embed_centroid_drift(spark, sf_dir):
     Scale shape: the vectors explode to (label, dim, half, unit) rows
     once and collapse via ONE uniform (label, dim)-keyed partial agg —
     exchange rows are labels x dims (domain-bounded), not corpus rows;
-    the label rollup is a second domain-bounded agg. BIGINT headroom:
-    1e6-unit sums x corpus rows x counts fits ~1e5 vectors/label; at
-    larger per-label populations promote the cross-product to
-    DECIMAL(38,0) (the xh_pca_power discipline). Queued for the R13
-    driver window per the pinned rotation policy (aliases.py)."""
+    the label rollup is a second domain-bounded agg. BIGINT headroom is
+    PROBED, not assumed (r12 verdict item): a one-pass domain-bounded
+    probe of per-(label, half) counts and the max |component| bounds the
+    cross product max_unit * n^2; past ~2^62 the cross-multiply and its
+    sum promote to DECIMAL(38,0) (the xh_pca_power discipline) — exact
+    where BIGINT would wrap, same values where both fit, asserted at the
+    boundary in tests/test_llm_ops.py."""
     e = tbl(spark, sf_dir, "embeddings")
+    return _centroid_drift_frame(spark, e)
+
+
+def _centroid_drift_frame(spark, e, force_decimal=None):
+    """xh_embed_centroid_drift body with an injectable arithmetic mode so
+    tests can force the DECIMAL(38,0) path on small data (identical rows
+    to the BIGINT path) and feed it adversarial magnitudes that would
+    overflow BIGINT. ``force_decimal=None`` probes the bound from data."""
+    if force_decimal is None:
+        probe = (
+            e.select(
+                "label",
+                (F.col("vec_id") % 2).alias("half"),
+                F.array_max(
+                    F.transform("embedding", lambda x: F.abs(x.cast("double")))
+                ).alias("mx"),
+            )
+            .groupBy("label", "half")
+            .agg(F.count(F.lit(1)).alias("n"), F.max("mx").alias("mx"))
+            .collect()
+        )  # <= labels x 2 rows: domain-bounded metadata, not data
+        n_max = max((r["n"] for r in probe), default=0)
+        mx = max((r["mx"] for r in probe if r["mx"] is not None), default=0.0)
+        max_unit = int(mx * 1_000_000 + 0.5) + 1
+        # conservative intermediate bound: |s_half| <= n * max_unit, so
+        # each cross product <= max_unit * n^2; promote within 2x of 2^63
+        force_decimal = max_unit * n_max * n_max >= (1 << 62)
     u = e.select(
         "label",
         (F.col("vec_id") % 2).alias("half"),
@@ -986,19 +1019,25 @@ def xh_embed_centroid_drift(spark, sf_dir):
         F.sum(F.when(F.col("half") == 1, F.col("uq")).otherwise(0)).alias("s_odd"),
         F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("n_odd"),
     )
+    if force_decimal:
+        # exact decimal cross products: the DIFFERENCE of two huge,
+        # nearly-cancelling products fits BIGINT long after each product
+        # alone would wrap a 64-bit intermediate
+        dec = "decimal(38,0)"
+        cross = F.abs(
+            F.col("s_even").cast(dec) * F.col("n_odd").cast(dec)
+            - F.col("s_odd").cast(dec) * F.col("n_even").cast(dec)
+        )
+    else:
+        cross = F.abs(
+            F.col("s_even") * F.col("n_odd") - F.col("s_odd") * F.col("n_even")
+        )
     return (
         d.groupBy("label")
         .agg(
             F.max("n_even").cast("long").alias("n_even"),
             F.max("n_odd").cast("long").alias("n_odd"),
-            F.sum(
-                F.abs(
-                    F.col("s_even") * F.col("n_odd")
-                    - F.col("s_odd") * F.col("n_even")
-                )
-            )
-            .cast("long")
-            .alias("l1_cross_units"),
+            F.sum(cross).cast("long").alias("l1_cross_units"),
         )
         .orderBy("label")
     )

@@ -464,12 +464,28 @@ def xh_market_basket(spark, sf_dir):
     uniform exchange); the pair generation is a within-order self-join
     whose fan-out is C(items-per-order, 2) — bounded by basket size,
     never corpus-quadratic; the pair aggregate is one uniform
-    (part_a, part_b) exchange; part marginals and the 1-row order
-    count attach via broadcast; top-50 is TakeOrderedAndProject.
+    (part_a, part_b) exchange; the marginal joins are part-keyed and
+    UNHINTED — part cardinality grows with the catalog, so the build
+    side is not broadcast-bounded; AQE picks broadcast when the actual
+    size is small (r12 verdict item). Top-50 is TakeOrderedAndProject.
     BIGINT headroom for lift's cross product: n_both*N*1e6 <= N^2*1e6
-    caps around N = 3e6 orders — past that promote to DECIMAL(38,0)
-    (the xh_pca_power discipline, documented knob). Queued for the R13
-    driver window per the pinned rotation policy (aliases.py)."""
+    caps around N = 3e6 orders — the already-collected order count
+    probes this bound and promotes the cross product to DECIMAL(38,0)
+    past it (the xh_pca_power discipline; same values, asserted at the
+    boundary in tests/test_tpch_analogs.py)."""
+    return _market_basket_frame(spark, sf_dir)
+
+
+# promote lift's BIGINT cross product to DECIMAL(38,0) at this order
+# count: n_both * N * 1e6 <= N^2 * 1e6 stays under 2^63 only while
+# N < sqrt(2^63 / 1e6) ~= 3.036e6.
+_BASKET_DECIMAL_AT = 3_000_000
+
+
+def _market_basket_frame(spark, sf_dir, promote_at=_BASKET_DECIMAL_AT):
+    """xh_market_basket body with an injectable promotion threshold so
+    tests can force the DECIMAL(38,0) lift path on small data and assert
+    it row-identical to the BIGINT path."""
     li = tbl(spark, sf_dir, "lineitem")
     # one distinct exchange, materialized once: FOUR consumers (both pair
     # sides, the marginals, the order count) read the basket-item frame
@@ -495,9 +511,18 @@ def xh_market_basket(spark, sf_dir):
     )
     ca = pc.select(F.col("l_partkey").alias("part_a"), F.col("n_part").alias("n_a"))
     cb = pc.select(F.col("l_partkey").alias("part_b"), F.col("n_part").alias("n_b"))
+    if n_orders < promote_at:  # BIGINT cross product provably fits
+        lift = F.expr(
+            f"CAST(n_both * {n_orders}L * 1000000L div (n_a * n_b) AS BIGINT)"
+        )
+    else:  # exact DECIMAL(38,0) arithmetic past the BIGINT bound
+        lift = F.expr(
+            f"CAST((CAST(n_both AS DECIMAL(38,0)) * {n_orders}"
+            " * 1000000) div (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)"
+        )
     return (
-        pairs.join(F.broadcast(ca), "part_a")
-        .join(F.broadcast(cb), "part_b")
+        pairs.join(ca, "part_a")  # part-keyed, unhinted: AQE decides
+        .join(cb, "part_b")
         .select(
             "part_a",
             "part_b",
@@ -507,9 +532,7 @@ def xh_market_basket(spark, sf_dir):
             F.expr(f"CAST(n_both * 1000000L div {n_orders}L AS BIGINT)").alias(
                 "support_ppm"
             ),
-            F.expr(
-                f"CAST(n_both * {n_orders}L * 1000000L div (n_a * n_b) AS BIGINT)"
-            ).alias("lift_ppm"),
+            lift.alias("lift_ppm"),
         )
         .orderBy(F.col("n_both").desc(), "part_a", "part_b")
         .limit(_BASKET_TOP)

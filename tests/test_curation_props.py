@@ -572,7 +572,57 @@ def test_embed_centroid_drift_zero_iff_halves_agree(spark, tmp_path):
     # each of 3 dims drifts by 0.5 units/vector: |s_e*n_o - s_o*n_e| =
     # 2*2*500000 per dim, 3 dims => 6e6
     assert r["l1_cross_units"] == 6_000_000
+
+    # DECIMAL(38,0) promotion (r12 verdict item), part 1: on in-bound
+    # data the forced decimal path is row-identical to the BIGINT path.
+    from hadoop_copier_spark.queries.llm_ops import _centroid_drift_frame
+
+    e2 = spark.read.parquet(f"{d2}/embeddings.parquet")
+    base_rows = sorted(
+        map(tuple, _centroid_drift_frame(spark, e2, force_decimal=False).collect())
+    )
+    dec_rows = sorted(
+        map(tuple, _centroid_drift_frame(spark, e2, force_decimal=True).collect())
+    )
+    assert dec_rows == base_rows and base_rows[0][0] == 7
     shutil.rmtree(str(tmp_path), ignore_errors=True)
+
+
+def test_embed_centroid_drift_probe_promotes_past_bigint_bound(spark):
+    """DECIMAL(38,0) promotion, part 2 (adversarial boundary): 6000
+    vectors per half with |component| = 3e5 put each ECDF cross product
+    at s*n ~= 1.08e19 > 2^63 — the regime where the BIGINT path wraps
+    (or raises under ANSI). The data-driven probe must select the
+    decimal path on its own and return the EXACT statistic: the odd half
+    is the even half shifted +1.0 per component, so the two huge
+    products nearly cancel to n_e*n_o*1e6 per dim x 2 dims."""
+    from hadoop_copier_spark.queries.llm_ops import _centroid_drift_frame
+
+    n = 6000
+    base = [300_000.0, -300_000.0]
+    e = spark.range(2 * n).select(
+        F.col("id").alias("vec_id"),
+        F.when(
+            F.col("id") % 2 == 0,
+            F.array(*[F.lit(x).cast("float") for x in base]),
+        )
+        .otherwise(F.array(*[F.lit(x + 1.0).cast("float") for x in base]))
+        .alias("embedding"),
+        F.lit(7).alias("label"),
+    )
+    r = _centroid_drift_frame(spark, e).collect()[0]  # probe decides
+    assert (r["n_even"], r["n_odd"]) == (n, n)
+    assert r["l1_cross_units"] == 2 * n * n * 1_000_000
+    # and the exact same call with the probe overridden to BIGINT is the
+    # one that cannot survive here: it must NOT silently return the
+    # right answer (ANSI raises; legacy mode wraps) — guarding against
+    # the test passing vacuously with in-bound magnitudes
+    try:
+        wrapped = _centroid_drift_frame(spark, e, force_decimal=False).collect()[0]
+    except Exception:
+        pass  # ANSI overflow error: the guard is doing real work
+    else:
+        assert wrapped["l1_cross_units"] != 2 * n * n * 1_000_000
 
 
 def test_multi_signal_dedup_chains_near_copy_into_exact_group(spark, tmp_path):

@@ -261,3 +261,23 @@ def test_market_basket_support_and_lift_exact(spark, tmp_path_factory):
     assert ab["lift_ppm"] == 1_000_000      # 2*3/(3*2): independent-looking
     assert (ac["n_both"], ac["lift_ppm"]) == (1, 1_000_000)
     assert (200, 300) not in out
+
+    # DECIMAL(38,0) promotion boundary (r12 verdict item): forcing the
+    # threshold to the order count (promote_at == n_orders == 3 trips
+    # the guard, since n_both*N*1e6 can EQUAL N^2*1e6 at the bound) and
+    # far below it must produce row-identical output to the BIGINT path.
+    from hadoop_copier_spark.queries.tpch_analogs import _market_basket_frame
+
+    bigint_rows = sorted(
+        map(tuple, _market_basket_frame(spark, str(root)).collect())
+    )
+    for promote_at in (1, 3):
+        dec_rows = sorted(
+            map(
+                tuple,
+                _market_basket_frame(
+                    spark, str(root), promote_at=promote_at
+                ).collect(),
+            )
+        )
+        assert dec_rows == bigint_rows, (promote_at, dec_rows, bigint_rows)

@@ -588,3 +588,99 @@ def test_dynamic_partition_pruning_fires(spark, sf_oracle, tmp_path):
     got = j.count()
     want = o.filter(F.col("o_orderstatus") == "F").count()
     assert got == want and got > 0
+
+
+# Every forced-broadcast site in the package, adjudicated BOUNDED (r12
+# verdict item: "no registry query force-broadcasts a corpus-growing
+# frame — tokens, parts-marginals, docs"). A broadcast HINT pins the
+# build side into executor memory regardless of actual size, so every
+# site must have a build side bounded by something other than corpus
+# size: a 1-row global scalar, a top-K / quota frame, a fixed bucket
+# count, a TPC-H dimension table, or the operator's own query side.
+# Adding a new F.broadcast() call fails this test until the site is
+# adjudicated here; growth-prone frames must join UNHINTED (AQE
+# broadcasts when the runtime size is genuinely small) — the rule that
+# de-hinted xp_tfidf's full-vocab idf and xh_market_basket's per-part
+# marginals in round 13.
+_ADJUDICATED_BROADCASTS = {
+    # 1-row global scalars (provably single row)
+    ("operators/pagerank.py", "dang"),          # dangling mass per round
+    ("queries/llm_ops.py", "m"),                # PCA renormalization scalar
+    ("queries/quality_checks.py", "t"),         # KS half totals
+    ("queries/text_index.py", "total"),         # global doc count
+    ("queries/text_index.py", "stats"),         # BM25 N / avgdl scalars
+    # driver-built metadata frames (<= P x G rows / fixed bucket counts)
+    ("operators/prefix.py", "off_df"),          # per-partition offsets
+    ("operators/bloom.py", "word_bits"),        # fixed m-bit filter words
+    ("queries/quality_checks.py", "bloom"),     # same filter, probe side
+    ("queries/pipeline_ops.py", "w"),           # <= 8192 hash buckets
+    ("queries/quality_checks.py", "r"),         # 256 HLL registers
+    # query / benchmark / quota sides (bounded by the ASK, not the corpus)
+    ("operators/similarity.py", "q"),           # ANN query vectors
+    ("operators/similarity.py", "q0"),
+    ("operators/similarity.py", "qkeys"),
+    ("queries/pipeline_ops.py", "bench"),       # contamination benchmark
+    ("queries/pipeline_ops.py", "quota_df"),    # per-source quotas
+    ("queries/parity.py", "erase"),             # GDPR erasure id list
+    # domain-bounded aggregates (per-language / per-source / top-K frames)
+    ("queries/quality_checks.py", "med"),       # per-lang medians
+    ("queries/quality_checks.py", "mad"),       # per-lang MADs
+    ("queries/pipeline_ops.py", "counts"),      # per-source counts
+    ("queries/text_index.py", "prof"),          # per-lang token profile
+    ("queries/text_index.py", "cand"),          # top-K candidate tokens
+    ("queries/text_index.py", "idfq"),          # top-K idf slice
+    ("queries/text_index.py", "bi"),            # top-K bigrams
+    ("queries/text_index.py", "sa"),            # per-source totals
+    ("queries/text_index.py", "sb"),
+    ("queries/text_index.py", "vocab"),         # capped reference vocab
+    ("queries/tpch_analogs.py", "big"),         # HAVING-filtered top orders
+    # TPC-H dimension tables (region/nation/supplier/customer-slice/part:
+    # catalog-sized, not corpus-sized; the contract's broadcast-join ops)
+    ("queries/aggregates.py", "n"),
+    ("queries/aggregates.py", "r"),
+    ("queries/joins.py", "n"),
+    ("queries/joins.py", "p"),
+    ("queries/joins.py", "r"),
+    ("queries/joins.py", "s2"),
+    ("queries/llm_ops.py", "v"),                # 64-row eigenvector frame
+    ("queries/quality_checks.py", "dim.withColumn('__m', F.lit(1))"),
+    ("queries/tpch_analogs.py", "n"),
+    ("queries/tpch_analogs.py", "p"),
+    ("queries/tpch_analogs.py", "p.filter(part_union)"),
+    ("queries/tpch_analogs.py", "r"),
+    ("queries/tpch_analogs.py", "s"),
+    ("streaming/jobs.py", "customer"),          # stream-static dim join
+}
+
+
+def test_forced_broadcast_sites_are_adjudicated_bounded():
+    """Source-level audit: the package's F.broadcast() call sites must
+    equal the adjudicated-bounded set above — no new forced broadcast
+    lands without a boundedness rationale, and the two r12-flagged
+    corpus-growing hints (full-vocab idf, per-part basket marginals)
+    must stay gone."""
+    import ast
+    import pathlib
+
+    import hadoop_copier_spark
+
+    pkg = pathlib.Path(hadoop_copier_spark.__file__).parent
+    sites = set()
+    for p in sorted(pkg.rglob("*.py")):
+        for node in ast.walk(ast.parse(p.read_text())):
+            if (
+                isinstance(node, ast.Call)
+                and isinstance(node.func, ast.Attribute)
+                and node.func.attr == "broadcast"
+                and isinstance(node.func.value, ast.Name)
+                and node.func.value.id == "F"
+                and node.args
+            ):
+                sites.add((str(p.relative_to(pkg)), ast.unparse(node.args[0])))
+    assert ("queries/llm_ops.py", "idf") not in sites       # Heaps-law vocab
+    assert ("queries/tpch_analogs.py", "ca") not in sites   # part marginals
+    assert ("queries/tpch_analogs.py", "cb") not in sites
+    unadjudicated = sites - _ADJUDICATED_BROADCASTS
+    stale = _ADJUDICATED_BROADCASTS - sites
+    assert not unadjudicated, f"new forced broadcast needs adjudication: {sorted(unadjudicated)}"
+    assert not stale, f"remove stale whitelist entries: {sorted(stale)}"
