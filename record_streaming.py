@@ -1,0 +1,440 @@
+"""Emit STREAMING_r{N}.json — driver-visible streaming evidence.
+
+The streaming P checks (watermark late-data drop, streaming dedup,
+exactly-once sinks across restart, stream ≡ batch equivalence for
+q61/q62/q63 and the stateful subsequence matcher) live in
+tests/test_streaming.py, which the driver's artifacts never surface
+beyond the single `streaming_equals_batch_q61` bench row (VERDICT r12
+#7). This script re-runs the SAME logic standalone and records one
+structured artifact per round, so streaming correctness is inspectable
+without running pytest.
+
+Every check is explicit-micro-batch (append files + processAllAvailable)
+— never wall-clock — and each records pass/fail plus the measured
+quantities (drop counts, dedup counts, restart row accounting,
+stream-vs-batch row counts).
+
+    python record_streaming.py          # round from SPARK_GRAFT_ROUND
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+import shutil
+import sys
+import tempfile
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+ROUND = int(os.environ.get("SPARK_GRAFT_ROUND", "13"))
+SF = os.environ.get("SPARK_GRAFT_STREAM_SF_DIR", "/root/testdata/sf0.001")
+
+
+def check_tumbling_equals_batch(spark, tmp):
+    from hadoop_copier_spark.queries import REGISTRY
+    from hadoop_copier_spark.streaming import (
+        replay_events_chunks,
+        stream_tumbling_counts,
+    )
+
+    replay = os.path.join(tmp, "replay_tumb")
+    replay_events_chunks(spark, SF, replay, n_chunks=5)
+    q = stream_tumbling_counts(spark, replay, "s_tumb")
+    try:
+        q.processAllAvailable()
+        n_batches = int((q.lastProgress or {}).get("batchId", -2)) + 1
+        got = {
+            (r["w_start_sec"], r["event_type"]): (r["n"], r["sum_val_cents"])
+            for r in spark.sql("SELECT * FROM s_tumb").collect()
+        }
+    finally:
+        q.stop()
+    batch = {
+        (r["w_start_sec"], r["event_type"]): (r["n"], r["sum_val_cents"])
+        for r in REGISTRY["q61"].fn(spark, SF).collect()
+    }
+    return {
+        "stream_equals_batch": got == batch,
+        "n_windows": len(got),
+        "n_micro_batches": n_batches,
+        "batch_query": "q61",
+    }
+
+
+def check_sliding_equals_batch(spark, tmp):
+    from hadoop_copier_spark.queries import REGISTRY
+    from hadoop_copier_spark.streaming import EVENTS_SCHEMA, replay_events_chunks
+
+    replay = os.path.join(tmp, "replay_slide")
+    replay_events_chunks(spark, SF, replay, n_chunks=5)
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "2")
+        .option("recursiveFileLookup", "true")
+        .parquet(replay)
+    )
+    agg = (
+        stream.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.unix_timestamp("w.start").alias("w_start_sec"), "n")
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("s_slide")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            r["w_start_sec"]: r["n"]
+            for r in spark.sql("SELECT * FROM s_slide").collect()
+        }
+    finally:
+        q.stop()
+    batch = {
+        r["w_start_sec"]: r["n"] for r in REGISTRY["q62"].fn(spark, SF).collect()
+    }
+    return {
+        "stream_equals_batch": got == batch,
+        "n_windows": len(got),
+        "batch_query": "q62",
+    }
+
+
+def check_session_equals_batch(spark, tmp):
+    from hadoop_copier_spark.queries import REGISTRY
+    from hadoop_copier_spark.streaming import EVENTS_SCHEMA
+    from hadoop_copier_spark.tables import load_table
+
+    src = os.path.join(tmp, "sess_src")
+    e = load_table(spark, SF, "events").withColumn(
+        "ts", F.date_trunc("second", F.col("ts"))
+    )
+    e.coalesce(1).write.mode("overwrite").parquet(os.path.join(src, "b1"))
+    q = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+        .withWatermark("ts", "1 minute")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_timestamp("w.start").alias("session_start_sec"),
+            "n_events",
+        )
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("s_sess")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # far-future sentinel advances the watermark so every real
+        # session finalizes in append mode
+        sentinel = spark.createDataFrame(
+            [(999999, dt.datetime(2030, 1, 1), 999999, "x", 0.0, "{}")],
+            schema=EVENTS_SCHEMA,
+        )
+        sentinel.coalesce(1).write.mode("overwrite").parquet(os.path.join(src, "b2"))
+        q.processAllAvailable()
+        got = {
+            (r["user_id"], r["session_start_sec"]): r["n_events"]
+            for r in spark.sql("SELECT * FROM s_sess").collect()
+            if r["user_id"] != 999999
+        }
+    finally:
+        q.stop()
+    batch = {
+        (r["user_id"], r["session_start_sec"]): r["n_events"]
+        for r in REGISTRY["q63"].fn(spark, SF).collect()
+    }
+    return {
+        "stream_equals_batch": got == batch,
+        "n_sessions": len(got),
+        "batch_query": "q63",
+    }
+
+
+def check_streaming_dedup(spark, tmp):
+    from hadoop_copier_spark.streaming import (
+        stream_dedup,
+        stream_dedup_within_watermark,
+    )
+    from hadoop_copier_spark.tables import load_table
+
+    res = {}
+    e = load_table(spark, SF, "events").limit(100)
+    for label, factory in (
+        ("drop_duplicates", stream_dedup),
+        ("within_watermark", stream_dedup_within_watermark),
+    ):
+        src = os.path.join(tmp, f"dedup_{label}")
+        e.coalesce(1).write.mode("overwrite").parquet(os.path.join(src, "b1"))
+        q = factory(spark, src, f"s_dedup_{label}")
+        try:
+            q.processAllAvailable()
+            # re-send the SAME 100 events as a second micro-batch
+            e.coalesce(1).write.mode("overwrite").parquet(os.path.join(src, "b2"))
+            q.processAllAvailable()
+            ids = [
+                r["event_id"]
+                for r in spark.sql(f"SELECT * FROM s_dedup_{label}").collect()
+            ]
+        finally:
+            q.stop()
+        res[label] = {
+            "n_sent": 200,
+            "n_emitted": len(ids),
+            "n_distinct": len(set(ids)),
+            "resent_suppressed": len(ids) == len(set(ids)) == 100,
+        }
+    res["pass"] = all(v["resent_suppressed"] for v in res.values() if isinstance(v, dict))
+    return res
+
+
+def check_watermark_drops_late(spark, tmp):
+    from hadoop_copier_spark.streaming import EVENTS_SCHEMA
+
+    src = os.path.join(tmp, "late_src")
+    base = dt.datetime(2024, 6, 1, 10, 0, 0)
+
+    def mk(rows, sub):
+        spark.createDataFrame(rows, schema=EVENTS_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(src, sub))
+
+    mk(
+        [
+            (1, base, 7, "click", 1.0, "{}"),
+            (2, base + dt.timedelta(minutes=5), 7, "click", 1.0, "{}"),
+            (3, base + dt.timedelta(hours=1), 7, "click", 1.0, "{}"),
+        ],
+        "b1",
+    )
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "10 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.unix_timestamp("w.start").alias("w_start"), "n")
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("s_late")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        mk([(4, base + dt.timedelta(minutes=1), 7, "click", 1.0, "{}")], "b2")  # LATE
+        q.processAllAvailable()
+        mk([(5, base + dt.timedelta(hours=3), 7, "click", 1.0, "{}")], "b3")
+        q.processAllAvailable()
+        rows = {
+            r["w_start"]: r["n"] for r in spark.sql("SELECT * FROM s_late").collect()
+        }
+    finally:
+        q.stop()
+    w0 = int(base.replace(tzinfo=dt.timezone.utc).timestamp())
+    finalized = rows.get(w0)
+    return {
+        "finalized_window_count": finalized,
+        "n_late_events_sent": 1,
+        "n_late_events_dropped": 1 if finalized == 2 else 0,
+        "pass": finalized == 2,
+    }
+
+
+def check_exactly_once_foreachbatch(spark, tmp):
+    from hadoop_copier_spark.streaming import EVENTS_SCHEMA
+    from hadoop_copier_spark.tables import load_table
+
+    src = os.path.join(tmp, "eos_src")
+    out = os.path.join(tmp, "eos_out")
+    chk = os.path.join(tmp, "eos_chk")
+    e = load_table(spark, SF, "events").limit(50)
+    e.coalesce(1).write.mode("overwrite").parquet(os.path.join(src, "b1"))
+
+    def writer(df, batch_id):
+        df.write.mode("overwrite").parquet(os.path.join(out, f"batch={batch_id}"))
+
+    def run():
+        stream = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+        )
+        q = (
+            stream.select("event_id", "user_id")
+            .writeStream.foreachBatch(writer)
+            .option("checkpointLocation", chk)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    run()
+    run()  # restart over the same checkpoint: no reprocessing
+    got = spark.read.option("recursiveFileLookup", "true").parquet(out).collect()
+    return {
+        "n_input": 50,
+        "n_output_after_restart": len(got),
+        "n_distinct_ids": len({r["event_id"] for r in got}),
+        "pass": len(got) == 50 and len({r["event_id"] for r in got}) == 50,
+    }
+
+
+def check_exactly_once_file_sink_midstream_restart(spark, tmp):
+    from hadoop_copier_spark.tables import load_table
+
+    src = os.path.join(tmp, "mid_src")
+    out = os.path.join(tmp, "mid_out")
+    chk = os.path.join(tmp, "mid_chk")
+    e = load_table(spark, SF, "events").select("event_id", "user_id", "value").limit(90)
+    parts = [e.filter(F.col("event_id") % 3 == i) for i in range(3)]
+    parts[0].coalesce(1).write.mode("overwrite").parquet(os.path.join(src, "b1"))
+    parts[1].coalesce(1).write.mode("overwrite").parquet(os.path.join(src, "b2"))
+
+    def start():
+        stream = (
+            spark.readStream.schema("event_id long, user_id long, value double")
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+        )
+        return (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", chk)
+            .outputMode("append")
+            .start()
+        )
+
+    q = start()
+    try:
+        q.processAllAvailable()  # mid-replay: only b1+b2 exist yet
+    finally:
+        q.stop()  # forced stop before the full dataset arrived
+    parts[2].coalesce(1).write.mode("overwrite").parquet(os.path.join(src, "b3"))
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(
+        (r["event_id"], r["user_id"], r["value"])
+        for r in spark.read.parquet(out).collect()
+    )
+    want = sorted((r["event_id"], r["user_id"], r["value"]) for r in e.collect())
+    return {
+        "n_input": len(want),
+        "n_output": len(got),
+        "rows_hash_match": got == want,
+        "pass": got == want,
+    }
+
+
+def check_subseq_matcher_equals_batch(spark, tmp):
+    from hadoop_copier_spark.queries import REGISTRY
+    from hadoop_copier_spark.streaming import (
+        replay_events_chunks,
+        subseq_match_stateful,
+    )
+    from hadoop_copier_spark.streaming.jobs import _read_stream
+
+    replay = os.path.join(tmp, "replay_subseq")
+    replay_events_chunks(spark, SF, replay, n_chunks=5)
+    out = subseq_match_stateful(_read_stream(spark, replay))
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("s_subseq")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = [
+            (r.user_id, r.anchor_event_id, r.dist_u6)
+            for r in spark.sql("SELECT * FROM s_subseq").collect()
+        ]
+    finally:
+        q.stop()
+    no_dups = len(set(got)) == len(got)
+    got_top = sorted(got, key=lambda t: (t[2], t[0], t[1]))[:20]
+    batch = [
+        (r.user_id, r.event_id, r.dist_u6)
+        for r in REGISTRY["xh_subseq_search"].fn(spark, SF).collect()
+    ]
+    return {
+        "n_windows_emitted": len(got),
+        "no_window_emitted_twice": no_dups,
+        "stream_top20_equals_batch": got_top == batch,
+        "batch_query": "xh_subseq_search",
+        "pass": no_dups and got_top == batch,
+    }
+
+
+CHECKS = [
+    ("tumbling_window_q61", check_tumbling_equals_batch),
+    ("sliding_window_q62", check_sliding_equals_batch),
+    ("session_window_q63", check_session_equals_batch),
+    ("streaming_dedup", check_streaming_dedup),
+    ("watermark_late_drop", check_watermark_drops_late),
+    ("exactly_once_foreachbatch_restart", check_exactly_once_foreachbatch),
+    ("exactly_once_file_sink_midstream_restart",
+     check_exactly_once_file_sink_midstream_restart),
+    ("stateful_subseq_matcher", check_subseq_matcher_equals_batch),
+]
+
+
+def main() -> None:
+    from hadoop_copier_spark.session import get_spark
+
+    spark = get_spark()
+    tmp = tempfile.mkdtemp(prefix="streaming_rec_")
+    checks = {}
+    try:
+        for name, fn in CHECKS:
+            try:
+                r = fn(spark, tmp)
+                if "pass" not in r:
+                    r["pass"] = bool(r.get("stream_equals_batch"))
+            except Exception as ex:  # noqa: BLE001 - recording, not raising
+                r = {"pass": False, "error": str(ex).splitlines()[0][:200]}
+            checks[name] = r
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    out = {
+        "meta": {
+            "round": ROUND,
+            "sf_dir": SF,
+            "n_checks": len(checks),
+            "n_pass": sum(1 for v in checks.values() if v["pass"]),
+            "loadavg_1m_5m_15m": [round(x, 2) for x in os.getloadavg()],
+            "note": "explicit micro-batches (append files + "
+            "processAllAvailable), never wall-clock; same logic as "
+            "tests/test_streaming.py",
+        },
+        "checks": checks,
+    }
+    path = os.path.join(_REPO, f"STREAMING_r{ROUND}.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+    print(json.dumps({"wrote": path, **out["meta"]}))
+
+
+if __name__ == "__main__":
+    main()
