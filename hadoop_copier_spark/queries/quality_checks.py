@@ -766,3 +766,105 @@ def xh_hll_registers(spark, sf_dir):
         )
         .alias("err_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed Count-Min Sketch with EXACT cross-engine verification (r13).
+
+_CMS_D = 4   # independent hash rows
+_CMS_W = 64  # buckets per row
+# portable 60-bit hash of "row:token" (the repo's md5 idiom), mod W
+_CMS_H_SQL = "(('0x' || substr(md5({j} || ':' || token), 1, 15))::BIGINT) % " + str(
+    _CMS_W
+)
+
+
+@register(
+    "xh_cms_registers",
+    oracle=f"""WITH t AS MATERIALIZED (
+  SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                            x -> x <> '')) AS token
+  FROM documents),
+e AS (SELECT j.j AS row_id,
+             {_CMS_H_SQL.format(j="j.j::VARCHAR")} AS bucket
+      FROM t CROSS JOIN generate_series(0, {_CMS_D - 1}) j(j)),
+c AS (SELECT row_id, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM e GROUP BY row_id, bucket),
+g AS (SELECT r.j AS row_id, b.b AS bucket
+      FROM generate_series(0, {_CMS_D - 1}) r(j)
+      CROSS JOIN generate_series(0, {_CMS_W - 1}) b(b))
+SELECT CAST(g.row_id AS BIGINT) AS row_id,
+       CAST(g.bucket AS BIGINT) AS bucket,
+       COALESCE(c.cnt, 0) AS cnt
+FROM g LEFT JOIN c ON c.row_id = g.row_id AND c.bucket = g.bucket
+ORDER BY row_id, bucket""",
+    tags=("quality", "sketch", "llm", "oracle-twin"),
+)
+def xh_cms_registers(spark, sf_dir):
+    """Count-Min Sketch registers over the corpus token stream (round
+    13) — the frequency-estimation companion to xh_hll_registers'
+    cardinality sketch: 4 hash rows x 64 buckets of exact
+    BIGINT counters, each counter the number of token occurrences
+    hashing into it. The register frame IS the mergeable state the
+    sketch exists for at 100 TB: per-shard sketches union by pointwise
+    ADDITION (tested in tests/test_quality_checks.py along with the
+    point-query guarantee est = min_j reg[j][h_j(tok)] >= exact count
+    for EVERY token). Hashes are the repo's portable 60-bit md5 idiom
+    over "row:token", so both engines compute bit-identical registers
+    and the driver hash-checks the full 256-counter state.
+
+    Scale shape: tokens explode once and fan out x4 into (row,
+    bucket) keys inside the same projection; the ONE exchange is the
+    uniform (row, bucket) partial agg whose aggregate state is at most
+    4x64 counters per partition — the corpus never
+    shuffles, exactly the property that lets a 1000-executor job emit a
+    256-long frame per shard and merge on the driver. The zero-filled
+    grid attaches via a 256-row driver range, cost-free."""
+    d = tbl(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(
+            F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
+        ).alias("token")
+    )
+    rb = toks.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).cast("long").alias("row_id"),
+                        (
+                            F.conv(
+                                F.substring(
+                                    F.md5(
+                                        F.concat_ws(
+                                            ":", F.lit(str(j)), F.col("token")
+                                        )
+                                    ),
+                                    1,
+                                    15,
+                                ),
+                                16,
+                                10,
+                            ).cast("long")
+                            % _CMS_W
+                        ).alias("bucket"),
+                    )
+                    for j in range(_CMS_D)
+                ]
+            )
+        ).alias("rb")
+    ).select("rb.row_id", "rb.bucket")
+    counts = rb.groupBy("row_id", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    grid = spark.range(_CMS_D * _CMS_W).select(
+        F.expr(f"id div {_CMS_W}").cast("long").alias("row_id"),
+        (F.col("id") % _CMS_W).cast("long").alias("bucket"),
+    )
+    return (
+        grid.join(counts, ["row_id", "bucket"], "left")
+        .select(
+            "row_id", "bucket", F.coalesce("cnt", F.lit(0)).cast("long").alias("cnt")
+        )
+        .orderBy("row_id", "bucket")
+    )

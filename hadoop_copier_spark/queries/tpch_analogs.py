@@ -596,3 +596,421 @@ def xh_tpch_q22(spark, sf_dir):
         )
         .orderBy("n_name")
     )
+
+
+@register(
+    "xh_tpch_q6",
+    oracle=f"""SELECT CAST(SUM({ocents('l_discount')}
+                * {ocents('l_extendedprice')}) AS BIGINT) AS revenue_e4,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND {ocents('l_discount')} BETWEEN 5 AND 7
+  AND {ocents('l_quantity')} < 2400""",
+    tags=("tpch", "scan", "agg"),
+)
+def xh_tpch_q6(spark, sf_dir):
+    """TPC-H Q6 analog (forecasting revenue change, round 13): the
+    would-be revenue gained by eliminating small discounts on
+    small-quantity 1997 shipments — sum of extendedprice x discount
+    over a pure predicate slice, no joins at all. Every predicate is
+    evaluated on exact integer units (cents), so the float columns
+    never reach a comparison: discount BETWEEN 5 AND 7 cents, quantity
+    < 2400 centi-units — mirrored literally in the oracle.
+
+    Plan at 100 TB: the canonical scan-dominated query — all three
+    predicates push into the parquet scan (PushedFilters covers the
+    shipdate range; the cents-quantized predicates evaluate in
+    whole-stage codegen right above it), the aggregate is one
+    partial->final global pair, and the exchange carries ONE row of
+    aggregate state per partition. Any engine that shuffles data for
+    this query is wrong."""
+    li = tbl(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & cents("l_discount").between(5, 7)
+            & (cents("l_quantity") < 2400)
+        )
+        .agg(
+            F.sum(cents("l_discount") * cents("l_extendedprice"))
+            .cast("long")
+            .alias("revenue_e4"),
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+        )
+    )
+
+
+@register(
+    "xh_tpch_q7",
+    oracle=f"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+       CAST({_REV_SQL} AS BIGINT) AS revenue_e4
+FROM supplier s
+JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+  AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l.l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY n1.n_name, n2.n_name, year(l.l_shipdate)
+ORDER BY supp_nation, cust_nation, l_year""",
+    tags=("tpch", "join", "agg"),
+)
+def xh_tpch_q7(spark, sf_dir):
+    """TPC-H Q7 analog (volume shipping, round 13): bilateral trade
+    revenue between two nations by ship year — the 6-way star chain
+    supplier ⋈ lineitem ⋈ orders ⋈ customer with nation decoded on
+    BOTH ends and the either-direction pair predicate. Revenue follows
+    the q24 exact-integer discipline.
+
+    Plan at 100 TB: the nation-pair filters apply to the TINY dimension
+    sides first (the 25-row nation frame broadcasts into supplier and
+    customer, shrinking both to two nations' worth of keys BEFORE any
+    fact-table join). The filtered supplier/customer joins are key-
+    partitioned and UNHINTED — both tables grow with the corpus (TPC-H
+    scales supplier and customer with SF), so forcing them into executor
+    memory is the exact mistake the round-13 broadcast audit exists to
+    block; AQE broadcasts when the two-nation slice is actually small.
+    lineitem and orders shuffle at most once each; the rollup is
+    (2 pair-directions x years)-bounded."""
+    n = tbl(spark, sf_dir, "nation")
+    n1 = n.filter(F.col("n_name").isin("NATION_1", "NATION_2")).select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.filter(F.col("n_name").isin("NATION_1", "NATION_2")).select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    s = tbl(spark, sf_dir, "supplier").join(
+        F.broadcast(n1), F.col("s_nationkey") == F.col("sn_key")
+    )
+    c = tbl(spark, sf_dir, "customer").join(
+        F.broadcast(n2), F.col("c_nationkey") == F.col("cn_key")
+    )
+    li = tbl(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    o = tbl(spark, sf_dir, "orders")
+    return (
+        li.join(s, li.l_suppkey == s.s_suppkey)  # unhinted: AQE decides
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)  # unhinted: AQE decides
+        .filter(
+            (
+                (F.col("supp_nation") == "NATION_1")
+                & (F.col("cust_nation") == "NATION_2")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_2")
+                & (F.col("cust_nation") == "NATION_1")
+            )
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(_rev_e4())
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@register(
+    "xh_tpch_q12",
+    oracle="""SELECT l.l_linestatus,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l.l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY l.l_linestatus ORDER BY l.l_linestatus""",
+    tags=("tpch", "join", "agg"),
+)
+def xh_tpch_q12(spark, sf_dir):
+    """TPC-H Q12 analog (shipping modes / order priority, round 13):
+    per line status, how many 1997-shipped line items belonged to
+    urgent-or-high orders vs everything else — the conditional-count
+    fact ⋈ fact join Q12 exercises. The fixture has no l_shipmode or
+    commit/receipt dates, so the declared adaptation groups by
+    l_linestatus and windows on l_shipdate; the shape under test is
+    identical (date-sliced join + CASE-bucketed counts over a
+    low-cardinality group).
+
+    Plan at 100 TB: the date slice pushes into the lineitem scan before
+    its one orderkey exchange; orders shuffles once on the same key (no
+    broadcast hint — orders grows with the corpus, AQE decides); the
+    CASE counts combine map-side into a 2-group rollup."""
+    o = tbl(spark, sf_dir, "orders")
+    li = tbl(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0))
+            .cast("long")
+            .alias("high_line_count"),
+            F.sum(F.when(is_high, 0).otherwise(1))
+            .cast("long")
+            .alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@register(
+    "xh_tpch_q16",
+    oracle="""SELECT p.p_brand, p.p_type, p.p_size,
+       CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM part p
+JOIN lineitem l ON p.p_partkey = l.l_partkey
+WHERE p.p_brand <> 'Brand#12' AND p.p_type <> 'PROMO'
+  AND p.p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+  AND l.l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p.p_brand, p.p_type, p.p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+LIMIT 40""",
+    tags=("tpch", "join", "agg", "subquery"),
+)
+def xh_tpch_q16(spark, sf_dir):
+    """TPC-H Q16 analog (parts/supplier relationship, round 13): how
+    many distinct suppliers can furnish each surviving (brand, type,
+    size) combination, excluding one brand, one type, and suppliers on
+    a denylist. The fixture has no partsupp table or supplier comments,
+    so the declared adaptations are: lineitem stands in as the
+    part-supplier relation (a supplier "can furnish" a part it has
+    shipped) and the complaint denylist becomes s_acctbal < 0 — the
+    shape under test (dimension exclusions + NOT IN subquery + COUNT
+    DISTINCT over a grouped join) is identical.
+
+    Plan at 100 TB: brand/type/size exclusions push into the part scan;
+    the denylist is a LEFT ANTI against a filtered supplier frame
+    (supplier is catalog-sized — unhinted, AQE decides); the distinct
+    count is the two-phase distinct expansion on (group, suppkey); the
+    top-40 is TakeOrderedAndProject, never a global sort."""
+    p = tbl(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#12")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+    )
+    bad = tbl(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    li = (
+        tbl(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .join(bad, F.col("l_suppkey") == bad.s_suppkey, "left_anti")
+    )
+    return (
+        p.join(li, p.p_partkey == li.l_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").cast("long").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size"
+        )
+        .limit(40)
+    )
+
+
+@register(
+    "xh_tpch_q17",
+    oracle=f"""WITH pq AS (
+  SELECT l.l_partkey,
+         SUM({ocents('l.l_quantity')}) AS sum_qc,
+         COUNT(*) AS cnt
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE p.p_brand = 'Brand#23'
+  GROUP BY l.l_partkey)
+SELECT CAST(SUM({ocents('l.l_extendedprice')}) AS BIGINT) AS total_price_e2,
+       CAST(COUNT(*) AS BIGINT) AS n_small_orders
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN pq ON pq.l_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#23'
+  AND {ocents('l.l_quantity')} * 5 * pq.cnt < pq.sum_qc""",
+    tags=("tpch", "join", "agg", "subquery"),
+)
+def xh_tpch_q17(spark, sf_dir):
+    """TPC-H Q17 analog (small-quantity-order revenue, round 13): total
+    revenue lost to line items ordering less than 20% of a part's
+    average quantity, over one brand — the correlated per-group average
+    Q17 exercises. The 0.2 x AVG comparison is cross-multiplied into
+    exact integers (5 x quantity-cents x count < quantity-cents sum),
+    so no division or float average exists on either engine; the
+    fixture has no p_container, so the brand filter alone slices the
+    catalog (declared adaptation).
+
+    Plan at 100 TB: the brand filter pushes into the part scan and that
+    small dimension broadcasts into lineitem; the per-part (sum, count)
+    frame is ONE partial agg over the already-brand-sliced rows joined
+    back part-keyed (never a correlated rescan per row, which is how
+    the spec's subquery dies at scale); the final sum is a global
+    partial->final pair."""
+    p = tbl(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
+    li = tbl(spark, sf_dir, "lineitem").join(
+        F.broadcast(p.select("p_partkey")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    pq = li.groupBy("l_partkey").agg(
+        F.sum(cents("l_quantity")).alias("sum_qc"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    return (
+        li.join(pq, "l_partkey")
+        .filter(cents("l_quantity") * F.lit(5) * F.col("cnt") < F.col("sum_qc"))
+        .agg(
+            F.sum(cents("l_extendedprice")).cast("long").alias("total_price_e2"),
+            F.count(F.lit(1)).cast("long").alias("n_small_orders"),
+        )
+    )
+
+
+@register(
+    "xh_tpch_q8",
+    oracle=f"""WITH base AS (
+  SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+         {ocents('l.l_extendedprice')} * (100 - {ocents('l.l_discount')})
+           AS vol_e4,
+         ns.n_name AS supp_nation
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = nc.n_regionkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+  WHERE r.r_name = 'ASIA' AND p.p_type = 'ECONOMY')
+SELECT o_year,
+       CAST(SUM(CASE WHEN supp_nation = 'NATION_2' THEN vol_e4 ELSE 0 END)
+            AS BIGINT) AS nation_vol_e4,
+       CAST(SUM(vol_e4) AS BIGINT) AS total_vol_e4,
+       CAST(SUM(CASE WHEN supp_nation = 'NATION_2' THEN vol_e4 ELSE 0 END)
+              * 1000000 // SUM(vol_e4) AS BIGINT) AS share_ppm
+FROM base GROUP BY o_year ORDER BY o_year""",
+    tags=("tpch", "join", "agg"),
+)
+def xh_tpch_q8(spark, sf_dir):
+    """TPC-H Q8 analog (national market share, round 13): NATION_2's
+    share of ECONOMY-part revenue sold to ASIA-region customers, per
+    order year — the 8-way snowflake join (nation decoded TWICE, once
+    for the customer's region membership, once for the supplier's
+    nationality) whose share ratio is the conditional-sum-over-sum Q8
+    exercises. Exact integers: volumes follow the q24 cents discipline,
+    the share is integer ppm via truncating division on exact sums.
+
+    Plan at 100 TB: region/nation filters collapse the customer
+    dimension snowflake BEFORE the fact joins; part's type filter
+    pushes into its scan and that dimension broadcasts; supplier and
+    customer joins are key-partitioned and unhinted (both grow with
+    SF); lineitem ⋈ orders is the one fact-fact shuffle; the rollup is
+    years-bounded."""
+    li = tbl(spark, sf_dir, "lineitem")
+    p = tbl(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    o = tbl(spark, sf_dir, "orders")
+    c = tbl(spark, sf_dir, "customer")
+    s = tbl(spark, sf_dir, "supplier")
+    n = tbl(spark, sf_dir, "nation")
+    r = tbl(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nc = n.join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    ).select(F.col("n_nationkey").alias("cn_key"))
+    ns = n.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    vol = (
+        cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
+    ).cast("decimal(38,0)")
+    nation_vol = F.when(F.col("supp_nation") == "NATION_2", vol).otherwise(
+        F.lit(0).cast("decimal(38,0)")
+    )
+    return (
+        li.join(F.broadcast(p.select("p_partkey")), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)  # unhinted: AQE decides
+        .join(F.broadcast(nc), c.c_nationkey == F.col("cn_key"))
+        .join(s, li.l_suppkey == s.s_suppkey)  # unhinted: AQE decides
+        .join(F.broadcast(ns), s.s_nationkey == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.sum(nation_vol).cast("bigint").alias("nation_vol_e4"),
+            F.sum(vol).cast("bigint").alias("total_vol_e4"),
+        )
+        .select(
+            "o_year",
+            "nation_vol_e4",
+            "total_vol_e4",
+            F.expr(
+                "CAST((CAST(nation_vol_e4 AS DECIMAL(38,0)) * 1000000)"
+                " div total_vol_e4 AS BIGINT)"
+            ).alias("share_ppm"),
+        )
+        .orderBy("o_year")
+    )
+
+
+@register(
+    "xh_tpch_q9",
+    oracle=f"""SELECT n.n_name, CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+       CAST(SUM({ocents('l.l_extendedprice')}
+                  * (100 - {ocents('l.l_discount')})
+                - {ocents('p.p_retailprice')} * {ocents('l.l_quantity')})
+            AS BIGINT) AS profit_e4
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE p.p_type = 'STANDARD'
+GROUP BY n.n_name, year(o.o_orderdate)
+ORDER BY n_name, o_year""",
+    tags=("tpch", "join", "agg"),
+)
+def xh_tpch_q9(spark, sf_dir):
+    """TPC-H Q9 analog (product-type profit, round 13): per supplier
+    nation and order year, discounted revenue minus acquisition cost
+    over one part type. The fixture has no partsupp.ps_supplycost, so
+    the declared adaptation costs each unit at p_retailprice — the
+    arithmetic shape (revenue term minus cost x quantity, summed per
+    nation-year, negatives possible) is Q9's. Both terms land in the
+    same 1e-4-dollar integer unit: cents(extprice) x (100 -
+    cents(discount)) and cents(retailprice) x centi-quantity —
+    accumulated in DECIMAL(38,0), emitted BIGINT.
+
+    Plan at 100 TB: the type filter pushes into the part scan and the
+    surviving keys+prices broadcast; supplier is key-partitioned
+    unhinted; nation broadcasts; lineitem ⋈ orders is the one
+    fact-fact shuffle; the rollup is (nations x years)-bounded."""
+    li = tbl(spark, sf_dir, "lineitem")
+    p = tbl(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    s = tbl(spark, sf_dir, "supplier")
+    n = tbl(spark, sf_dir, "nation")
+    o = tbl(spark, sf_dir, "orders")
+    amount = (
+        cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
+        - cents("p_retailprice") * cents("l_quantity")
+    ).cast("decimal(38,0)")
+    return (
+        li.join(
+            F.broadcast(p.select("p_partkey", "p_retailprice")),
+            li.l_partkey == p.p_partkey,
+        )
+        .join(s, li.l_suppkey == s.s_suppkey)  # unhinted: AQE decides
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("n_name", F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(F.sum(amount).cast("bigint").alias("profit_e4"))
+        .orderBy("n_name", "o_year")
+    )

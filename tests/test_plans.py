@@ -645,8 +645,14 @@ _ADJUDICATED_BROADCASTS = {
     ("queries/llm_ops.py", "v"),                # 64-row eigenvector frame
     ("queries/quality_checks.py", "dim.withColumn('__m', F.lit(1))"),
     ("queries/tpch_analogs.py", "n"),
+    ("queries/tpch_analogs.py", "n1"),      # 2-of-25-nation slice (q7)
+    ("queries/tpch_analogs.py", "n2"),
+    ("queries/tpch_analogs.py", "nc"),      # region-sliced nation keys (q8)
+    ("queries/tpch_analogs.py", "ns"),      # 25-row nation decode (q8)
     ("queries/tpch_analogs.py", "p"),
     ("queries/tpch_analogs.py", "p.filter(part_union)"),
+    ("queries/tpch_analogs.py", "p.select('p_partkey')"),  # type/brand slices (q8/q17)
+    ("queries/tpch_analogs.py", "p.select('p_partkey', 'p_retailprice')"),  # q9
     ("queries/tpch_analogs.py", "r"),
     ("queries/tpch_analogs.py", "s"),
     ("streaming/jobs.py", "customer"),          # stream-static dim join

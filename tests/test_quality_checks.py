@@ -364,3 +364,69 @@ def test_hll_union_is_register_max(spark, sf_smoke):
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     assert [max(a, b) for a, b in zip(*shards)] == full
+
+
+def test_cms_point_query_and_mergeability(spark, tmp_path):
+    """The two properties a Count-Min Sketch exists for:
+    (1) point-query guarantee — for EVERY token, est = min over rows of
+        reg[row][h_row(token)] is >= the exact count (counters only ever
+        add, so the min can overestimate via collisions but never
+        undercount);
+    (2) mergeable state — the sketch of a union corpus equals the
+        POINTWISE SUM of the per-shard sketches (the property that lets
+        1000 executors emit 256-counter frames and merge on the driver).
+    Exactness of the registers themselves is the DuckDB oracle's job."""
+    import collections
+    import hashlib
+    import os
+    import re
+
+    from hadoop_copier_spark.queries import REGISTRY
+
+    def write_docs(rows, name):
+        d = str(tmp_path / name)
+        spark.createDataFrame(
+            spark.sparkContext.parallelize(rows, 2),
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+        return d
+
+    def sketch(sf_dir):
+        reg = {}
+        for r in REGISTRY["xh_cms_registers"].fn(spark, sf_dir).collect():
+            reg[(r["row_id"], r["bucket"])] = r["cnt"]
+        return reg
+
+    def h(j, tok):
+        return int(hashlib.md5(f"{j}:{tok}".encode()).hexdigest()[:15], 16) % 64
+
+    texts_a = ["the cat sat", "the the the heavy heavy token", "cat dog"]
+    texts_b = ["dog dog dog", "heavy token again", "entirely new words here"]
+    a = write_docs([(i, t, "en", "s", len(t)) for i, t in enumerate(texts_a)], "a")
+    b = write_docs([(i, t, "en", "s", len(t)) for i, t in enumerate(texts_b)], "b")
+    u = write_docs(
+        [(i, t, "en", "s", len(t)) for i, t in enumerate(texts_a + texts_b)], "u"
+    )
+    reg_a, reg_b, reg_u = sketch(a), sketch(b), sketch(u)
+    assert len(reg_u) == 4 * 64
+
+    # (2) merge = pointwise addition
+    assert all(
+        reg_u[k] == reg_a[k] + reg_b[k] for k in reg_u
+    ), "union sketch != sum of shard sketches"
+
+    # (1) point query >= exact for every token in the union corpus
+    exact = collections.Counter(
+        tok
+        for t in texts_a + texts_b
+        for tok in re.split(r"\s+", t.lower())
+        if tok
+    )
+    total = sum(exact.values())
+    assert sum(reg_u[(0, bkt)] for bkt in range(64)) == total  # row conserves
+    for tok, n in exact.items():
+        est = min(reg_u[(j, h(j, tok))] for j in range(4))
+        assert est >= n, (tok, est, n)
+    # the heaviest planted token's estimate is exact here (no collision
+    # materialized in this tiny corpus for at least one of its 4 rows)
+    assert min(reg_u[(j, h(j, "the"))] for j in range(4)) >= exact["the"] == 4
