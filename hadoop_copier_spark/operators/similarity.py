@@ -463,3 +463,168 @@ def semantic_dedup(
             F.when(F.col("__dup").isNull(), 1).otherwise(0).cast("int").alias("keep"),
         )
     )
+
+
+def pq_ann_topk(
+    candidates: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    n_codes: int = 16,
+    lloyd_iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization approximate top-k (round 13) — the third
+    scale path for similarity search, orthogonal to LSH (bucket pruning)
+    and IVF (cluster pruning): PQ COMPRESSES each vector to ``m`` small
+    codes (one per subspace, ``n_codes`` centroids each => m*log2(K)
+    bits, e.g. 64-dim float32 -> 8 bytes at the defaults, a 32x memory
+    cut) and scores candidates with asymmetric distance computation: per
+    query, an m x K lookup table of subspace dot products is built ONCE,
+    and each candidate's approximate dot product is m table lookups
+    instead of a dim-wide float scan.
+
+    Distributed shape:
+      1. codebooks train on the candidates themselves — seeds are the
+         first n_codes vectors by id (one bounded collect), then
+         ``lloyd_iters`` refinement passes over the EXPLODED (id, sub,
+         subvector) frame: assignment is one vectorized matmul UDF per
+         Arrow batch, the recompute is a uniform (sub, code, dim)
+         partial agg; only the m x K x subdim codebook table reaches
+         the driver (metadata, not data).
+      2. encoding is map-only: one pandas UDF emits the m-code array
+         per candidate; bytes never shuffle.
+      3. scoring joins the code table against the BROADCAST query side
+         (queries carry their flattened LUTs), so candidates never
+         shuffle — the cosine_topk discipline; the per-pair cost is the
+         JVM aggregate over m lookups. At 100 TB compose with the IVF
+         coarse quantizer (probe clusters first, ADC-score inside them)
+         — the classic IVF-PQ split; both halves exist here as
+         independently tested operators.
+
+    Scores are approximate DOT PRODUCTS (ADC), not exact cosines — rank
+    fidelity on planted duplicates is property-tested in
+    tests/test_llm_ops.py. NULL vectors drop on both sides; dim must be
+    divisible by ``m``."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
+    from pyspark.sql import types as T
+
+    candidates = candidates.filter(F.col(vec_col).isNotNull())
+    queries = queries.filter(F.col(vec_col).isNotNull())
+    first = candidates.select(F.size(F.col(vec_col)).alias("d")).first()
+    if first is None:
+        return candidates.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, rank int, score double"
+        )
+    dim = int(first["d"])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    sub = dim // m
+
+    # --- 1. train per-subspace codebooks (driver holds m x K x sub only)
+    seed_rows = (
+        candidates.orderBy(id_col).limit(n_codes).select(vec_col).collect()
+    )
+    seeds = np.asarray(
+        [[float(x) for x in r[vec_col]] for r in seed_rows], dtype=np.float64
+    )  # S x dim, S <= n_codes
+    books = [seeds[:, j * sub:(j + 1) * sub].copy() for j in range(m)]
+
+    def assign_all_udf(books_now):
+        bmats = [np.asarray(b, dtype=np.float64) for b in books_now]
+        bn2 = [np.einsum("ij,ij->i", b, b) for b in bmats]
+
+        @F.pandas_udf(T.ArrayType(T.IntegerType()))
+        def enc(vecs):
+            if not len(vecs):
+                return pd.Series([], dtype=object)
+            vmat = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+            codes = np.empty((vmat.shape[0], m), dtype=np.int64)
+            for j in range(m):
+                vs = vmat[:, j * sub:(j + 1) * sub]
+                d = -2.0 * (vs @ bmats[j].T) + bn2[j][None, :]
+                codes[:, j] = np.argmin(d, axis=1)  # ties: lowest index
+            return pd.Series([[int(c) for c in row] for row in codes])
+
+        return enc
+
+    for _ in range(lloyd_iters):
+        enc = assign_all_udf(books)
+        assigned = candidates.select(
+            enc(F.col(vec_col)).alias("__codes"),
+            F.posexplode(F.col(vec_col)).alias("__dim", "__v"),
+        ).select(
+            F.expr(f"__dim div {sub}").alias("__sub"),
+            F.element_at(
+                "__codes", (F.expr(f"__dim div {sub}") + 1).cast("int")
+            ).alias("__code"),
+            (F.col("__dim") % sub).alias("__sd"),
+            F.col("__v").cast("double").alias("__v"),
+        )
+        means = (
+            assigned.groupBy("__sub", "__code", "__sd")
+            .agg(F.avg("__v").alias("__mv"))
+            .collect()
+        )  # m x K x sub rows — metadata
+        got = {(r["__sub"], r["__code"], r["__sd"]): r["__mv"] for r in means}
+        books = [
+            np.asarray(
+                [
+                    [
+                        got.get((j, c, d), books[j][c][d] if c < len(books[j]) else 0.0)
+                        for d in range(sub)
+                    ]
+                    for c in range(len(books[j]))
+                ]
+            )
+            for j in range(m)
+        ]
+
+    # --- 2. encode candidates (map-only)
+    enc = assign_all_udf(books)
+    index = candidates.select(
+        F.col(id_col).alias("neighbor_id"), enc(F.col(vec_col)).alias("__codes")
+    )
+
+    # --- 3. per-query flattened LUT: lut[j*K + c] = dot(q_sub[j], book[j][c])
+    bmats = [np.asarray(b, dtype=np.float64) for b in books]
+    n_k = len(bmats[0])
+
+    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    def lut_udf(vecs):
+        if not len(vecs):
+            return pd.Series([], dtype=object)
+        vmat = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+        out = np.empty((vmat.shape[0], m * n_k), dtype=np.float64)
+        for j in range(m):
+            out[:, j * n_k:(j + 1) * n_k] = (
+                vmat[:, j * sub:(j + 1) * sub] @ bmats[j].T
+            )
+        return pd.Series([list(map(float, row)) for row in out])
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), lut_udf(F.col(vec_col)).alias("__lut")
+    )
+    adc = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, j: acc
+        + F.element_at(
+            F.col("__lut"), j * n_k + F.element_at(F.col("__codes"), j + 1) + 1
+        ),
+    )
+    pairs = index.crossJoin(F.broadcast(q)).filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__score").desc(), F.col("neighbor_id")
+    )
+    return (
+        pairs.select("query_id", "neighbor_id", adc.alias("__score"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.col("__score").alias("score"))
+    )

@@ -184,6 +184,25 @@ def p_ann_lsh(spark, sf_dir):
     )
 
 
+@register("xp_ann_pq", oracle=None, tags=("llm", "similarity", "approx"))
+def p_ann_pq(spark, sf_dir):
+    """P-class: product-quantization approximate nearest neighbors
+    (round 13) — the compression scale path for similarity search: each
+    candidate collapses to 8 one-byte codes (32x memory cut on 64-dim
+    float32) and queries score via m-lookup asymmetric distance instead
+    of a dim-wide scan. Completes the ANN triad (brute q59 baseline,
+    LSH bucket pruning, IVF cluster pruning; at 100 TB IVF-PQ composes
+    the last two). Planted-duplicate rank-1 recall, code-range/
+    determinism and brute-force recall are property-checked in
+    tests/test_llm_ops.py."""
+    from ..operators.similarity import pq_ann_topk
+
+    e = tbl(spark, sf_dir, "embeddings")
+    return pq_ann_topk(e, e.filter(F.col("vec_id") < 10), k=5).orderBy(
+        "query_id", "rank"
+    )
+
+
 @register(
     "xh_token_stats",
     oracle="""SELECT doc_id,

@@ -552,3 +552,44 @@ def test_pca_power_integer_lockstep_and_direction(spark, sf_oracle):
     a = np.array([v[j] for j in range(dim)], dtype=np.float64)
     cos = float(a @ vf / (np.linalg.norm(a) * np.linalg.norm(vf)))
     assert cos > 0.999, cos
+
+
+def test_ann_pq_planted_duplicates_rank_first(spark, sf_oracle):
+    """PQ ADC scoring: an exact-code twin (the 1.001-scaled planted
+    copy quantizes to the same 8 codes on random 64-dim data) must rank
+    #1 for its query; codes are m-long, in [0, n_codes); repeated runs
+    are bit-identical (deterministic seeds + stable argmin ties)."""
+    from pyspark.sql import functions as F
+
+    from hadoop_copier_spark.operators.similarity import pq_ann_topk
+
+    e = spark.read.parquet(f"{sf_oracle}/embeddings.parquet")
+    planted = e.filter(F.col("vec_id") < 4).select(
+        (F.col("vec_id") + 1000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: (x.cast("double") * F.lit(1.001)).cast("float")
+        ).alias("embedding"),
+        "label",
+    )
+    cand = e.unionByName(planted)
+    q = e.filter(F.col("vec_id") < 4)
+    rows = pq_ann_topk(cand, q, k=3).collect()
+    top1 = {r["query_id"]: r["neighbor_id"] for r in rows if r["rank"] == 1}
+    assert top1 == {i: i + 1000 for i in range(4)}, top1
+    rows2 = pq_ann_topk(cand, q, k=3).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
+
+
+def test_ann_pq_recall_vs_brute_force(spark, sf_oracle):
+    """PQ is lossy by design (8 subspaces x 16 codes), but on the
+    fixture corpus its top-5 must overlap brute-force cosine top-5 well
+    above chance (10 queries x ~600 candidates => chance overlap ~1%)."""
+    brute = REGISTRY["q59"].fn(spark, sf_oracle).collect()
+    approx = REGISTRY["xp_ann_pq"].fn(spark, sf_oracle).collect()
+    top_b, top_a = {}, {}
+    for r in brute:
+        top_b.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for r in approx:
+        top_a.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [len(top_b[q] & top_a.get(q, set())) / len(top_b[q]) for q in top_b]
+    assert sum(recalls) / len(recalls) >= 0.2, recalls

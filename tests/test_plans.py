@@ -371,6 +371,9 @@ def test_no_unplanned_nested_loop_or_cartesian_joins(spark, sf_smoke):
     allowed = {
         "q19", "q20", "q59", "xh_embedding_neardup", "xp_embedding_neardup",
         "xh_heavy_hitters", "xh_bm25",
+        # ADC scoring against the BROADCAST query side (bounded by the
+        # ask, the q59/cosine_topk discipline) — candidates never shuffle
+        "xp_ann_pq",
         # 1-row dangling-mass broadcast per power-iteration round — the
         # same provably-single-row global-scalar attach as heavy_hitters
         "xp_pagerank",
