@@ -1014,3 +1014,383 @@ def xh_tpch_q9(spark, sf_dir):
         .agg(F.sum(amount).cast("bigint").alias("profit_e4"))
         .orderBy("n_name", "o_year")
     )
+
+
+@register(
+    "xh_tpch_q13",
+    oracle="""SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+  FROM customer c
+  LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                    AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey)
+GROUP BY c_count ORDER BY custdist DESC, c_count DESC""",
+    tags=("tpch", "join", "agg"),
+)
+def xh_tpch_q13(spark, sf_dir):
+    """TPC-H Q13 analog (customer order-count distribution, round 13):
+    how many customers placed 0, 1, 2, ... non-urgent orders — the
+    histogram-of-a-groupBy whose LEFT join is load-bearing (customers
+    with NO qualifying orders must appear in the 0 bucket, which an
+    inner join silently drops). The spec's o_comment NOT LIKE filter is
+    adapted to excluding '1-URGENT' orders (no comment column) — the
+    join-side-predicate placement is identical: the filter applies to
+    the ORDERS side of the join condition, never to the joined result
+    (where it would turn the outer join back into an inner one).
+
+    Plan at 100 TB: one custkey exchange each side for the outer join
+    (customer and orders both corpus-scale — no hints), a custkey
+    partial->final count, then the distribution rollup collapses to
+    order-count cardinality (~tens of groups)."""
+    c = tbl(spark, sf_dir, "customer")
+    o = tbl(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).cast("long").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@register(
+    "xh_tpch_q15",
+    oracle=f"""WITH rev AS (
+  SELECT l_suppkey, CAST({_REV_SQL} AS BIGINT) AS total_rev_e4
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey)
+SELECT s.s_suppkey, s.s_name, r.total_rev_e4
+FROM supplier s JOIN rev r ON s.s_suppkey = r.l_suppkey
+WHERE r.total_rev_e4 = (SELECT MAX(total_rev_e4) FROM rev)
+ORDER BY s_suppkey""",
+    tags=("tpch", "join", "agg", "subquery"),
+)
+def xh_tpch_q15(spark, sf_dir):
+    """TPC-H Q15 analog (top supplier, round 13): the supplier(s) whose
+    quarter revenue equals the global maximum — the view-plus-scalar-max
+    composition (all ties emitted, which is why the spec uses = MAX
+    instead of LIMIT 1). Revenue is the exact-integer q24 discipline,
+    so the equality probe is a BIGINT comparison — no float-equality
+    trap on either engine.
+
+    Plan at 100 TB: the quarter filter pushes into the lineitem scan;
+    per-supplier revenue is ONE uniform partial agg; the max collapses
+    that frame to an O(1) driver scalar (the xh_tpch_q22 pattern)
+    feeding a scan-side equality filter; supplier attaches key-
+    partitioned unhinted."""
+    li = tbl(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    rev = li.groupBy("l_suppkey").agg(_rev_e4()).withColumnRenamed(
+        "revenue_e4", "total_rev_e4"
+    )
+    rev = rev.localCheckpoint(eager=True)  # one scan feeds max + probe
+    mx = rev.agg(F.max("total_rev_e4").alias("m")).collect()[0]["m"]
+    if mx is None:  # empty quarter: no top supplier (degrade, never fail)
+        top = rev.filter(F.lit(False))
+    else:
+        top = rev.filter(F.col("total_rev_e4") == F.lit(int(mx)))
+    s = tbl(spark, sf_dir, "supplier")
+    return (
+        s.join(top, s.s_suppkey == top.l_suppkey)
+        .select("s_suppkey", "s_name", "total_rev_e4")
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "xh_tpch_q11",
+    oracle=f"""WITH v AS (
+  SELECT l.l_partkey,
+         CAST(SUM({ocents('p.p_retailprice')} * {ocents('l.l_quantity')})
+              AS BIGINT) AS value_e4
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE n.n_name = 'NATION_5'
+  GROUP BY l.l_partkey),
+t AS (SELECT CAST(SUM(value_e4) AS BIGINT) AS total_e4 FROM v)
+SELECT v.l_partkey AS p_partkey, v.value_e4
+FROM v, t
+WHERE v.value_e4 * 1000 > t.total_e4
+ORDER BY value_e4 DESC, p_partkey""",
+    tags=("tpch", "join", "agg", "subquery"),
+)
+def xh_tpch_q11(spark, sf_dir):
+    """TPC-H Q11 analog (important stock, round 13): parts representing
+    a significant share (> 0.1%) of one nation's shipped value — the
+    HAVING-against-a-global-scalar shape. partsupp is absent, so the
+    declared adaptation values a part at retailprice x shipped quantity
+    over the nation's lineitems; the share test is cross-multiplied
+    (value * 1000 > total) so no fraction exists on either engine.
+
+    Plan at 100 TB: the nation filter collapses supplier via a
+    broadcast nation slice before the fact join (supplier itself
+    unhinted); per-part value is ONE uniform partial agg; the total is
+    a 1-row broadcast probe onto that same frame (never a rescan)."""
+    li = tbl(spark, sf_dir, "lineitem")
+    s = tbl(spark, sf_dir, "supplier")
+    n = tbl(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
+    p = tbl(spark, sf_dir, "part")
+    v = (
+        li.join(s, li.l_suppkey == s.s_suppkey)  # unhinted: AQE decides
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(
+            F.broadcast(p.select("p_partkey", "p_retailprice")),
+            li.l_partkey == F.col("p_partkey"),
+        )
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(
+                (cents("p_retailprice") * cents("l_quantity")).cast(
+                    "decimal(38,0)"
+                )
+            )
+            .cast("bigint")
+            .alias("value_e4")
+        )
+    )
+    v = v.localCheckpoint(eager=True)  # one pass feeds total + probe
+    t = v.agg(F.sum("value_e4").cast("long").alias("total_e4"))
+    return (
+        v.join(F.broadcast(t))  # 1-row build side
+        .filter(F.col("value_e4") * 1000 > F.col("total_e4"))
+        .select(F.col("l_partkey").alias("p_partkey"), "value_e4")
+        .orderBy(F.col("value_e4").desc(), "p_partkey")
+    )
+
+
+@register(
+    "xh_tpch_q20",
+    oracle=f"""WITH sp AS (
+  SELECT l.l_suppkey, l.l_partkey,
+         CAST(SUM({ocents('l.l_quantity')}) AS BIGINT) AS qty_c
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE p.p_type = 'PROMO'
+  GROUP BY l.l_suppkey, l.l_partkey),
+tot AS (
+  SELECT l_partkey, CAST(SUM(qty_c) AS BIGINT) AS tot_c
+  FROM sp GROUP BY l_partkey),
+dom AS (
+  SELECT DISTINCT sp.l_suppkey
+  FROM sp JOIN tot ON sp.l_partkey = tot.l_partkey
+  WHERE sp.qty_c * 2 > tot.tot_c)
+SELECT s.s_suppkey, s.s_name, n.n_name
+FROM supplier s
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE s.s_suppkey IN (SELECT l_suppkey FROM dom)
+ORDER BY s_suppkey""",
+    tags=("tpch", "join", "agg", "subquery"),
+)
+def xh_tpch_q20(spark, sf_dir):
+    """TPC-H Q20 analog (excess-stock suppliers, round 13): suppliers
+    who DOMINATE at least one PROMO part — shipping more than half of
+    that part's corpus-wide quantity. partsupp.availqty is absent, so
+    the spec's 'availqty > 0.5 x shipped' becomes 'own shipped > 0.5 x
+    total shipped' (declared adaptation); the structural shape is
+    identical: a nested per-(supplier, part) aggregate compared against
+    a per-part aggregate, collapsed to a DISTINCT supplier set that
+    SEMI-joins into the supplier dimension. The half test is
+    cross-multiplied (qty x 2 > total) on exact centi-quantities.
+
+    Plan at 100 TB: the type filter prunes part and that key set
+    broadcasts; the (supplier, part) and per-part aggregates are two
+    uniform partial aggs over the SAME filtered frame (checkpointed
+    once); the dominance probe is a part-keyed equi join of two
+    aggregate frames (never a rescan); the final membership test is a
+    LEFT SEMI into supplier."""
+    li = tbl(spark, sf_dir, "lineitem")
+    p = tbl(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    sp = (
+        li.join(F.broadcast(p.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(cents("l_quantity")).cast("long").alias("qty_c"))
+        .localCheckpoint(eager=True)  # feeds the per-part total AND the probe
+    )
+    tot = sp.groupBy("l_partkey").agg(
+        F.sum("qty_c").cast("long").alias("tot_c")
+    )
+    dom = (
+        sp.join(tot, "l_partkey")
+        .filter(F.col("qty_c") * 2 > F.col("tot_c"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = tbl(spark, sf_dir, "supplier")
+    n = tbl(spark, sf_dir, "nation")
+    return (
+        s.join(dom, s.s_suppkey == dom.l_suppkey, "left_semi")
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .select("s_suppkey", "s_name", "n_name")
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "xh_tpch_q21",
+    oracle="""WITH lo AS (
+  SELECT l.l_orderkey, l.l_suppkey,
+         CASE WHEN date_diff('day', CAST(o.o_orderdate AS DATE),
+                             CAST(l.l_shipdate AS DATE)) > 60
+              THEN 1 ELSE 0 END AS late
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE o.o_orderstatus = 'F'),
+g AS (
+  SELECT l_orderkey,
+         COUNT(DISTINCT l_suppkey) AS n_supp,
+         COUNT(DISTINCT CASE WHEN late = 1 THEN l_suppkey END) AS n_late,
+         MAX(CASE WHEN late = 1 THEN l_suppkey END) AS late_supp
+  FROM lo GROUP BY l_orderkey)
+SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM g JOIN supplier s ON s.s_suppkey = g.late_supp
+WHERE g.n_supp > 1 AND g.n_late = 1
+GROUP BY s.s_name
+ORDER BY numwait DESC, s_name LIMIT 20""",
+    tags=("tpch", "join", "agg", "subquery"),
+)
+def xh_tpch_q21(spark, sf_dir):
+    """TPC-H Q21 analog (suppliers who kept orders waiting, round 13):
+    per supplier, finalized multi-supplier orders where THEY were the
+    only late shipper — the spec's EXISTS(other supplier) AND NOT
+    EXISTS(other LATE supplier) pair, re-expressed as one grouped
+    aggregate per order (distinct suppliers, distinct late suppliers,
+    and the unique late supplier surfaced via MAX-over-CASE, well-
+    defined exactly when n_late = 1). Lateness is the q4 adaptation
+    (ship > order date + 60 days; no commit/receipt columns). The
+    rewrite is the scalable spelling of the double correlated
+    subquery: each EXISTS would rescan lineitem per row at 100 TB,
+    while this form pays ONE orderkey exchange.
+
+    Plan at 100 TB: the status filter pushes into orders before the
+    one fact-fact orderkey join; the per-order profile is a single
+    two-phase distinct aggregate; supplier attaches to the (late_supp)
+    frame key-partitioned; top-20 is TakeOrderedAndProject."""
+    li = tbl(spark, sf_dir, "lineitem")
+    o = tbl(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    late = F.when(
+        F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate")) > 60,
+        F.col("l_suppkey"),
+    )
+    g = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.count_distinct("l_suppkey").alias("n_supp"),
+            F.count_distinct(late).alias("n_late"),
+            F.max(late).alias("late_supp"),
+        )
+        .filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+    )
+    s = tbl(spark, sf_dir, "supplier")
+    return (
+        g.join(s, g.late_supp == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
+
+
+@register(
+    "xh_tpch_q2",
+    oracle=f"""WITH ps AS (
+  SELECT DISTINCT l.l_partkey, l.l_suppkey
+  FROM lineitem l),
+cand AS (
+  SELECT p.p_partkey, p.p_type, p.p_size, s.s_suppkey, s.s_name, n.n_name,
+         {ocents('s.s_acctbal')} AS acctbal_cents
+  FROM part p
+  JOIN ps ON ps.l_partkey = p.p_partkey
+  JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+  WHERE p.p_size = 15 AND p.p_type = 'LARGE' AND r.r_name = 'EUROPE'),
+best AS (
+  SELECT p_partkey AS best_pk,
+         MIN(acctbal_cents * 10000000 + s_suppkey) AS bk
+  FROM cand GROUP BY p_partkey)
+SELECT c.p_partkey, c.p_type, c.p_size, c.s_suppkey, c.s_name, c.n_name,
+       c.acctbal_cents
+FROM cand c JOIN best b
+  ON c.p_partkey = b.best_pk
+ AND c.acctbal_cents * 10000000 + c.s_suppkey = b.bk
+ORDER BY acctbal_cents DESC, n_name, s_name, c.p_partkey LIMIT 100""",
+    tags=("tpch", "join", "agg", "subquery"),
+)
+def xh_tpch_q2(spark, sf_dir):
+    """TPC-H Q2 analog (minimum-cost supplier, round 13 — completes the
+    22/22 analog sweep): for each qualifying part (size 15, LARGE),
+    the cheapest EUROPE supplier that has actually shipped it, with
+    full supplier/nation decode — the correlated per-part MIN +
+    join-back shape. Adaptations (no partsupp): the part-supplier
+    relation is DISTINCT lineitem pairs, and 'cost' is the supplier's
+    account balance in exact cents. The per-part argmin is made
+    deterministic AND hash-checkable by packing (acctbal_cents,
+    suppkey) into one BIGINT (cents bounded well under the 1e7 radix'
+    headroom: |bal| <= ~1e6 cents in TPC-H, suppkey < 1e7 by fixture
+    construction) — the same composite-min trick both engines compute
+    identically; ties on balance resolve to the lowest suppkey.
+
+    Plan at 100 TB: size/type filters prune part to a broadcastable
+    slice; region/nation collapse the supplier snowflake; the
+    (part, supplier) relation is one DISTINCT exchange; the per-part
+    MIN is a uniform partial agg joined back part-keyed (never a
+    correlated rescan); top-100 is TakeOrderedAndProject."""
+    li = tbl(spark, sf_dir, "lineitem")
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    p = tbl(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "LARGE")
+    )
+    s = tbl(spark, sf_dir, "supplier")
+    n = tbl(spark, sf_dir, "nation")
+    r = tbl(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    nr = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        "n_nationkey", "n_name"
+    )
+    cand = (
+        ps.join(
+            F.broadcast(p.select("p_partkey", "p_type", "p_size")),
+            ps.l_partkey == F.col("p_partkey"),
+        )
+        .join(s, ps.l_suppkey == s.s_suppkey)  # unhinted: AQE decides
+        .join(F.broadcast(nr), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            "p_partkey",
+            "p_type",
+            "p_size",
+            "s_suppkey",
+            "s_name",
+            "n_name",
+            cents("s_acctbal").alias("acctbal_cents"),
+        )
+    )
+    cand = cand.localCheckpoint(eager=True)  # feeds the argmin AND the probe
+    bk = (F.col("acctbal_cents") * F.lit(10_000_000) + F.col("s_suppkey")).alias(
+        "__bk"
+    )
+    best = (
+        cand.select("p_partkey", bk)
+        .groupBy("p_partkey")
+        .agg(F.min("__bk").alias("bk"))
+        .withColumnRenamed("p_partkey", "__best_pk")
+    )
+    return (
+        cand.withColumn("__bk", F.col("acctbal_cents") * 10_000_000 + F.col("s_suppkey"))
+        .join(best, (F.col("p_partkey") == F.col("__best_pk")) & (F.col("__bk") == F.col("bk")))
+        .select(
+            "p_partkey", "p_type", "p_size", "s_suppkey", "s_name", "n_name",
+            "acctbal_cents",
+        )
+        .orderBy(F.col("acctbal_cents").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )

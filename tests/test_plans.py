@@ -383,6 +383,9 @@ def test_no_unplanned_nested_loop_or_cartesian_joins(spark, sf_smoke):
         "xh_pca_power",
         # 1-row (n_a, n_b) totals broadcast onto the ECDF frame
         "xh_ks_drift",
+        # 1-row nation-total scalar broadcast onto the per-part value
+        # frame (the same global-scalar attach as heavy_hitters)
+        "xh_tpch_q11",
         # 1-row bloom-bitmap broadcast onto the fact side — the filter's
         # whole point is that the fact never shuffles; the build side is
         # provably a single row (operators/bloom.py)
@@ -652,12 +655,15 @@ _ADJUDICATED_BROADCASTS = {
     ("queries/tpch_analogs.py", "n2"),
     ("queries/tpch_analogs.py", "nc"),      # region-sliced nation keys (q8)
     ("queries/tpch_analogs.py", "ns"),      # 25-row nation decode (q8)
+    ("queries/tpch_analogs.py", "nr"),      # region-sliced nation decode (q2)
     ("queries/tpch_analogs.py", "p"),
     ("queries/tpch_analogs.py", "p.filter(part_union)"),
-    ("queries/tpch_analogs.py", "p.select('p_partkey')"),  # type/brand slices (q8/q17)
-    ("queries/tpch_analogs.py", "p.select('p_partkey', 'p_retailprice')"),  # q9
+    ("queries/tpch_analogs.py", "p.select('p_partkey')"),  # type/brand slices (q8/q17/q20)
+    ("queries/tpch_analogs.py", "p.select('p_partkey', 'p_retailprice')"),  # q9/q11
+    ("queries/tpch_analogs.py", "p.select('p_partkey', 'p_type', 'p_size')"),  # q2
     ("queries/tpch_analogs.py", "r"),
     ("queries/tpch_analogs.py", "s"),
+    ("queries/tpch_analogs.py", "t"),       # 1-row nation-total scalar (q11)
     ("streaming/jobs.py", "customer"),          # stream-static dim join
 }
 
