@@ -352,3 +352,109 @@ def p_right_to_erasure(spark, sf_dir):
         spark.sparkContext.parallelize(rows, 1),
         "version int, n_rows long, n_erased_users_rows long, others_checksum long",
     ).orderBy("version")
+
+
+@register("xp_snapshot_diff", oracle=None, tags=("parity", "snapshots"))
+def p_snapshot_diff(spark, sf_dir):
+    """P-class: version-to-version table diff over the snapshot layer
+    (round 13) — the audit primitive behind "what changed between
+    yesterday's corpus and today's": for each adjacent version pair,
+    the exact counts of ADDED, REMOVED and CHANGED rows plus an
+    order-free content checksum delta, computed without materializing
+    either version anywhere new. v1 is a customer slice, v2 appends a
+    disjoint slice (pure adds), v3 overwrites with one row's balance
+    restated and one customer dropped (a change + a remove) — so every
+    diff class is planted and the emitted numbers are fully
+    deterministic; tests assert them exactly.
+
+    Scale: each diff is ONE custkey-partitioned FULL OUTER join of two
+    snapshot reads (manifest-planned scans — no directory listing),
+    comparing a single xxhash64 row digest; counts aggregate
+    partial->final, rows never reach the driver. At 100 TB this is the
+    cheap spelling of CDC-between-versions: the join carries (key,
+    digest) pairs only after column pruning."""
+    from ..operators.snapshots import read_snapshot, write_snapshot
+
+    base = scratch_dir("snapdiff")
+    t = os.path.join(base, "tbl")
+    c = tbl(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    v1 = c.filter(F.col("c_custkey") % 3 == 0)
+    write_snapshot(v1, t)
+    write_snapshot(c.filter(F.col("c_custkey") % 3 == 1), t, mode="append")
+    first = v1.orderBy("c_custkey").limit(1).select("c_custkey")
+    v3 = (
+        read_snapshot(spark, t, 2)
+        .withColumn(
+            "c_acctbal",
+            F.when(
+                F.col("c_custkey")
+                == first.collect()[0]["c_custkey"],  # 1-row metadata probe
+                F.col("c_acctbal") + 1.0,
+            ).otherwise(F.col("c_acctbal")),
+        )
+        .join(
+            F.broadcast(
+                read_snapshot(spark, t, 2)
+                .orderBy(F.col("c_custkey").desc())
+                .limit(1)
+                .select("c_custkey")
+            ),
+            "c_custkey",
+            "left_anti",  # drop the highest-key customer
+        )
+    )
+    write_snapshot(v3, t, mode="overwrite")
+
+    def digest():
+        return F.xxhash64("c_name", F.col("c_acctbal").cast("string"))
+
+    rows = []
+    for va, vb in ((1, 2), (2, 3)):
+        a = read_snapshot(spark, t, va).select(
+            "c_custkey", digest().alias("__ha")
+        )
+        b = read_snapshot(spark, t, vb).select(
+            "c_custkey", digest().alias("__hb")
+        )
+        d = a.join(b, "c_custkey", "full_outer")
+        agg = d.agg(
+            F.sum(
+                F.when(F.col("__ha").isNull() & F.col("__hb").isNotNull(), 1).otherwise(0)
+            ).alias("added"),
+            F.sum(
+                F.when(F.col("__hb").isNull() & F.col("__ha").isNotNull(), 1).otherwise(0)
+            ).alias("removed"),
+            F.sum(
+                F.when(
+                    F.col("__ha").isNotNull()
+                    & F.col("__hb").isNotNull()
+                    & (F.col("__ha") != F.col("__hb")),
+                    1,
+                ).otherwise(0)
+            ).alias("changed"),
+            F.sum(
+                F.when(
+                    F.col("__ha").isNotNull()
+                    & F.col("__hb").isNotNull()
+                    & (F.col("__ha") == F.col("__hb")),
+                    1,
+                ).otherwise(0)
+            ).alias("unchanged"),
+        ).collect()[0]
+        rows.append(
+            (
+                va,
+                vb,
+                int(agg["added"] or 0),
+                int(agg["removed"] or 0),
+                int(agg["changed"] or 0),
+                int(agg["unchanged"] or 0),
+            )
+        )
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1),
+        "v_from int, v_to int, added long, removed long, changed long, "
+        "unchanged long",
+    ).orderBy("v_from")

@@ -1077,3 +1077,62 @@ def xh_split_leakage(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+_N_SHARDS = 8
+
+
+@register(
+    "xh_balanced_shards",
+    oracle=f"""WITH r AS (
+  SELECT n_chars,
+         ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) AS rn
+  FROM documents)
+SELECT CAST((rn - 1) % {_N_SHARDS} AS BIGINT) AS shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+       CAST(MAX(n_chars) AS BIGINT) AS max_chars
+FROM r GROUP BY (rn - 1) % {_N_SHARDS}
+ORDER BY shard""",
+    tags=("llm", "sharding", "pipeline"),
+)
+def xh_balanced_shards(spark, sf_dir):
+    """Size-balanced shard assignment (round 13): documents dealt
+    round-robin in descending size order across 8 output shards — the
+    classic LPT-style balancing a training job wants when writing
+    tokenized shards (hash split balances COUNTS; this balances BYTES,
+    so no shard becomes the stragglers' shard). Emits per-shard doc
+    count, byte sum and size range; the per-shard sums land within one
+    max-document of each other by construction — a pytest pins that
+    bound non-vacuously on a planted skewed corpus.
+
+    Scale shape: the global size rank is the operators/prefix
+    range-partitioned fix-up (repartitionByRange on (size desc, id) +
+    per-partition offsets), NEVER the single-partition ROW_NUMBER()
+    OVER (ORDER BY ...) the oracle spells — the suite-wide plan
+    invariant forbids that funnel; the shard rollup is an 8-group
+    partial->final agg."""
+    from ..operators.prefix import global_prefix_sum
+
+    d = tbl(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    ranked = global_prefix_sum(
+        d,
+        F.lit(1),
+        [F.col("n_chars").desc(), F.col("doc_id")],
+        out_col="rn",
+    )
+    return (
+        ranked.select(
+            ((F.col("rn") - 1) % _N_SHARDS).cast("long").alias("shard"),
+            "n_chars",
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.min("n_chars").cast("long").alias("min_chars"),
+            F.max("n_chars").cast("long").alias("max_chars"),
+        )
+        .orderBy("shard")
+    )

@@ -725,3 +725,97 @@ def xh_oov_rate(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "xh_bpe_merge_step",
+    oracle=f"""WITH t AS MATERIALIZED (
+  SELECT unnest({_TOKENS_SQL}) AS token FROM documents),
+p AS (
+  SELECT unnest(list_transform(range(1, length(token)),
+                               i -> substr(token, i, 2))) AS pair
+  FROM t WHERE length(token) >= 2)
+SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
+FROM p GROUP BY pair
+ORDER BY n DESC, pair LIMIT 20""",
+    tags=("llm", "text", "tokenizer"),
+)
+def xh_bpe_merge_step(spark, sf_dir):
+    """One BPE training merge step (round 13): the most frequent
+    adjacent character pairs inside word tokens — the inner loop a
+    byte-pair-encoding tokenizer runs repeatedly (merge the top pair,
+    recount, repeat). Each step is exactly this query, so its scale
+    shape decides whether training a tokenizer on the corpus is
+    feasible at all. Top-20 pairs with exact counts, deterministic
+    (count desc, pair asc) order, hash-checked — the Spark and DuckDB
+    spellings both reduce to substr(token, i, 2) over an exploded
+    position range.
+
+    Scale shape: tokens explode once; pairs are generated in-projection
+    (sequence + substring — whole-stage codegen, no UDF); the ONE
+    exchange is the uniform pair partial agg whose state is
+    alphabet^2-bounded (a few hundred groups for natural text —
+    byte-level BPE caps it at 65k); top-20 is TakeOrderedAndProject."""
+    d = tbl(spark, sf_dir, "documents")
+    toks = d.select(F.explode(_tokens_col()).alias("token")).filter(
+        F.length("token") >= 2
+    )
+    pairs = toks.select(
+        F.explode(F.sequence(F.lit(1), F.length("token") - 1)).alias("i"),
+        F.col("token"),
+    ).select(F.col("token").substr(F.col("i"), F.lit(2)).alias("pair"))
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), "pair")
+        .limit(20)
+    )
+
+
+@register(
+    "xh_cooccurrence_window",
+    oracle=f"""WITH t AS MATERIALIZED (
+  SELECT doc_id, generate_subscripts(tk, 1) AS i, unnest(tk) AS w
+  FROM (SELECT doc_id, {_TOKENS_SQL} AS tk FROM documents)),
+p AS (
+  SELECT a.w AS w1, b.w AS w2
+  FROM t a JOIN t b
+    ON a.doc_id = b.doc_id AND (b.i = a.i + 1 OR b.i = a.i + 2))
+SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n
+FROM p GROUP BY w1, w2
+ORDER BY n DESC, w1, w2 LIMIT 30""",
+    tags=("llm", "text", "embedding-prep"),
+)
+def xh_cooccurrence_window(spark, sf_dir):
+    """Skip-gram co-occurrence counts (round 13): (center, context)
+    pair frequencies within a forward window of 2 — the preprocessing
+    pass word2vec/GloVe-style embedding training runs over the whole
+    corpus (PMI, q58's adjacent bigrams and this op form the
+    collocation family; this one is the windowed generalization). Top
+    30 pairs with exact counts, deterministic order, hash-checked.
+
+    Scale shape: the OR-of-offsets window is expressed as explode(1, 2)
+    + ONE (doc_id, position) EQUI join — the window_jaccard_pairs rule:
+    writing `b.i = a.i + 1 OR b.i = a.i + 2` directly degrades to a
+    nested-loop scan at any scale, while the exploded equi form is a
+    plain hash join whose fan-out is exactly window_size x tokens. The
+    pair rollup is one uniform partial agg; top-30 is
+    TakeOrderedAndProject."""
+    d = tbl(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.posexplode(_tokens_col()).alias("i", "w"))
+    a = t.select(
+        "doc_id",
+        F.col("w").alias("w1"),
+        F.explode(F.array(F.lit(1), F.lit(2))).alias("off"),
+        (F.col("i")).alias("ia"),
+    ).select(
+        "doc_id", "w1", (F.col("ia") + F.col("off")).alias("ib")
+    )
+    b = t.select("doc_id", F.col("i").alias("ib"), F.col("w").alias("w2"))
+    return (
+        a.join(b, ["doc_id", "ib"])
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), "w1", "w2")
+        .limit(30)
+    )

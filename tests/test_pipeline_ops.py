@@ -254,3 +254,31 @@ def test_domain_mix_selection_matches_quotas(spark, sf_smoke):
         expect = sorted(docs[docs["source"] == s]["doc_id"])[: quota[s]]
         assert sorted(grp["doc_id"]) == expect
         assert set(grp["quota"]) == {quota[s]}
+
+
+def test_balanced_shards_spread_bounded_by_max_doc(spark, tmp_path):
+    """Round-robin dealing in descending size order bounds the gap
+    between any two shard byte-sums by the LARGEST single document
+    (telescoping over deal rows) — the property that makes this
+    balancing-by-bytes, not by counts. Planted exponential skew makes
+    the bound non-vacuous (a hash split's spread here is ~the largest
+    doc x shards)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from hadoop_copier_spark.queries import REGISTRY
+
+    sizes = [2 ** (i % 11) for i in range(200)]  # 1 .. 1024, heavy skew
+    rows = [(i, "x" * 3, "en", "s", sizes[i]) for i in range(200)]
+    d = str(tmp_path / "shards")
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 4),
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    out = REGISTRY["xh_balanced_shards"].fn(spark, d).collect()
+    assert len(out) == 8
+    assert sum(r["n_docs"] for r in out) == 200
+    assert sum(r["sum_chars"] for r in out) == sum(sizes)
+    sums = [r["sum_chars"] for r in out]
+    assert max(sums) - min(sums) <= max(sizes), (sums, max(sizes))

@@ -172,3 +172,27 @@ def test_right_to_erasure_registry_invariants(spark, sf_smoke):
     assert v2["n_erased_users_rows"] == 0
     assert v2["n_rows"] == v1["n_rows"] - v1["n_erased_users_rows"]
     assert v1["others_checksum"] == v2["others_checksum"]
+
+
+def test_snapshot_diff_counts_every_class_exactly(spark, sf_smoke):
+    """xp_snapshot_diff plants one instance of each diff class: v1->v2
+    is pure appends (the %3==1 customer slice), v2->v3 is exactly one
+    changed row (balance restated) and one removed row (highest-key
+    customer dropped). Expected counts derive from the fixture itself,
+    so the pin is exact at any SF."""
+    from pyspark.sql import functions as F
+
+    from hadoop_copier_spark.queries import REGISTRY
+    from hadoop_copier_spark.tables import load_table
+
+    c = load_table(spark, sf_smoke, "customer")
+    n0 = c.filter(F.col("c_custkey") % 3 == 0).count()
+    n1 = c.filter(F.col("c_custkey") % 3 == 1).count()
+    rows = {
+        (r["v_from"], r["v_to"]): (
+            r["added"], r["removed"], r["changed"], r["unchanged"]
+        )
+        for r in REGISTRY["xp_snapshot_diff"].fn(spark, sf_smoke).collect()
+    }
+    assert rows[(1, 2)] == (n1, 0, 0, n0)
+    assert rows[(2, 3)] == (0, 1, 1, n0 + n1 - 2)
