@@ -383,14 +383,16 @@ def p_snapshot_diff(spark, sf_dir):
     v1 = c.filter(F.col("c_custkey") % 3 == 0)
     write_snapshot(v1, t)
     write_snapshot(c.filter(F.col("c_custkey") % 3 == 1), t, mode="append")
-    first = v1.orderBy("c_custkey").limit(1).select("c_custkey")
+    # 1-row metadata probe; empty input (the empty-table sweep) plants
+    # nothing and the restatement predicate below is never true
+    fr = v1.orderBy("c_custkey").limit(1).select("c_custkey").collect()
+    restate_key = fr[0]["c_custkey"] if fr else None
     v3 = (
         read_snapshot(spark, t, 2)
         .withColumn(
             "c_acctbal",
             F.when(
-                F.col("c_custkey")
-                == first.collect()[0]["c_custkey"],  # 1-row metadata probe
+                F.col("c_custkey") == F.lit(restate_key).cast("long"),
                 F.col("c_acctbal") + 1.0,
             ).otherwise(F.col("c_acctbal")),
         )
