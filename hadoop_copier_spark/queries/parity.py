@@ -387,6 +387,12 @@ def p_snapshot_diff(spark, sf_dir):
     # nothing and the restatement predicate below is never true
     fr = v1.orderBy("c_custkey").limit(1).select("c_custkey").collect()
     restate_key = fr[0]["c_custkey"] if fr else None
+    drop_key = (
+        read_snapshot(spark, t, 2)
+        .orderBy(F.col("c_custkey").desc())
+        .limit(1)
+        .select("c_custkey")
+    )
     v3 = (
         read_snapshot(spark, t, 2)
         .withColumn(
@@ -397,12 +403,7 @@ def p_snapshot_diff(spark, sf_dir):
             ).otherwise(F.col("c_acctbal")),
         )
         .join(
-            F.broadcast(
-                read_snapshot(spark, t, 2)
-                .orderBy(F.col("c_custkey").desc())
-                .limit(1)
-                .select("c_custkey")
-            ),
+            F.broadcast(drop_key),  # provably 1-row build side
             "c_custkey",
             "left_anti",  # drop the highest-key customer
         )

@@ -628,6 +628,7 @@ _ADJUDICATED_BROADCASTS = {
     ("queries/pipeline_ops.py", "bench"),       # contamination benchmark
     ("queries/pipeline_ops.py", "quota_df"),    # per-source quotas
     ("queries/parity.py", "erase"),             # GDPR erasure id list
+    ("queries/parity.py", "drop_key"),          # 1-row limit frame (diff)
     # domain-bounded aggregates (per-language / per-source / top-K frames)
     ("queries/quality_checks.py", "med"),       # per-lang medians
     ("queries/quality_checks.py", "mad"),       # per-lang MADs
