@@ -991,7 +991,7 @@ def xh_embed_centroid_drift(spark, sf_dir):
     cross product max_unit * n^2; past ~2^62 the cross-multiply and its
     sum promote to DECIMAL(38,0) (the xh_pca_power discipline) — exact
     where BIGINT would wrap, same values where both fit, asserted at the
-    boundary in tests/test_llm_ops.py."""
+    boundary in tests/test_curation_props.py."""
     e = tbl(spark, sf_dir, "embeddings")
     return _centroid_drift_frame(spark, e)
 
