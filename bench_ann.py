@@ -41,6 +41,7 @@ from pyspark.sql import functions as F  # noqa: E402
 from hadoop_copier_spark.operators.similarity import (  # noqa: E402
     cosine_topk,
     ivf_ann_topk,
+    ivfpq_ann_topk,
     lsh_ann_topk,
     pq_ann_topk,
 )
@@ -74,6 +75,7 @@ def main() -> None:
         "lsh": lambda: lsh_ann_topk(cand, queries, k=K),
         "ivf": lambda: ivf_ann_topk(cand, queries, k=K),
         "pq": lambda: pq_ann_topk(cand, queries, k=K),
+        "ivfpq": lambda: ivfpq_ann_topk(cand, queries, k=K),
     }
     tops, results = {}, {}
     for name, fn in strategies.items():

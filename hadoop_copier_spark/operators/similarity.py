@@ -465,66 +465,15 @@ def semantic_dedup(
     )
 
 
-def pq_ann_topk(
-    candidates: DataFrame,
-    queries: DataFrame,
-    k: int = 5,
-    m: int = 8,
-    n_codes: int = 16,
-    lloyd_iters: int = 1,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """Product-quantization approximate top-k (round 13) — the third
-    scale path for similarity search, orthogonal to LSH (bucket pruning)
-    and IVF (cluster pruning): PQ COMPRESSES each vector to ``m`` small
-    codes (one per subspace, ``n_codes`` centroids each => m*log2(K)
-    bits, e.g. 64-dim float32 -> 8 bytes at the defaults, a 32x memory
-    cut) and scores candidates with asymmetric distance computation: per
-    query, an m x K lookup table of subspace dot products is built ONCE,
-    and each candidate's approximate dot product is m table lookups
-    instead of a dim-wide float scan.
-
-    Distributed shape:
-      1. codebooks train on the candidates themselves — seeds are the
-         first n_codes vectors by id (one bounded collect), then
-         ``lloyd_iters`` refinement passes over the EXPLODED (id, sub,
-         subvector) frame: assignment is one vectorized matmul UDF per
-         Arrow batch, the recompute is a uniform (sub, code, dim)
-         partial agg; only the m x K x subdim codebook table reaches
-         the driver (metadata, not data).
-      2. encoding is map-only: one pandas UDF emits the m-code array
-         per candidate; bytes never shuffle.
-      3. scoring joins the code table against the BROADCAST query side
-         (queries carry their flattened LUTs), so candidates never
-         shuffle — the cosine_topk discipline; the per-pair cost is the
-         JVM aggregate over m lookups. At 100 TB compose with the IVF
-         coarse quantizer (probe clusters first, ADC-score inside them)
-         — the classic IVF-PQ split; both halves exist here as
-         independently tested operators.
-
-    Scores are approximate DOT PRODUCTS (ADC), not exact cosines — rank
-    fidelity on planted duplicates is property-tested in
-    tests/test_llm_ops.py. NULL vectors drop on both sides; dim must be
-    divisible by ``m``."""
+def _pq_train_books(candidates, id_col, vec_col, m, sub, n_codes, lloyd_iters):
+    """Train per-subspace PQ codebooks on the candidate frame. Seeds are
+    the first n_codes vectors by id (one bounded collect); each Lloyd
+    pass assigns via ONE vectorized matmul UDF and recomputes centroids
+    through a uniform (sub, code, dim) partial agg — only the
+    m x K x subdim codebook table (metadata) reaches the driver.
+    Returns a list of m numpy (K x sub) arrays."""
     import numpy as np
-    import pandas as pd
-    from pyspark.sql import Window
-    from pyspark.sql import types as T
 
-    candidates = candidates.filter(F.col(vec_col).isNotNull())
-    queries = queries.filter(F.col(vec_col).isNotNull())
-    first = candidates.select(F.size(F.col(vec_col)).alias("d")).first()
-    if first is None:
-        return candidates.sparkSession.createDataFrame(
-            [], "query_id long, neighbor_id long, rank int, score double"
-        )
-    dim = int(first["d"])
-    if dim % m:
-        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
-    sub = dim // m
-
-    # --- 1. train per-subspace codebooks (driver holds m x K x sub only)
     seed_rows = (
         candidates.orderBy(id_col).limit(n_codes).select(vec_col).collect()
     )
@@ -532,27 +481,8 @@ def pq_ann_topk(
         [[float(x) for x in r[vec_col]] for r in seed_rows], dtype=np.float64
     )  # S x dim, S <= n_codes
     books = [seeds[:, j * sub:(j + 1) * sub].copy() for j in range(m)]
-
-    def assign_all_udf(books_now):
-        bmats = [np.asarray(b, dtype=np.float64) for b in books_now]
-        bn2 = [np.einsum("ij,ij->i", b, b) for b in bmats]
-
-        @F.pandas_udf(T.ArrayType(T.IntegerType()))
-        def enc(vecs):
-            if not len(vecs):
-                return pd.Series([], dtype=object)
-            vmat = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
-            codes = np.empty((vmat.shape[0], m), dtype=np.int64)
-            for j in range(m):
-                vs = vmat[:, j * sub:(j + 1) * sub]
-                d = -2.0 * (vs @ bmats[j].T) + bn2[j][None, :]
-                codes[:, j] = np.argmin(d, axis=1)  # ties: lowest index
-            return pd.Series([[int(c) for c in row] for row in codes])
-
-        return enc
-
     for _ in range(lloyd_iters):
-        enc = assign_all_udf(books)
+        enc = _pq_encode_udf(books, m, sub)
         assigned = candidates.select(
             enc(F.col(vec_col)).alias("__codes"),
             F.posexplode(F.col(vec_col)).alias("__dim", "__v"),
@@ -574,7 +504,10 @@ def pq_ann_topk(
             np.asarray(
                 [
                     [
-                        got.get((j, c, d), books[j][c][d] if c < len(books[j]) else 0.0)
+                        got.get(
+                            (j, c, d),
+                            books[j][c][d] if c < len(books[j]) else 0.0,
+                        )
                         for d in range(sub)
                     ]
                     for c in range(len(books[j]))
@@ -582,19 +515,48 @@ def pq_ann_topk(
             )
             for j in range(m)
         ]
+    return books
 
-    # --- 2. encode candidates (map-only)
-    enc = assign_all_udf(books)
-    index = candidates.select(
-        F.col(id_col).alias("neighbor_id"), enc(F.col(vec_col)).alias("__codes")
-    )
 
-    # --- 3. per-query flattened LUT: lut[j*K + c] = dot(q_sub[j], book[j][c])
+def _pq_encode_udf(books_now, m, sub):
+    """Vectorized PQ encoder: per Arrow batch, one (batch x K) matmul
+    per subspace; returns the m-code array per vector. Ties resolve to
+    the lowest centroid index (stable argmin)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    bmats = [np.asarray(b, dtype=np.float64) for b in books_now]
+    bn2 = [np.einsum("ij,ij->i", b, b) for b in bmats]
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def enc(vecs):
+        if not len(vecs):
+            return pd.Series([], dtype=object)
+        vmat = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+        codes = np.empty((vmat.shape[0], m), dtype=np.int64)
+        for j in range(m):
+            vs = vmat[:, j * sub:(j + 1) * sub]
+            d = -2.0 * (vs @ bmats[j].T) + bn2[j][None, :]
+            codes[:, j] = np.argmin(d, axis=1)  # ties: lowest index
+        return pd.Series([[int(c) for c in row] for row in codes])
+
+    return enc
+
+
+def _pq_lut_udf(books, m, sub):
+    """Per-query flattened ADC lookup table: lut[j*K + c] =
+    dot(q_sub[j], book[j][c]) — one (batch x K) matmul per subspace
+    per Arrow batch."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
     bmats = [np.asarray(b, dtype=np.float64) for b in books]
     n_k = len(bmats[0])
 
     @F.pandas_udf(T.ArrayType(T.DoubleType()))
-    def lut_udf(vecs):
+    def lut(vecs):
         if not len(vecs):
             return pd.Series([], dtype=object)
         vmat = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
@@ -605,10 +567,14 @@ def pq_ann_topk(
             )
         return pd.Series([list(map(float, row)) for row in out])
 
-    q = queries.select(
-        F.col(id_col).alias("query_id"), lut_udf(F.col(vec_col)).alias("__lut")
-    )
-    adc = F.aggregate(
+    return lut
+
+
+def _pq_adc_score(m, n_k):
+    """JVM-side asymmetric-distance score: sum over subspaces of the
+    query LUT entry selected by the candidate's code — m array lookups
+    per pair, whole-stage-codegen friendly, no Python in the pair loop."""
+    return F.aggregate(
         F.sequence(F.lit(0), F.lit(m - 1)),
         F.lit(0.0),
         lambda acc, j: acc
@@ -616,8 +582,160 @@ def pq_ann_topk(
             F.col("__lut"), j * n_k + F.element_at(F.col("__codes"), j + 1) + 1
         ),
     )
+
+
+def _pq_empty_result(df):
+    return df.sparkSession.createDataFrame(
+        [], "query_id long, neighbor_id long, rank int, score double"
+    )
+
+
+def _pq_dims(candidates, vec_col, m):
+    first = candidates.select(F.size(F.col(vec_col)).alias("d")).first()
+    if first is None:
+        return None, None
+    dim = int(first["d"])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    return dim, dim // m
+
+
+def pq_ann_topk(
+    candidates: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    n_codes: int = 16,
+    lloyd_iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization approximate top-k (round 13) — the third
+    scale path for similarity search, orthogonal to LSH (bucket pruning)
+    and IVF (cluster pruning): PQ COMPRESSES each vector to ``m`` small
+    codes (one per subspace, ``n_codes`` centroids each => m*log2(K)
+    bits, e.g. 64-dim float32 -> 8 bytes at the defaults, a 32x memory
+    cut) and scores candidates with asymmetric distance computation: per
+    query, an m x K lookup table of subspace dot products is built ONCE,
+    and each candidate's approximate dot product is m table lookups
+    instead of a dim-wide float scan.
+
+    Distributed shape:
+      1. codebooks train on the candidates themselves (_pq_train_books:
+         bounded seed collect + Lloyd passes whose only exchange is a
+         uniform (sub, code, dim) partial agg).
+      2. encoding is map-only: one pandas UDF emits the m-code array
+         per candidate; bytes never shuffle.
+      3. scoring joins the code table against the BROADCAST query side
+         (queries carry their flattened LUTs), so candidates never
+         shuffle — the cosine_topk discipline; the per-pair cost is the
+         JVM aggregate over m lookups. ``ivfpq_ann_topk`` composes this
+         with the IVF coarse quantizer (probe clusters first, ADC-score
+         inside) — the classic IVF-PQ split.
+
+    Scores are approximate DOT PRODUCTS (ADC), not exact cosines — rank
+    fidelity on planted duplicates is property-tested in
+    tests/test_llm_ops.py. NULL vectors drop on both sides; dim must be
+    divisible by ``m``."""
+    from pyspark.sql import Window
+
+    candidates = candidates.filter(F.col(vec_col).isNotNull())
+    queries = queries.filter(F.col(vec_col).isNotNull())
+    dim, sub = _pq_dims(candidates, vec_col, m)
+    if dim is None:
+        return _pq_empty_result(candidates)
+
+    books = _pq_train_books(
+        candidates, id_col, vec_col, m, sub, n_codes, lloyd_iters
+    )
+    enc = _pq_encode_udf(books, m, sub)
+    index = candidates.select(
+        F.col(id_col).alias("neighbor_id"), enc(F.col(vec_col)).alias("__codes")
+    )
+    lut = _pq_lut_udf(books, m, sub)
+    q = queries.select(
+        F.col(id_col).alias("query_id"), lut(F.col(vec_col)).alias("__lut")
+    )
+    adc = _pq_adc_score(m, len(books[0]))
     pairs = index.crossJoin(F.broadcast(q)).filter(
         F.col("neighbor_id") != F.col("query_id")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__score").desc(), F.col("neighbor_id")
+    )
+    return (
+        pairs.select("query_id", "neighbor_id", adc.alias("__score"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.col("__score").alias("score"))
+    )
+
+
+def ivfpq_ann_topk(
+    candidates: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    n_codes: int = 16,
+    lloyd_iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ approximate top-k (round 13) — the production composition
+    of the two scale levers: the IVF coarse quantizer PRUNES (only the
+    n_probe nearest clusters' vectors are scored) and PQ COMPRESSES
+    (each pruned candidate is m one-byte codes scored by table lookup).
+    This is the layout a 100 TB vector corpus actually ships: cluster id
+    as the partition key (partition pruning for vectors), codes as the
+    row payload (32x smaller scans), full-precision vectors only fetched
+    for an optional exact re-rank of the final k.
+
+    Distributed shape: coarse centroids and PQ codebooks both train via
+    bounded-collect + uniform-partial-agg passes (see _fit_centroids /
+    _pq_train_books); the index frame carries (cluster, codes) — map-only
+    encode, vectors never shuffle; queries broadcast with their probe
+    lists and ADC LUTs, so the join is a broadcast HASH join on the
+    cluster key (never a cross join) and each pair costs m JVM lookups.
+
+    Codes are computed on RAW vectors (IVF-Flat-PQ): simpler, and exact
+    for the planted-duplicate bar the tests pin; classical residual
+    encoding (quantize v - centroid) is a drop-in refinement inside
+    _pq_train_books if tighter tails are ever needed at production SF.
+    NULL vectors drop on both sides; dim must be divisible by ``m``."""
+    from pyspark.sql import Window
+
+    candidates = candidates.filter(F.col(vec_col).isNotNull())
+    queries = queries.filter(F.col(vec_col).isNotNull())
+    dim, sub = _pq_dims(candidates, vec_col, m)
+    if dim is None:
+        return _pq_empty_result(candidates)
+
+    centroids = _fit_centroids(candidates, id_col, vec_col, n_clusters, lloyd_iters)
+    if not centroids:
+        return _pq_empty_result(candidates)
+    assign = _make_assign_udf(centroids, max(1, n_probe))
+    books = _pq_train_books(
+        candidates, id_col, vec_col, m, sub, n_codes, lloyd_iters
+    )
+    enc = _pq_encode_udf(books, m, sub)
+    index = candidates.select(
+        F.col(id_col).alias("neighbor_id"),
+        enc(F.col(vec_col)).alias("__codes"),
+        assign(F.col(vec_col))[0].alias("__cluster"),
+    )
+    lut = _pq_lut_udf(books, m, sub)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        lut(F.col(vec_col)).alias("__lut"),
+        F.explode(assign(F.col(vec_col))).alias("__cluster"),
+    )
+    adc = _pq_adc_score(m, len(books[0]))
+    pairs = index.join(
+        F.broadcast(q),
+        (index["__cluster"] == q["__cluster"])
+        & (F.col("neighbor_id") != F.col("query_id")),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("__score").desc(), F.col("neighbor_id")

@@ -203,6 +203,24 @@ def p_ann_pq(spark, sf_dir):
     )
 
 
+@register("xp_ann_ivfpq", oracle=None, tags=("llm", "similarity", "approx"))
+def p_ann_ivfpq(spark, sf_dir):
+    """P-class: IVF-PQ approximate nearest neighbors (round 13) — the
+    production composition of the pruning and compression scale levers:
+    probe the n_probe nearest coarse clusters, ADC-score only their
+    members from 8-byte PQ codes. The layout a 100 TB vector corpus
+    ships (cluster = partition key, codes = row payload). Planted-dup
+    rank-1 recall, determinism and brute-force recall property-checked
+    in tests/test_llm_ops.py; wall+recall vs the other strategies
+    measured in bench_ann.py."""
+    from ..operators.similarity import ivfpq_ann_topk
+
+    e = tbl(spark, sf_dir, "embeddings")
+    return ivfpq_ann_topk(e, e.filter(F.col("vec_id") < 10), k=5).orderBy(
+        "query_id", "rank"
+    )
+
+
 @register(
     "xh_token_stats",
     oracle="""SELECT doc_id,

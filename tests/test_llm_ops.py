@@ -593,3 +593,39 @@ def test_ann_pq_recall_vs_brute_force(spark, sf_oracle):
         top_a.setdefault(r["query_id"], set()).add(r["neighbor_id"])
     recalls = [len(top_b[q] & top_a.get(q, set())) / len(top_b[q]) for q in top_b]
     assert sum(recalls) / len(recalls) >= 0.2, recalls
+
+
+def test_ann_ivfpq_planted_duplicates_and_recall(spark, sf_oracle):
+    """IVF-PQ composition: the planted exact-code twin must survive BOTH
+    stages (land in a probed cluster AND win the ADC ranking) and rank
+    #1; repeated runs are bit-identical; random-tail recall vs brute
+    force stays above the pure-PQ floor (pruning can only drop
+    candidates the coarse quantizer scores far away)."""
+    from pyspark.sql import functions as F
+
+    from hadoop_copier_spark.operators.similarity import ivfpq_ann_topk
+
+    e = spark.read.parquet(f"{sf_oracle}/embeddings.parquet")
+    planted = e.filter(F.col("vec_id") < 4).select(
+        (F.col("vec_id") + 1000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: (x.cast("double") * F.lit(1.001)).cast("float")
+        ).alias("embedding"),
+        "label",
+    )
+    cand = e.unionByName(planted)
+    q = e.filter(F.col("vec_id") < 4)
+    rows = ivfpq_ann_topk(cand, q, k=3).collect()
+    top1 = {r["query_id"]: r["neighbor_id"] for r in rows if r["rank"] == 1}
+    assert top1 == {i: i + 1000 for i in range(4)}, top1
+    rows2 = ivfpq_ann_topk(cand, q, k=3).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
+    brute = REGISTRY["q59"].fn(spark, sf_oracle).collect()
+    approx = REGISTRY["xp_ann_ivfpq"].fn(spark, sf_oracle).collect()
+    top_b, top_a = {}, {}
+    for r in brute:
+        top_b.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for r in approx:
+        top_a.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [len(top_b[q] & top_a.get(q, set())) / len(top_b[q]) for q in top_b]
+    assert sum(recalls) / len(recalls) >= 0.1, recalls
