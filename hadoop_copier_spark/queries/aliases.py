@@ -73,8 +73,8 @@ xh_cooccurrence_window and the TPC-H completion set xh_tpch_q11,
 xh_tpch_q12, xh_tpch_q13, xh_tpch_q15, xh_tpch_q16, xh_tpch_q17,
 xh_tpch_q2, xh_tpch_q20, xh_tpch_q21, xh_tpch_q6, xh_tpch_q7,
 xh_tpch_q8, xh_tpch_q9 (17 never-driver-checked, name order; any later
-r13 adds join them; the P-class xp_ann_pq / xp_snapshot_diff stay
-outside the hash window); then the 14 remaining
+r13 adds join them; the P-class xp_ann_pq / xp_ann_ivfpq / xp_snapshot_diff
+stay outside the hash window); then the 14 remaining
 round-7 xh_* ops on r10 evidence (xh_langid_ngram, xh_ohlc_bars,
 xh_outlier_trim, xh_quantile_norm, xh_rfm_segments, xh_scd2_intervals,
 xh_subseq_search, xh_text_roundtrip, xh_tpch_q10, xh_tpch_q18,
