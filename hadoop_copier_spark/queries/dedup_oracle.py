@@ -2040,3 +2040,104 @@ def xh_multi_signal_dedup(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Directional containment audit (round 13).
+
+_CONT_MAX_ID = 300  # bounded audit subset (sampled in a real corpus)
+
+
+def _containment_oracle() -> str:
+    shingles_subset = _SHINGLES_SQL.replace(
+        "FROM documents", f"FROM documents WHERE doc_id < {_CONT_MAX_ID}"
+    )
+    return f"""WITH {shingles_subset},
+inv AS (SELECT doc_id, unnest(hs) AS h FROM sh),
+touch AS (
+  SELECT DISTINCT ia.doc_id AS id_a, ib.doc_id AS id_b
+  FROM inv ia JOIN inv ib ON ia.h = ib.h AND ia.doc_id <> ib.doc_id),
+x AS (
+  SELECT t.id_a, t.id_b,
+         len(list_intersect(a.hs, b.hs)) AS inter,
+         len(a.hs) AS size_a, len(b.hs) AS size_b
+  FROM touch t
+  JOIN sh a ON a.doc_id = t.id_a
+  JOIN sh b ON b.doc_id = t.id_b)
+SELECT id_a, id_b,
+       CAST(size_a AS BIGINT) AS size_a,
+       CAST(size_b AS BIGINT) AS size_b,
+       CAST(inter AS BIGINT) AS n_shared,
+       CAST(inter * 1000000 // size_a AS BIGINT) AS containment_ppm
+FROM x WHERE inter * 10 >= size_a * 7
+ORDER BY containment_ppm DESC, id_a, id_b LIMIT 50"""
+
+
+@register(
+    "xh_containment_pairs",
+    oracle=_containment_oracle(),
+    tags=("llm", "dedup", "containment", "oracle-twin"),
+)
+def xh_containment_pairs(spark, sf_dir):
+    """Directional shingle containment audit (round 13) — Broder's
+    OTHER resemblance measure: containment(A in B) = |A ∩ B| / |A|,
+    which catches the asymmetric duplication Jaccard underreports (a
+    short doc quoted whole inside a long one scores near-zero Jaccard
+    but containment 1.0 — quote extraction, boilerplate wrappers,
+    aggregation pages). Emits directed pairs at containment >= 0.7
+    (integer cross-multiplied threshold, exact ppm), top-50. A planted
+    verbatim-substring pair is pinned at 1e6 ppm in
+    tests/test_curation_props.py.
+
+    Scale shape: subset-bounded audit by construction (doc_id < 300
+    stands in for a uniform sample — the xh_lsh_recall_eval
+    discipline); candidates come through the inverted shingle-index
+    equi join (a >= 0.7-contained doc always shares a shingle), never a
+    cross join. The audit's production counterpart for containment-
+    class dups at full corpus scale is chunk-level CDC dedup
+    (xh_cdc_dedup) + duplicated-span coverage (xh_span_dedup), whose
+    chunk hashes catch contained spans without pairwise set math; this
+    op is the measurement loop that tells you how much directional
+    duplication those passes should be finding."""
+    d = tbl(spark, sf_dir, "documents").filter(F.col("doc_id") < _CONT_MAX_ID)
+    sh = _shingle_hashes(d).localCheckpoint(eager=True)
+    inv = sh.select("doc_id", F.explode("hs").alias("h"))
+    ia, ib = inv.alias("ia"), inv.alias("ib")
+    touch = (
+        ia.join(
+            ib,
+            (F.col("ia.h") == F.col("ib.h"))
+            & (F.col("ia.doc_id") != F.col("ib.doc_id")),
+        )
+        .select(
+            F.col("ia.doc_id").alias("id_a"), F.col("ib.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+    x = sh.select(F.col("doc_id").alias("id_a"), F.col("hs").alias("__ha"))
+    y = sh.select(F.col("doc_id").alias("id_b"), F.col("hs").alias("__hb"))
+    inter = F.size(F.array_intersect(F.col("__ha"), F.col("__hb")))
+    return (
+        touch.join(x, "id_a")
+        .join(y, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size("__ha").cast("long").alias("size_a"),
+            F.size("__hb").cast("long").alias("size_b"),
+            inter.cast("long").alias("n_shared"),
+        )
+        .filter(F.col("n_shared") * 10 >= F.col("size_a") * 7)
+        .select(
+            "id_a",
+            "id_b",
+            "size_a",
+            "size_b",
+            "n_shared",
+            F.expr("CAST(n_shared * 1000000 div size_a AS BIGINT)").alias(
+                "containment_ppm"
+            ),
+        )
+        .orderBy(F.col("containment_ppm").desc(), "id_a", "id_b")
+        .limit(50)
+    )

@@ -819,3 +819,59 @@ def xh_cooccurrence_window(spark, sf_dir):
         .orderBy(F.col("n").desc(), "w1", "w2")
         .limit(30)
     )
+
+
+@register(
+    "xh_unigram_surprisal",
+    oracle=f"""WITH t AS MATERIALIZED (
+  SELECT doc_id, unnest({_TOKENS_SQL}) AS token FROM documents),
+c AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM t GROUP BY token),
+n AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM c),
+s AS (SELECT t.doc_id,
+             CAST(length(bin(n.total // c.cnt)) AS BIGINT) AS bits
+      FROM t JOIN c USING (token) CROSS JOIN n)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(bits) AS BIGINT) AS sum_bits,
+       CAST(SUM(bits) * 1000000 // COUNT(*) AS BIGINT) AS mean_bits_ppm
+FROM s GROUP BY doc_id ORDER BY doc_id""",
+    tags=("llm", "text", "quality", "lm"),
+)
+def xh_unigram_surprisal(spark, sf_dir):
+    """Integer unigram-LM surprisal per document (round 13) — the
+    perplexity-proxy quality signal a curation pass gates on (gibberish
+    and boilerplate sit at the distribution's tails), made hash-exact:
+    instead of float -log p (libm ln is banned from emitted values by
+    the cross-engine FP rule), each token scores floor(log2(N/count))+1
+    bits computed as length(bin(N div count)) — pure integer arithmetic
+    both engines evaluate identically (the HLL rho idiom). Per doc:
+    token count, total bits, mean bits in exact ppm. Rare tokens cost
+    more bits; a doc of corpus-frequent tokens scores near 1 bit/token.
+
+    Scale shape: ONE uniform token partial agg builds the unigram
+    table; the corpus total is a provably-1-row broadcast onto it; the
+    count table joins back onto the exploded tokens TOKEN-KEYED AND
+    UNHINTED (the vocabulary grows Heaps-law with the corpus — the
+    r13 broadcast-audit rule); the per-doc rollup is one doc_id
+    exchange."""
+    d = tbl(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.explode(_tokens_col()).alias("token"))
+    c = t.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    tot = c.agg(F.sum("cnt").cast("long").alias("total"))
+    bits = F.length(
+        F.conv(F.expr("total div cnt").cast("string"), 10, 2)
+    ).cast("long")
+    return (
+        t.join(c, "token")  # token-keyed, unhinted: AQE decides
+        .join(F.broadcast(tot))  # 1-row build side
+        .select("doc_id", bits.alias("bits"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("bits").cast("long").alias("sum_bits"),
+            F.expr("CAST(SUM(bits) * 1000000 div COUNT(*) AS BIGINT)").alias(
+                "mean_bits_ppm"
+            ),
+        )
+        .orderBy("doc_id")
+    )

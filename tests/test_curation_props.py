@@ -648,3 +648,31 @@ def test_multi_signal_dedup_chains_near_copy_into_exact_group(spark, tmp_path):
         3: (1, 0, 1),   # near-only: chained in through the union
         4: (4, 0, 0),
     }
+
+
+def test_containment_catches_verbatim_substring_jaccard_misses(spark, tmp_path):
+    """The asymmetry the op exists for: a short doc quoted whole inside
+    a long one has containment(short in long) == 1.0 (1e6 ppm exactly)
+    while its Jaccard is far below the 0.7 near-dup bar — so the
+    symmetric ops would never pair them. The reverse direction
+    (long in short) must NOT qualify."""
+    quote = " ".join(f"q{i}" for i in range(12))
+    filler = " ".join(f"f{i}" for i in range(60))
+    rows = [
+        (1, quote, "en", "s", len(quote)),                       # the short doc
+        (2, filler + " " + quote, "en", "s", 1),                 # quotes it whole
+        (3, " ".join(f"z{i}" for i in range(30)), "en", "s", 1), # unrelated
+    ]
+    tmp = str(tmp_path / "contain")
+    _write_docs(spark, rows, tmp)
+    out = {
+        (r["id_a"], r["id_b"]): r
+        for r in REGISTRY["xh_containment_pairs"].fn(spark, tmp).collect()
+    }
+    assert (1, 2) in out, out.keys()
+    r = out[(1, 2)]
+    assert r["containment_ppm"] == 1_000_000  # every shingle of 1 is in 2
+    # Jaccard for the same pair is small: shared / union << 0.7
+    assert r["n_shared"] * 10 < (r["size_a"] + r["size_b"] - r["n_shared"]) * 7
+    assert (2, 1) not in out  # the long doc is NOT contained in the short
+    assert all(a != 3 and b != 3 for a, b in out)

@@ -386,6 +386,8 @@ def test_no_unplanned_nested_loop_or_cartesian_joins(spark, sf_smoke):
         # 1-row nation-total scalar broadcast onto the per-part value
         # frame (the same global-scalar attach as heavy_hitters)
         "xh_tpch_q11",
+        # 1-row corpus-token-total broadcast onto the per-token frame
+        "xh_unigram_surprisal",
         # 1-row bloom-bitmap broadcast onto the fact side — the filter's
         # whole point is that the fact never shuffles; the build side is
         # provably a single row (operators/bloom.py)
@@ -614,6 +616,7 @@ _ADJUDICATED_BROADCASTS = {
     ("queries/llm_ops.py", "m"),                # PCA renormalization scalar
     ("queries/quality_checks.py", "t"),         # KS half totals
     ("queries/text_index.py", "total"),         # global doc count
+    ("queries/text_index.py", "tot"),           # 1-row corpus token total
     ("queries/text_index.py", "stats"),         # BM25 N / avgdl scalars
     # driver-built metadata frames (<= P x G rows / fixed bucket counts)
     ("operators/prefix.py", "off_df"),          # per-partition offsets
