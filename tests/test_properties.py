@@ -643,3 +643,95 @@ def test_winnow_fingerprint_matches_reference_on_random_corpora(
         for i, s_ in fps.items()
     }
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# round-13 text ops ≡ brute-force Python references on arbitrary corpora
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["ab", "abc", "x", "qzr", "abab"]),
+            min_size=0,
+            max_size=8,
+        ),
+        min_size=0,
+        max_size=6,
+    )
+)
+def test_bpe_merge_step_matches_bruteforce(spark, docs, tmp_path_factory):
+    """xh_bpe_merge_step's top pairs must equal a character-level Python
+    recount for ANY corpus — including empty docs, 1-char tokens (no
+    pairs) and repeated substrings (overlapping pairs count per
+    position, the BPE convention)."""
+    import collections
+    import os
+
+    from hadoop_copier_spark.queries import REGISTRY
+
+    rows = [
+        (i, " ".join(toks), "en", "s", len(" ".join(toks)))
+        for i, toks in enumerate(docs)
+    ]
+    d = str(tmp_path_factory.mktemp("bpe"))
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(rows or [(0, "", "en", "s", 0)], 2),
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    got = [
+        (r["pair"], r["n"])
+        for r in REGISTRY["xh_bpe_merge_step"].fn(spark, d).collect()
+    ]
+    expect = collections.Counter()
+    for _i, toks in enumerate(docs):
+        for t in toks:
+            t = t.lower()
+            for j in range(len(t) - 1):
+                expect[t[j:j + 2]] += 1
+    want = sorted(expect.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    assert got == want, (got, want)
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "d"]), min_size=0, max_size=7),
+        min_size=0,
+        max_size=5,
+    )
+)
+def test_cooccurrence_window_matches_bruteforce(spark, docs, tmp_path_factory):
+    """xh_cooccurrence_window's (center, context) counts must equal the
+    Python forward-window-2 recount for ANY corpus — short docs (no
+    pairs), repeated tokens (each position pairs independently) and
+    window truncation at document ends."""
+    import collections
+    import os
+
+    from hadoop_copier_spark.queries import REGISTRY
+
+    rows = [
+        (i, " ".join(toks), "en", "s", 1) for i, toks in enumerate(docs)
+    ]
+    d = str(tmp_path_factory.mktemp("cooc"))
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(rows or [(0, "", "en", "s", 0)], 2),
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    got = [
+        (r["w1"], r["w2"], r["n"])
+        for r in REGISTRY["xh_cooccurrence_window"].fn(spark, d).collect()
+    ]
+    expect = collections.Counter()
+    for toks in docs:
+        for i, w in enumerate(toks):
+            for off in (1, 2):
+                if i + off < len(toks):
+                    expect[(w, toks[i + off])] += 1
+    want = sorted(
+        ((w1, w2, n) for (w1, w2), n in expect.items()),
+        key=lambda t: (-t[2], t[0], t[1]),
+    )[:30]
+    assert got == want, (got, want)
