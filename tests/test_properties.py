@@ -735,3 +735,49 @@ def test_cooccurrence_window_matches_bruteforce(spark, docs, tmp_path_factory):
         key=lambda t: (-t[2], t[0], t[1]),
     )[:30]
     assert got == want, (got, want)
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "rare1", "rare2"]),
+                 min_size=1, max_size=10),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_unigram_surprisal_matches_bruteforce_bits(spark, docs, tmp_path_factory):
+    """xh_unigram_surprisal's integer surprisal must equal the Python
+    recount — bits(token) = bitlength(N // count) — for ANY corpus, and
+    must be MONOTONE in rarity: a token's bits never decrease when its
+    corpus count decreases (the property that makes it a quality
+    signal)."""
+    import collections
+    import os
+
+    from hadoop_copier_spark.queries import REGISTRY
+
+    rows = [(i, " ".join(toks), "en", "s", 1) for i, toks in enumerate(docs)]
+    d = str(tmp_path_factory.mktemp("surp"))
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 2),
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["sum_bits"], r["mean_bits_ppm"])
+        for r in REGISTRY["xh_unigram_surprisal"].fn(spark, d).collect()
+    }
+    cnt = collections.Counter(t for toks in docs for t in toks)
+    total = sum(cnt.values())
+
+    def bits(tok):
+        return (total // cnt[tok]).bit_length()
+
+    for i, toks in enumerate(docs):
+        n, sb = len(toks), sum(bits(t) for t in toks)
+        assert got[i] == (n, sb, sb * 1_000_000 // n), (i, got[i])
+    # rarity monotonicity across this corpus's tokens
+    by_count = sorted(cnt.items(), key=lambda kv: kv[1])
+    for (t1, c1), (t2, c2) in zip(by_count, by_count[1:]):
+        if c1 < c2:
+            assert bits(t1) >= bits(t2)
