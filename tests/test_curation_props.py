@@ -676,3 +676,51 @@ def test_containment_catches_verbatim_substring_jaccard_misses(spark, tmp_path):
     assert r["n_shared"] * 10 < (r["size_a"] + r["size_b"] - r["n_shared"]) * 7
     assert (2, 1) not in out  # the long doc is NOT contained in the short
     assert all(a != 3 and b != 3 for a, b in out)
+
+
+def test_containment_matches_bruteforce_shingle_sets(spark, tmp_path):
+    """xh_containment_pairs vs a Python recount of 3-gram shingle-set
+    containment on a mixed corpus (full copy, partial overlap, short
+    docs below the shingle width): every emitted pair and every ppm
+    value must equal the brute-force answer, and no qualifying pair may
+    be missing (a >= 0.7-contained doc always shares a shingle, so the
+    inverted-index candidates are provably exhaustive)."""
+    docs = {
+        1: "w0 w1 w2 w3 w4 w5 w6 w7",
+        2: "pre w0 w1 w2 w3 w4 w5 w6 w7 post tail",   # contains 1's text
+        3: "w0 w1 w2 other stuff here",                # partial overlap w/ 1
+        4: "xx yy",                                    # sub-shingle-width doc
+        5: "xx yy",                                    # identical short doc
+    }
+    rows = [(i, t, "en", "s", len(t)) for i, t in docs.items()]
+    tmp = str(tmp_path / "contbf")
+    _write_docs(spark, rows, tmp)
+
+    def shingles(t):
+        toks = t.lower().split()
+        if len(toks) < 3:
+            return {" ".join(toks)}
+        return {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+
+    sh = {i: shingles(t) for i, t in docs.items()}
+    expect = {}
+    for a in docs:
+        for b in docs:
+            if a == b:
+                continue
+            inter = len(sh[a] & sh[b])
+            if inter * 10 >= len(sh[a]) * 7:
+                expect[(a, b)] = (
+                    len(sh[a]), len(sh[b]), inter,
+                    inter * 1_000_000 // len(sh[a]),
+                )
+    got = {
+        (r["id_a"], r["id_b"]): (
+            r["size_a"], r["size_b"], r["n_shared"], r["containment_ppm"]
+        )
+        for r in REGISTRY["xh_containment_pairs"].fn(spark, tmp).collect()
+    }
+    assert got == expect, (got, expect)
+    assert (1, 2) in got and got[(1, 2)][3] == 1_000_000  # full containment
+    assert (2, 1) not in got                              # not symmetric
+    assert (4, 5) in got and (5, 4) in got                # identical shorts
