@@ -7,6 +7,7 @@ from . import dedup_oracle  # noqa: F401,E402
 from . import entity_resolution  # noqa: F401,E402
 from . import event_analytics  # noqa: F401,E402
 from . import functions_suite  # noqa: F401,E402
+from . import graph_ops  # noqa: F401,E402
 from . import joins  # noqa: F401,E402
 from . import llm_ops  # noqa: F401,E402
 from . import parity  # noqa: F401,E402

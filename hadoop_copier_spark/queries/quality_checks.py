@@ -868,3 +868,319 @@ def xh_cms_registers(spark, sf_dir):
         )
         .orderBy("row_id", "bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 13 (late): distribution-diagnostics family — per-source token
+# entropy, KL drift vs the corpus, chi-squared token selection, and a
+# jackknife stability estimate. All hash-exact: logs are integer
+# bit-lengths (the surprisal idiom from queries/text_index.py), ratios
+# are emitted in truncating-integer ppm, and wide intermediates are
+# probe-guarded (the xh_pca_power discipline).
+# ---------------------------------------------------------------------------
+
+from .text_index import _TOKENS_SQL, _tokens_col  # noqa: E402  (one tokenizer)
+
+
+@register(
+    "xh_entropy_by_source",
+    oracle=f"""WITH t AS MATERIALIZED (
+  SELECT source, unnest({_TOKENS_SQL}) AS token FROM documents),
+c AS (SELECT source, token, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM t GROUP BY source, token),
+s AS (SELECT source, CAST(SUM(cnt) AS BIGINT) AS total,
+             CAST(COUNT(*) AS BIGINT) AS vocab FROM c GROUP BY source)
+SELECT c.source,
+       s.total AS n_tokens, s.vocab,
+       CAST(SUM(c.cnt * CAST(length(bin(s.total // c.cnt)) AS BIGINT))
+            * 1000000 // s.total AS BIGINT) AS entropy_ppm_bits
+FROM c JOIN s USING (source)
+GROUP BY c.source, s.total, s.vocab
+ORDER BY c.source""",
+    tags=("llm", "quality", "stats"),
+)
+def xh_entropy_by_source(spark, sf_dir):
+    """Per-source token entropy (round 13): mean surprisal
+    sum(c/T * log2(T/c)) of each source's own unigram distribution, in
+    exact ppm bits — the diversity gauge a mixture designer reads next
+    to xh_source_gini (volume concentration) and xh_domain_mix (target
+    weights): a source whose entropy collapses is template spam no
+    volume cap will fix. log2 is the integer bit-length idiom, so both
+    engines agree bit-for-bit.
+
+    Scale shape: ONE uniform (source, token) partial agg (Heaps-law
+    rows out, corpus rows in, map-side combined); per-source totals are
+    a second domain-bounded agg on that output; the probe join is
+    source-keyed and unhinted; final frame is one row per source."""
+    d = tbl(spark, sf_dir, "documents")
+    c = (
+        d.select("source", F.explode(_tokens_col()).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    s = c.groupBy("source").agg(
+        F.sum("cnt").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+    )
+    bits = F.length(
+        F.conv(F.expr("total div cnt").cast("string"), 10, 2)
+    ).cast("long")
+    return (
+        c.join(s, "source")
+        .select("source", "total", "vocab", (F.col("cnt") * bits).alias("cb"))
+        .groupBy("source", "total", "vocab")
+        .agg(
+            F.expr("CAST(SUM(cb) * 1000000 div total AS BIGINT)").alias(
+                "entropy_ppm_bits"
+            )
+        )
+        .select(
+            "source",
+            F.col("total").alias("n_tokens"),
+            "vocab",
+            "entropy_ppm_bits",
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "xh_kl_source_drift",
+    oracle=f"""WITH t AS MATERIALIZED (
+  SELECT source, unnest({_TOKENS_SQL}) AS token FROM documents),
+c AS (SELECT source, token, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM t GROUP BY source, token),
+g AS (SELECT token, CAST(SUM(cnt) AS BIGINT) AS gcnt FROM c GROUP BY token),
+n AS (SELECT CAST(SUM(gcnt) AS BIGINT) AS gtotal FROM g),
+s AS (SELECT source, CAST(SUM(cnt) AS BIGINT) AS total FROM c GROUP BY source),
+term AS (
+  SELECT c.source, s.total,
+         c.cnt * (CAST(length(bin(n.gtotal // g.gcnt)) AS BIGINT)
+                  - CAST(length(bin(s.total // c.cnt)) AS BIGINT)) AS kterm
+  FROM c JOIN g USING (token) JOIN s USING (source) CROSS JOIN n),
+agg AS (SELECT source, total, CAST(SUM(kterm) AS BIGINT) AS ksum
+        FROM term GROUP BY source, total)
+SELECT source, total AS n_tokens,
+       CAST(CASE WHEN ksum >= 0 THEN (ksum * 1000000) // total
+                 ELSE -((-ksum * 1000000) // total) END AS BIGINT)
+         AS kl_ppm_bits
+FROM agg ORDER BY source""",
+    tags=("llm", "quality", "drift", "stats"),
+)
+def xh_kl_source_drift(spark, sf_dir):
+    """Per-source KL divergence to the corpus unigram distribution
+    (round 13), in exact ppm bits: sum_t p_s(t) * (log2(1/q(t)) -
+    log2(1/p_s(t))) with both logs as integer bit-lengths — the
+    distribution-shift monitor for TOKEN drift, completing the drift
+    family (xh_ks_drift = numeric columns, xh_embed_centroid_drift =
+    embedding space, this = vocabulary). A source whose token mix
+    diverges from the corpus (new jargon, language creep, extractor
+    breakage) scores high; the integer-bits approximation can dip
+    slightly negative for near-identical distributions, so the final
+    ppm division is SIGN-SPLIT — both engines truncate toward zero
+    identically (verified: Spark `div` and DuckDB `//` both truncate).
+
+    Scale shape: ONE (source, token) partial agg; the corpus table
+    derives from IT (domain-bounded rows), never a second corpus scan;
+    corpus total is a 1-row broadcast; probe joins token-keyed and
+    source-keyed, unhinted (Heaps-law build sides — the broadcast-audit
+    rule); output one row per source."""
+    d = tbl(spark, sf_dir, "documents")
+    c = (
+        d.select("source", F.explode(_tokens_col()).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    g = c.groupBy("token").agg(F.sum("cnt").cast("long").alias("gcnt"))
+    n = g.agg(F.sum("gcnt").cast("long").alias("gtotal"))
+    s = c.groupBy("source").agg(F.sum("cnt").cast("long").alias("total"))
+    gbits = F.length(
+        F.conv(F.expr("gtotal div gcnt").cast("string"), 10, 2)
+    ).cast("long")
+    sbits = F.length(
+        F.conv(F.expr("total div cnt").cast("string"), 10, 2)
+    ).cast("long")
+    term = (
+        c.join(g, "token")
+        .join(s, "source")
+        .join(F.broadcast(n))  # 1-row corpus total
+        .select("source", "total", (F.col("cnt") * (gbits - sbits)).alias("kterm"))
+    )
+    return (
+        term.groupBy("source", "total")
+        .agg(F.sum("kterm").cast("long").alias("ksum"))
+        .select(
+            "source",
+            F.col("total").alias("n_tokens"),
+            F.expr(
+                "CAST(CASE WHEN ksum >= 0 THEN (ksum * 1000000) div total"
+                " ELSE -((-ksum * 1000000) div total) END AS BIGINT)"
+            ).alias("kl_ppm_bits"),
+        )
+        .orderBy("source")
+    )
+
+
+# Exact chi-squared in integer ppm needs N*(ad-bc)^2*1e6 <= 1e38
+# (DECIMAL(38,0) on the Spark side, HUGEINT on the DuckDB side): valid to
+# N <= ~3e6 documents. Past that the op raises with this knob named —
+# the sanctioned fallback at corpus scale is sampling the contingency
+# frame down (chi2 is scale-invariant in expectation), not silent
+# wraparound (the xh_ks_drift packing rule, ADVICE r12).
+_CHI2_MAX_DOCS = 3_000_000
+
+
+@register(
+    "xh_chi2_tokens",
+    oracle=f"""WITH dt AS MATERIALIZED (
+  SELECT DISTINCT doc_id, source, unnest({_TOKENS_SQL}) AS token
+  FROM documents),
+st AS (SELECT source, token, CAST(COUNT(*) AS BIGINT) AS a
+       FROM dt GROUP BY source, token),
+tt AS (SELECT token, CAST(SUM(a) AS BIGINT) AS dft FROM st GROUP BY token),
+ss AS (SELECT source, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS ns
+       FROM dt GROUP BY source),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+cells AS (
+  SELECT st.source, st.token, st.a,
+         tt.dft - st.a AS b, ss.ns - st.a AS c,
+         nn.n - ss.ns - (tt.dft - st.a) AS d, nn.n AS n
+  FROM st JOIN tt USING (token) JOIN ss USING (source) CROSS JOIN nn)
+SELECT source, token, a AS df_in_source,
+       CAST(CASE
+         WHEN (a+b)*(c+d) = 0 OR (a+c)*(b+d) = 0 THEN 0
+         ELSE CAST(n AS HUGEINT) * CAST(a*d - b*c AS HUGEINT)
+              * CAST(a*d - b*c AS HUGEINT) * 1000000
+              // (CAST((a+b)*(c+d) AS HUGEINT) * CAST((a+c)*(b+d) AS HUGEINT))
+       END AS BIGINT) AS chi2_ppm
+FROM cells ORDER BY source, token""",
+    tags=("llm", "quality", "stats", "feature-selection"),
+)
+def xh_chi2_tokens(spark, sf_dir):
+    """Chi-squared token-vs-source association (round 13): the classic
+    feature-selection / leakage probe — for every observed (source,
+    token) pair, the chi^2 statistic of the 2x2 document-frequency
+    contingency (docs in source containing token vs the three
+    complements), in exact ppm. High scores mark tokens that identify a
+    source (template boilerplate, watermarks, site chrome) — exactly
+    what a curation pass strips before training, and what
+    xh_split_leakage should NOT find crossing a split. Hash-exact:
+    the full statistic stays in 128-bit integers (HUGEINT / Spark
+    DECIMAL(38,0)) with truncating ppm division; degenerate margins
+    emit 0 by definition on both engines.
+
+    Scale shape: distinct (doc, source, token) is ONE uniform partial
+    agg (dedup inside a doc is map-side); marginals derive from that
+    output (domain-bounded frames), never a second corpus scan; N is a
+    1-row broadcast; probes are token-/source-keyed and unhinted.
+    Width is probe-guarded: raises past _CHI2_MAX_DOCS rather than
+    silently wrapping (the ks_drift packing rule)."""
+    d = tbl(spark, sf_dir, "documents")
+    n_docs = d.count()  # O(1) driver scalar (metadata-count probe)
+    if n_docs > _CHI2_MAX_DOCS:
+        raise ValueError(
+            f"xh_chi2_tokens: {n_docs} docs exceeds the exact-ppm width "
+            f"bound _CHI2_MAX_DOCS={_CHI2_MAX_DOCS}; sample the corpus "
+            "down or raise the bound with wider arithmetic"
+        )
+    dt = d.select(
+        "doc_id", "source", F.explode_outer(_tokens_col()).alias("token")
+    ).dropDuplicates(["doc_id", "source", "token"]).where(F.col("token").isNotNull())
+    st = dt.groupBy("source", "token").agg(
+        F.count(F.lit(1)).cast("long").alias("a")
+    )
+    tt = st.groupBy("token").agg(F.sum("a").cast("long").alias("dft"))
+    ss = dt.groupBy("source").agg(
+        F.countDistinct("doc_id").cast("long").alias("ns")
+    )
+    nn = d.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    cells = (
+        st.join(tt, "token")
+        .join(ss, "source")
+        .join(F.broadcast(nn))  # 1-row corpus count
+        .select(
+            "source",
+            "token",
+            "a",
+            (F.col("dft") - F.col("a")).alias("b"),
+            (F.col("ns") - F.col("a")).alias("c"),
+            (F.col("n") - F.col("ns") - (F.col("dft") - F.col("a"))).alias("d"),
+            "n",
+        )
+    )
+    chi2 = F.expr(
+        "CAST(CASE"
+        " WHEN (a+b)*(c+d) = 0 OR (a+c)*(b+d) = 0 THEN 0"
+        " ELSE (CAST(n AS DECIMAL(38,0)) * CAST(a*d - b*c AS DECIMAL(38,0))"
+        "       * CAST(a*d - b*c AS DECIMAL(38,0)) * 1000000)"
+        "      div (CAST((a+b)*(c+d) AS DECIMAL(38,0))"
+        "           * CAST((a+c)*(b+d) AS DECIMAL(38,0)))"
+        " END AS BIGINT)"
+    )
+    return cells.select(
+        "source", "token", F.col("a").alias("df_in_source"), chi2.alias("chi2_ppm")
+    ).orderBy("source", "token")
+
+
+@register(
+    "xh_jackknife_ci",
+    oracle="""WITH s AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+  FROM documents GROUP BY source),
+g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+             CAST(SUM(n_docs) AS BIGINT) AS n_all,
+             CAST(SUM(sum_chars) AS BIGINT) AS t_all FROM s)
+SELECT s.source, s.n_docs,
+       CAST((g.t_all - s.sum_chars) * 1000000
+            // (g.n_all - s.n_docs) AS BIGINT) AS loo_mean_chars_ppm,
+       CAST(g.n_groups * (g.t_all * 1000000 // g.n_all)
+            - (g.n_groups - 1) * ((g.t_all - s.sum_chars) * 1000000
+                                  // (g.n_all - s.n_docs))
+            AS BIGINT) AS pseudovalue_ppm
+FROM s CROSS JOIN g ORDER BY s.source""",
+    tags=("quality", "stats"),
+)
+def xh_jackknife_ci(spark, sf_dir):
+    """Leave-one-source-out jackknife over mean document length (round
+    13): for each source, the corpus mean n_chars EXCLUDING that source
+    (exact ppm) plus its jackknife pseudovalue g*mean_all -
+    (g-1)*mean_loo — the resampling-free stability estimate a curation
+    team reads before trusting a corpus-level statistic: a source whose
+    pseudovalue sits far from the others single-handedly drags the
+    mean (the influence diagnostic; variance of pseudovalues / g is the
+    jackknife CI half-width^2). Deterministic by construction — no RNG,
+    no resampling — so it hash-checks exactly; BIGINT is exact to
+    ~9e18 char-ppm units (≈9e12 total chars), documented headroom.
+
+    Scale shape: ONE domain-bounded partial agg (per-source count/sum);
+    the global row derives from it (G rows in, 1 out) and broadcasts
+    back — the corpus is scanned once, pseudovalues are O(G) arithmetic
+    on metadata-sized frames."""
+    d = tbl(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )
+    g = s.agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum("n_docs").cast("long").alias("n_all"),
+        F.sum("sum_chars").cast("long").alias("t_all"),
+    )
+    return (
+        s.join(F.broadcast(g))  # 1-row global frame
+        .select(
+            "source",
+            "n_docs",
+            F.expr(
+                "CAST((t_all - sum_chars) * 1000000 div (n_all - n_docs)"
+                " AS BIGINT)"
+            ).alias("loo_mean_chars_ppm"),
+            F.expr(
+                "CAST(n_groups * ((t_all * 1000000) div n_all)"
+                " - (n_groups - 1) * (((t_all - sum_chars) * 1000000)"
+                "                     div (n_all - n_docs)) AS BIGINT)"
+            ).alias("pseudovalue_ppm"),
+        )
+        .orderBy("source")
+    )

@@ -875,3 +875,147 @@ def xh_unigram_surprisal(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "xh_zipf_fit",
+    oracle=f"""WITH t AS MATERIALIZED (
+  SELECT unnest({_TOKENS_SQL}) AS token FROM documents),
+c AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM t GROUP BY token),
+r AS (SELECT token, cnt,
+             CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS BIGINT) AS rk
+      FROM c),
+xy AS (SELECT CAST(length(bin(rk)) AS BIGINT) AS x,
+              CAST(length(bin(cnt)) AS BIGINT) AS y
+       FROM r),
+s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x*y) AS BIGINT) AS sxy,
+             CAST(SUM(x*x) AS BIGINT) AS sxx, CAST(SUM(y*y) AS BIGINT) AS syy
+      FROM xy)
+SELECT n AS n_types,
+       CAST((n*sxy - sx*sy) * 1000000 // (n*sxx - sx*sx) AS BIGINT)
+         AS slope_ppm,
+       CAST((n*sxy - sx*sy) * (n*sxy - sx*sy) * 1000000
+            // ((n*sxx - sx*sx) * (n*syy - sy*sy)) AS BIGINT) AS r2_ppm
+FROM s""",
+    tags=("llm", "text", "stats"),
+)
+def xh_zipf_fit(spark, sf_dir):
+    """Zipf's-law fit over the corpus unigram distribution (round 13):
+    OLS slope + r^2 of log2(frequency) against log2(rank), the standard
+    sanity probe on a crawl corpus (natural text fits slope ~ -1; a
+    slope collapse flags boilerplate/template flooding, machine-
+    generated spam, or a broken extractor). Hash-exact across engines:
+    both logs are integer bit-lengths (length(bin(v)) — the surprisal
+    idiom), the OLS normal equations stay in BIGINT, and slope/r^2 are
+    emitted in exact ppm via truncating integer division.
+
+    Scale shape: ONE uniform token partial agg builds the vocab frame
+    (Heaps-law rows, never corpus rows); the global frequency rank uses
+    operators/prefix.grouped_rank under a constant group — range-
+    partitioned rank fix-up, NOT a single-partition ROW_NUMBER window
+    (the plan invariant test_plans forbids that shape); the 5 OLS sums
+    fold per-partition then coalesce (no SinglePartition exchange); the
+    final row is O(1). Rank ties broken by token for cross-engine
+    determinism. Cite: reference has no stats surface; this extends the
+    quality family (SURVEY §2b)."""
+    from ..operators.prefix import grouped_rank
+
+    d = tbl(spark, sf_dir, "documents")
+    c = (
+        d.select(F.explode(_tokens_col()).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .withColumn("__grp", F.lit(0))
+        .withColumn("neg_cnt", -F.col("cnt"))
+    )
+    ranked = grouped_rank(c, ["__grp"], ["neg_cnt", "token"], out_col="rk")
+    xy = ranked.select(
+        F.length(F.conv(F.col("rk").cast("string"), 10, 2)).cast("long").alias("x"),
+        F.length(F.conv(F.col("cnt").cast("string"), 10, 2)).cast("long").alias("y"),
+    )
+    s = xy.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    return s.select(
+        F.col("n").alias("n_types"),
+        F.expr(
+            "CAST((n*sxy - sx*sy) * 1000000 div (n*sxx - sx*sx) AS BIGINT)"
+        ).alias("slope_ppm"),
+        F.expr(
+            "CAST((n*sxy - sx*sy) * (n*sxy - sx*sy) * 1000000"
+            " div ((n*sxx - sx*sx) * (n*syy - sy*sy)) AS BIGINT)"
+        ).alias("r2_ppm"),
+    )
+
+
+@register(
+    "xh_bigram_surprisal",
+    oracle=f"""WITH t AS MATERIALIZED (
+  SELECT doc_id, unnest({_TOKENS_SQL}) AS w,
+         generate_subscripts({_TOKENS_SQL}, 1) AS i
+  FROM documents),
+bg AS (SELECT a.doc_id, a.w AS w1, b.w AS w2
+       FROM t a JOIN t b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+u AS (SELECT w AS w1, CAST(COUNT(*) AS BIGINT) AS c1 FROM t GROUP BY w),
+bc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2
+       FROM bg GROUP BY w1, w2),
+s AS (SELECT bg.doc_id,
+             CAST(length(bin(u.c1 // bc.c2)) AS BIGINT) AS bits
+      FROM bg JOIN bc USING (w1, w2) JOIN u USING (w1))
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(bits) AS BIGINT) AS sum_bits,
+       CAST(SUM(bits) * 1000000 // COUNT(*) AS BIGINT) AS mean_bits_ppm
+FROM s GROUP BY doc_id ORDER BY doc_id""",
+    tags=("llm", "text", "quality", "lm"),
+)
+def xh_bigram_surprisal(spark, sf_dir):
+    """Bigram-conditional LM surprisal per document (round 13) — the
+    second-order twin of xh_unigram_surprisal and the closest
+    hash-exact analog of the CCNet perplexity quality filter: each
+    bigram (w1,w2) costs floor(log2(c(w1)/c(w1,w2)))+1 bits, i.e. the
+    conditional surprisal -log2 P(w2|w1) under the corpus MLE bigram
+    model, computed as an integer bit-length both engines evaluate
+    identically. Repetitive/templated docs score near 1 bit/bigram;
+    token-salad scores high. Per doc: bigram count, total bits, mean
+    bits in exact ppm.
+
+    Scale shape: bigrams come from posexplode + ONE (doc_id, position)
+    equi self-join (the cooccurrence rule — never a positional OR
+    predicate); bigram and unigram count tables are each ONE uniform
+    partial agg; both probe joins are token-keyed AND UNHINTED (bigram
+    types grow faster than Heaps — the broadcast-audit rule); the
+    per-doc rollup is one doc_id exchange."""
+    d = tbl(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.posexplode(_tokens_col()).alias("i", "w"))
+    a = t.select("doc_id", F.col("w").alias("w1"), (F.col("i") + 1).alias("ib"))
+    b = t.select("doc_id", F.col("i").alias("ib"), F.col("w").alias("w2"))
+    bg = a.join(b, ["doc_id", "ib"]).select("doc_id", "w1", "w2")
+    u = t.groupBy(F.col("w").alias("w1")).agg(
+        F.count(F.lit(1)).cast("long").alias("c1")
+    )
+    bc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("c2"))
+    bits = F.length(
+        F.conv(F.expr("c1 div c2").cast("string"), 10, 2)
+    ).cast("long")
+    return (
+        bg.join(bc, ["w1", "w2"])  # bigram-keyed, unhinted
+        .join(u, "w1")  # token-keyed, unhinted
+        .select("doc_id", bits.alias("bits"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum("bits").cast("long").alias("sum_bits"),
+            F.expr(
+                "CAST(SUM(bits) * 1000000 div COUNT(*) AS BIGINT)"
+            ).alias("mean_bits_ppm"),
+        )
+        .orderBy("doc_id")
+    )

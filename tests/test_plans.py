@@ -392,6 +392,14 @@ def test_no_unplanned_nested_loop_or_cartesian_joins(spark, sf_smoke):
         # whole point is that the fact never shuffles; the build side is
         # provably a single row (operators/bloom.py)
         "xh_bloom_prune",
+        # 1-row corpus-token-total broadcast onto the per-(source, token)
+        # frame (the unigram_surprisal shape)
+        "xh_kl_source_drift",
+        # 1-row corpus-document-count broadcast onto the contingency cells
+        "xh_chi2_tokens",
+        # 1-row (n_groups, n_all, t_all) global frame broadcast onto the
+        # G-row per-source frame — pseudovalues are O(G) metadata math
+        "xh_jackknife_ci",
     }
     offenders = []
     for name, q in sorted(REGISTRY.items()):
@@ -615,6 +623,9 @@ _ADJUDICATED_BROADCASTS = {
     ("operators/pagerank.py", "dang"),          # dangling mass per round
     ("queries/llm_ops.py", "m"),                # PCA renormalization scalar
     ("queries/quality_checks.py", "t"),         # KS half totals
+    ("queries/quality_checks.py", "n"),         # 1-row corpus token total (KL drift)
+    ("queries/quality_checks.py", "nn"),        # 1-row corpus doc count (chi2)
+    ("queries/quality_checks.py", "g"),         # 1-row global frame (jackknife)
     ("queries/text_index.py", "total"),         # global doc count
     ("queries/text_index.py", "tot"),           # 1-row corpus token total
     ("queries/text_index.py", "stats"),         # BM25 N / avgdl scalars

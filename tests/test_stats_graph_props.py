@@ -1,0 +1,329 @@
+"""Brute-force / planted-structure properties for the round-13 late
+additions: distribution diagnostics (zipf fit, bigram surprisal,
+entropy, KL drift, chi2, jackknife) and the co-purchase graph ops
+(triangle count, degree distribution). Each test recomputes the
+statistic in plain Python on a corpus built to exercise the op's
+defining property — the same independent-evidence discipline as
+tests/test_curation_props.py."""
+
+import pytest
+
+from hadoop_copier_spark.queries import REGISTRY
+from hadoop_copier_spark.queries.base import F
+
+
+def _write_docs(spark, rows, tmp, n_parts=3):
+    df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, n_parts),
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+
+
+def _write_lineitem_pairs(spark, order_parts, tmp, n_parts=3):
+    """Minimal lineitem fixture: one row per (orderkey, partkey)."""
+    rows = [(o, p) for o, parts in order_parts for p in parts]
+    df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, n_parts),
+        "l_orderkey long, l_partkey long",
+    )
+    df.write.mode("overwrite").parquet(f"{tmp}/lineitem.parquet")
+
+
+def _bits(x):
+    """floor(log2(x)) + 1 for x >= 1 — the length(bin(x)) idiom."""
+    return int(x).bit_length()
+
+
+# ---------------------------------------------------------------------------
+# Token-distribution diagnostics
+# ---------------------------------------------------------------------------
+
+
+def test_bigram_surprisal_matches_bruteforce(spark, tmp_path):
+    """Per-doc bigram bits vs a pure-Python recount, on a corpus with a
+    repetitive doc (low bits: every bigram is the modal continuation)
+    and a one-of-everything doc (high bits)."""
+    docs = {
+        1: "a b a b a b a b a b",            # (a,b)/(b,a) dominate
+        2: "a c b d a e b f",                # rare continuations
+        3: "a b",                            # single bigram
+    }
+    rows = [(i, t, "en", "s", len(t)) for i, t in docs.items()]
+    tmp = str(tmp_path / "bgs")
+    _write_docs(spark, rows, tmp)
+
+    uni, big, per_doc = {}, {}, {}
+    for i, t in docs.items():
+        toks = t.split()
+        per_doc[i] = list(zip(toks, toks[1:]))
+        for w in toks:
+            uni[w] = uni.get(w, 0) + 1
+        for bg in per_doc[i]:
+            big[bg] = big.get(bg, 0) + 1
+    expect = {}
+    for i, bgs in per_doc.items():
+        bits = [_bits(uni[w1] // big[(w1, w2)]) for w1, w2 in bgs]
+        expect[i] = (len(bits), sum(bits), sum(bits) * 1_000_000 // len(bits))
+
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["sum_bits"], r["mean_bits_ppm"])
+        for r in REGISTRY["xh_bigram_surprisal"].fn(spark, tmp).collect()
+    }
+    assert got == expect
+    # the repetitive doc is strictly cheaper per bigram than the rare one
+    assert got[1][2] < got[2][2]
+
+
+def test_entropy_uniform_beats_skewed(spark, tmp_path):
+    """Entropy property: under the bits(x) = floor(log2 x)+1 idiom a
+    uniform 8-token source scores exactly log2(8)+1 = 4 bits/token (the
+    +1 is the idiom's fixed bias, uniform is the only exact case) and a
+    single-token source scores exactly 1 bit/token (= 0 + the bias) —
+    so the GAP of 3_000_000 ppm is exactly log2(8). Recounted by hand;
+    the uniform source must also report the larger vocab."""
+    uniform = " ".join(f"t{i}" for i in range(8))
+    rows = [
+        (1, " ".join([uniform] * 4), "en", "uni", 1),  # each of 8 tokens x4
+        (2, " ".join(["mono"] * 32), "en", "mono", 1),
+    ]
+    tmp = str(tmp_path / "ent")
+    _write_docs(spark, rows, tmp)
+    got = {
+        r["source"]: (r["n_tokens"], r["vocab"], r["entropy_ppm_bits"])
+        for r in REGISTRY["xh_entropy_by_source"].fn(spark, tmp).collect()
+    }
+    assert got["uni"] == (32, 8, 4_000_000)   # bits(32//4) = bits(8) = 4
+    assert got["mono"] == (32, 1, 1_000_000)  # bits(32//32) = bits(1) = 1
+    assert got["uni"][2] - got["mono"][2] == 3_000_000  # = log2(8) exactly
+
+
+def test_kl_drift_zero_for_identical_halves(spark, tmp_path):
+    """KL property: two sources with IDENTICAL token distributions both
+    score exactly 0 (total/cnt equals gtotal/gcnt token-for-token, so
+    the bit-lengths cancel); a third divergent source scores > 0."""
+    shared = "x x x y y z"
+    rows = [
+        (1, shared, "en", "a", 1),
+        (2, shared, "en", "b", 1),
+    ]
+    tmp = str(tmp_path / "klz")
+    _write_docs(spark, rows, tmp)
+    got = {
+        r["source"]: r["kl_ppm_bits"]
+        for r in REGISTRY["xh_kl_source_drift"].fn(spark, tmp).collect()
+    }
+    assert got == {"a": 0, "b": 0}
+
+    rows.append((3, "q q q q q q", "en", "c", 1))  # token unseen elsewhere
+    tmp2 = str(tmp_path / "kld")
+    _write_docs(spark, rows, tmp2)
+    got2 = {
+        r["source"]: r["kl_ppm_bits"]
+        for r in REGISTRY["xh_kl_source_drift"].fn(spark, tmp2).collect()
+    }
+    assert got2["c"] > 0  # q is 100% of c but 1/3 of the corpus
+    # and a Python recount of every value
+    toks = {"a": shared.split(), "b": shared.split(), "c": ["q"] * 6}
+    gcnt = {}
+    for ts in toks.values():
+        for t in ts:
+            gcnt[t] = gcnt.get(t, 0) + 1
+    gtotal = sum(gcnt.values())
+    for src, ts in toks.items():
+        cnt = {}
+        for t in ts:
+            cnt[t] = cnt.get(t, 0) + 1
+        total = len(ts)
+        ksum = sum(
+            c * (_bits(gtotal // gcnt[t]) - _bits(total // c))
+            for t, c in cnt.items()
+        )
+        expect = (
+            (ksum * 1_000_000) // total
+            if ksum >= 0
+            else -((-ksum * 1_000_000) // total)
+        )
+        assert got2[src] == expect, src
+
+
+def test_chi2_separates_marker_token_from_uniform(spark, tmp_path):
+    """chi2 property: a token appearing in EVERY doc of one source and
+    nowhere else maxes the statistic (= N*1e6 ppm for a 2-doc source in
+    a 4-doc corpus partitions perfectly); a token in every doc of every
+    source has a degenerate margin and scores exactly 0. Plus a full
+    Python recount of every emitted cell."""
+    rows = [
+        (1, "common marker", "en", "a", 1),
+        (2, "common marker", "en", "a", 1),
+        (3, "common filler", "en", "b", 1),
+        (4, "common filler", "en", "b", 1),
+    ]
+    tmp = str(tmp_path / "chi2")
+    _write_docs(spark, rows, tmp)
+    out = {
+        (r["source"], r["token"]): (r["df_in_source"], r["chi2_ppm"])
+        for r in REGISTRY["xh_chi2_tokens"].fn(spark, tmp).collect()
+    }
+    # perfect separation: chi2 = N = 4 -> 4e6 ppm
+    assert out[("a", "marker")] == (2, 4_000_000)
+    assert out[("b", "filler")] == (2, 4_000_000)
+    # degenerate margin (token in all docs): defined 0
+    assert out[("a", "common")] == (2, 0)
+    assert out[("b", "common")] == (2, 0)
+
+    # brute-force recount of all cells
+    docs = {1: ("a", {"common", "marker"}), 2: ("a", {"common", "marker"}),
+            3: ("b", {"common", "filler"}), 4: ("b", {"common", "filler"})}
+    n = len(docs)
+    for (src, tok), (a_got, chi_got) in out.items():
+        a = sum(1 for s, ts in docs.values() if s == src and tok in ts)
+        dft = sum(1 for s, ts in docs.values() if tok in ts)
+        ns = sum(1 for s, _ in docs.values() if s == src)
+        b, c = dft - a, ns - a
+        d = n - ns - b
+        assert a == a_got
+        den = (a + b) * (c + d) * (a + c) * (b + d)
+        expect = 0 if den == 0 else n * (a * d - b * c) ** 2 * 1_000_000 // den
+        assert chi_got == expect, (src, tok)
+
+
+def test_jackknife_matches_bruteforce_and_flags_outlier_source(spark, tmp_path):
+    """Jackknife recount: per-source LOO means and pseudovalues vs
+    Python; the source with wildly longer docs must own the most
+    extreme pseudovalue (the influence diagnostic the op exists for)."""
+    rows = [
+        (1, "t", "en", "a", 100),
+        (2, "t", "en", "a", 120),
+        (3, "t", "en", "b", 90),
+        (4, "t", "en", "b", 110),
+        (5, "t", "en", "big", 10_000),
+    ]
+    tmp = str(tmp_path / "jk")
+    _write_docs(spark, rows, tmp)
+    got = {
+        r["source"]: (r["n_docs"], r["loo_mean_chars_ppm"], r["pseudovalue_ppm"])
+        for r in REGISTRY["xh_jackknife_ci"].fn(spark, tmp).collect()
+    }
+    by_src = {}
+    for _, _, _, s, nc in rows:
+        cnt, tot = by_src.get(s, (0, 0))
+        by_src[s] = (cnt + 1, tot + nc)
+    g = len(by_src)
+    n_all = sum(c for c, _ in by_src.values())
+    t_all = sum(t for _, t in by_src.values())
+    mean_all_ppm = t_all * 1_000_000 // n_all
+    for s, (cnt, tot) in by_src.items():
+        loo = (t_all - tot) * 1_000_000 // (n_all - cnt)
+        pseudo = g * mean_all_ppm - (g - 1) * loo
+        assert got[s] == (cnt, loo, pseudo), s
+    # the outlier source's pseudovalue dominates the others
+    assert got["big"][2] > 10 * max(abs(got["a"][2]), abs(got["b"][2]))
+
+
+def test_zipf_slope_negative_and_matches_bruteforce(spark, tmp_path):
+    """Zipf recount: exact slope/r2 ppm vs Python OLS over the integer
+    bit-length pairs; a geometrically-decaying frequency profile fits a
+    strongly negative slope with high r2."""
+    # token t_i appears 2^(8-i) times: perfect log-linear profile
+    text = " ".join(" ".join([f"t{i}"] * (1 << (8 - i))) for i in range(8))
+    tmp = str(tmp_path / "zipf")
+    _write_docs(spark, [(1, text, "en", "s", 1)], tmp)
+    r = REGISTRY["xh_zipf_fit"].fn(spark, tmp).collect()[0]
+
+    cnts = sorted([1 << (8 - i) for i in range(8)], reverse=True)
+    xy = [(_bits(rk), _bits(c)) for rk, c in zip(range(1, 9), cnts)]
+    n = len(xy)
+    sx = sum(x for x, _ in xy)
+    sy = sum(y for _, y in xy)
+    sxy = sum(x * y for x, y in xy)
+    sxx = sum(x * x for x, _ in xy)
+    syy = sum(y * y for _, y in xy)
+    num = n * sxy - sx * sy
+
+    def tdiv(a, b):  # truncate-toward-zero division (Spark div / DuckDB //)
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    slope = tdiv(num * 1_000_000, n * sxx - sx * sx)
+    r2 = tdiv(num * num * 1_000_000, (n * sxx - sx * sx) * (n * syy - sy * sy))
+    assert (r["n_types"], r["slope_ppm"], r["r2_ppm"]) == (8, slope, r2)
+    assert r["slope_ppm"] < -500_000  # strongly negative
+    assert r["r2_ppm"] > 800_000  # tight log-linear fit
+
+
+# ---------------------------------------------------------------------------
+# Co-purchase graph
+# ---------------------------------------------------------------------------
+
+
+def test_triangle_count_planted_k4_and_threshold(spark, tmp_path):
+    """Planted K4 on parts 1-4 (every edge backed by 2 orders) -> 4
+    triangles, every node in exactly 3. A w=1 edge (5,1) must NOT enter
+    the graph (the recurrence threshold), so node 5 never appears."""
+    order_parts, o = [], 0
+    for u in range(1, 5):
+        for v in range(u + 1, 5):
+            for _ in range(2):  # each K4 edge recurs in 2 orders
+                order_parts.append((o := o + 1, [u, v]))
+    order_parts.append((o := o + 1, [5, 1]))  # one-off pair: below threshold
+    tmp = str(tmp_path / "tri")
+    _write_lineitem_pairs(spark, order_parts, tmp)
+    got = {
+        r["part"]: r["n_triangles"]
+        for r in REGISTRY["xh_triangle_count"].fn(spark, tmp).collect()
+    }
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_triangle_count_matches_bruteforce_on_mixed_graph(spark, tmp_path):
+    """Random-ish planted graph vs a brute-force O(n^3) triangle
+    enumerator over the SAME thresholded edge set."""
+    import itertools
+
+    edges = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (3, 5), (5, 6),
+             (1, 6), (2, 6), (1, 4)]
+    order_parts, o = [], 0
+    for u, v in edges:
+        for _ in range(2):
+            order_parts.append((o := o + 1, [u, v]))
+    tmp = str(tmp_path / "tribf")
+    _write_lineitem_pairs(spark, order_parts, tmp)
+    got = {
+        r["part"]: r["n_triangles"]
+        for r in REGISTRY["xh_triangle_count"].fn(spark, tmp).collect()
+    }
+    es = {frozenset(e) for e in edges}
+    nodes = sorted({n for e in es for n in e})
+    expect = {}
+    for a, b, c in itertools.combinations(nodes, 3):
+        if {frozenset((a, b)), frozenset((b, c)), frozenset((a, c))} <= es:
+            for x in (a, b, c):
+                expect[x] = expect.get(x, 0) + 1
+    assert got == expect
+
+
+def test_degree_distribution_star_graph(spark, tmp_path):
+    """Star on hub 100 with 6 leaves (single orders suffice: the
+    distribution op is unthresholded) -> histogram {1: 6, 6: 1}."""
+    order_parts = [(i, [100, 200 + i]) for i in range(6)]
+    tmp = str(tmp_path / "star")
+    _write_lineitem_pairs(spark, order_parts, tmp)
+    got = {
+        r["degree"]: r["n_nodes"]
+        for r in REGISTRY["xh_degree_distribution"].fn(spark, tmp).collect()
+    }
+    assert got == {1: 6, 6: 1}
+
+
+def test_chi2_probe_raises_past_width_bound(spark, tmp_path, monkeypatch):
+    """The exact-ppm width guard: past _CHI2_MAX_DOCS the op must raise
+    with the knob named, never wrap (the ks_drift packing rule)."""
+    from hadoop_copier_spark.queries import quality_checks as qc
+
+    rows = [(i, "t", "en", "s", 1) for i in range(10)]
+    tmp = str(tmp_path / "chi2cap")
+    _write_docs(spark, rows, tmp)
+    monkeypatch.setattr(qc, "_CHI2_MAX_DOCS", 5)
+    with pytest.raises(ValueError, match="_CHI2_MAX_DOCS"):
+        REGISTRY["xh_chi2_tokens"].fn(spark, tmp)
