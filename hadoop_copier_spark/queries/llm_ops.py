@@ -1078,3 +1078,77 @@ def _centroid_drift_frame(spark, e, force_decimal=None):
         )
         .orderBy("label")
     )
+
+
+@register(
+    "xh_tfidf_topk",
+    oracle="""WITH t AS MATERIALIZED (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                            t -> t <> '')) AS token
+  FROM documents),
+tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+       FROM t GROUP BY doc_id, token),
+df AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY token),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+sc AS (SELECT tf.doc_id, tf.token,
+              tf.tf * CAST(length(bin(n.n_docs // df.df)) AS BIGINT) AS score
+       FROM tf JOIN df USING (token) CROSS JOIN n),
+rk AS (SELECT doc_id, token, score,
+              CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                                      ORDER BY score DESC, token) AS BIGINT)
+                AS rank
+       FROM sc)
+SELECT doc_id, token, score, rank FROM rk
+WHERE rank <= 3 ORDER BY doc_id, rank""",
+    tags=("llm", "text", "tfidf"),
+)
+def xh_tfidf_topk(spark, sf_dir):
+    """Hash-checked TF-IDF keyword extraction (round 13): top-3 tokens
+    per document by tf * floor(log2(N/df))+1 — the integer-bits idf
+    (xp_tfidf's float-idf twin, made driver-hashable by the surprisal
+    idiom: both engines compute the identical BIGINT score). The
+    per-doc keyword list is what a curation UI shows and what keyword-
+    based topic filters consume.
+
+    Scale shape: (doc, token) tf is ONE uniform partial agg; df derives
+    from the tf frame (Heaps-law rows), never a second corpus scan; the
+    idf probe join is token-keyed and UNHINTED (the r12 broadcast-audit
+    rule — vocabulary grows with the corpus); N is a 1-row broadcast.
+    The per-doc top-3 is operators/topk.grouped_topk — two-level
+    bounded O(K) aggregation state per doc, no per-doc sort of the full
+    posting list, tie-safe via the (neg score, token) composite."""
+    from ..operators.topk import grouped_topk
+
+    d = tbl(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("token")
+    ).filter(F.col("token") != "")
+    tf = t.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    n = d.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    idf_bits = F.length(
+        F.conv(F.expr("n_docs div df").cast("string"), 10, 2)
+    ).cast("long")
+    scored = (
+        tf.join(df_, "token")  # token-keyed, unhinted: AQE decides
+        .join(F.broadcast(n))  # 1-row corpus count
+        .select(
+            "doc_id",
+            "token",
+            (F.col("tf") * idf_bits).alias("score"),
+            (-(F.col("tf") * idf_bits)).alias("neg_score"),
+        )
+    )
+    top = grouped_topk(scored, "doc_id", "neg_score", 3, tiebreak_col="token")
+    return (
+        top.select(
+            "doc_id",
+            "token",
+            (-F.col("neg_score")).cast("long").alias("score"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+        .orderBy("doc_id", "rank")
+    )

@@ -1184,3 +1184,97 @@ def xh_jackknife_ci(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@register(
+    "xh_hll_merge",
+    oracle=f"""WITH h AS MATERIALIZED (
+  SELECT source, ({_HLL_H60_SQL}) AS h FROM documents),
+b AS (SELECT source, h // {_HLL_REM} AS bucket, h % {_HLL_REM} AS rem FROM h),
+r AS (SELECT source, bucket,
+             MAX(CASE WHEN rem = 0 THEN 53 ELSE 53 - length(bin(rem)) END)
+               AS reg
+      FROM b GROUP BY source, bucket),
+u AS (SELECT source, bucket, reg FROM r
+      UNION ALL
+      SELECT '__all__' AS source, bucket, MAX(reg) AS reg
+      FROM r GROUP BY bucket),
+srcs AS (SELECT DISTINCT source FROM u),
+grid AS (SELECT s.source, gs.bucket
+         FROM srcs s CROSS JOIN generate_series(0, {_HLL_M - 1}) gs(bucket)),
+g AS (SELECT grid.source, grid.bucket, COALESCE(u.reg, 0) AS reg
+      FROM grid LEFT JOIN u
+        ON u.source = grid.source AND u.bucket = grid.bucket)
+SELECT source,
+       CAST(COUNT(*) FILTER (WHERE reg = 0) AS BIGINT) AS v_zero_registers,
+       CAST(SUM(1::BIGINT << CAST(53 - reg AS INT)) AS BIGINT) AS sum_units,
+       string_agg(reg::VARCHAR, ',' ORDER BY bucket) AS registers
+FROM g GROUP BY source ORDER BY source""",
+    tags=("quality", "sketch", "cardinality"),
+)
+def xh_hll_merge(spark, sf_dir):
+    """HLL shard-union (round 13): per-SOURCE HyperLogLog register
+    vectors plus the '__all__' row obtained by MERGING them (per-bucket
+    max over the per-source states) — the algebra that makes sketches
+    work at 100 TB: every shard/source/day sketches independently, and
+    any rollup is a 256-slot max-merge of the states, never a re-scan.
+    xh_hll_registers pins one sketch's internals; this op pins the
+    UNION operator itself. Same portable construction (60-bit md5,
+    bucket = top 8 bits, rho = 53 - bitlen(rem)), so DuckDB rebuilds
+    every register and the merge bit-for-bit.
+
+    Scale shape: ONE (source, bucket) partial agg — at most 256 rows
+    per source survive the map side; the merged row is a second agg
+    OVER THE REGISTER STATE (sources x 256 rows), provably never the
+    corpus. Register serialization is row-local: map_from_entries +
+    transform(sequence(0,255)) densifies each source's registers inside
+    its own row — no dense-grid join, no per-source window. try_element_at
+    (not element_at) keeps the lookup NULL-safe under ANSI mode."""
+    d = tbl(spark, sf_dir, "documents")
+    h = d.select(
+        "source",
+        F.conv(F.substring(F.md5("text"), 1, 15), 16, 10).cast("long").alias("h"),
+    )
+    b = h.select(
+        "source",
+        F.floor(F.col("h") / _HLL_REM).alias("bucket"),
+        (F.col("h") % _HLL_REM).alias("rem"),
+    )
+    rho = F.when(F.col("rem") == 0, F.lit(53)).otherwise(
+        53 - F.length(F.conv(F.col("rem").cast("string"), 10, 2))
+    )
+    r = b.groupBy("source", "bucket").agg(F.max(rho).alias("reg"))
+    merged = (
+        r.groupBy("bucket")
+        .agg(F.max("reg").alias("reg"))
+        .select(F.lit("__all__").alias("source"), "bucket", "reg")
+    )
+    u = r.select("source", "bucket", "reg").unionAll(merged)
+    dense = (
+        u.groupBy("source")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("bucket", "reg"))
+            ).alias("m")
+        )
+        .select(
+            "source",
+            F.expr(
+                f"transform(sequence(0, {_HLL_M - 1}),"
+                " b -> coalesce(try_element_at(m, CAST(b AS BIGINT)), 0))"
+            ).alias("regs"),
+        )
+    )
+    return dense.select(
+        "source",
+        F.expr("CAST(size(filter(regs, x -> x = 0)) AS BIGINT)").alias(
+            "v_zero_registers"
+        ),
+        F.expr(
+            "aggregate(regs, 0L, (acc, x) ->"
+            " acc + shiftleft(1L, CAST(53 - x AS INT)))"
+        ).alias("sum_units"),
+        F.expr(
+            "concat_ws(',', transform(regs, x -> CAST(x AS STRING)))"
+        ).alias("registers"),
+    ).orderBy("source")

@@ -400,6 +400,9 @@ def test_no_unplanned_nested_loop_or_cartesian_joins(spark, sf_smoke):
         # 1-row (n_groups, n_all, t_all) global frame broadcast onto the
         # G-row per-source frame — pseudovalues are O(G) metadata math
         "xh_jackknife_ci",
+        # 1-row corpus-document-count broadcast onto the tf frame (the
+        # idf probe itself stays token-keyed and unhinted)
+        "xh_tfidf_topk",
     }
     offenders = []
     for name, q in sorted(REGISTRY.items()):
@@ -622,6 +625,7 @@ _ADJUDICATED_BROADCASTS = {
     # 1-row global scalars (provably single row)
     ("operators/pagerank.py", "dang"),          # dangling mass per round
     ("queries/llm_ops.py", "m"),                # PCA renormalization scalar
+    ("queries/llm_ops.py", "n"),                # 1-row corpus doc count (tfidf_topk)
     ("queries/quality_checks.py", "t"),         # KS half totals
     ("queries/quality_checks.py", "n"),         # 1-row corpus token total (KL drift)
     ("queries/quality_checks.py", "nn"),        # 1-row corpus doc count (chi2)
