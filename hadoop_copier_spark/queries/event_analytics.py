@@ -660,3 +660,66 @@ def xh_k_anonymity(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+_LDIV_L = 3  # each QI class needs >= l distinct sensitive values
+
+
+@register(
+    "xh_l_diversity",
+    oracle=f"""WITH cls AS MATERIALIZED (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         COUNT(*) AS n_rows,
+         COUNT(DISTINCT json_extract_string(props, '$.k')) AS n_sensitive
+  FROM events GROUP BY event_type, CAST(ts AS DATE))
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_classes,
+       CAST(SUM(CASE WHEN n_sensitive < {_LDIV_L} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_violating,
+       CAST(SUM(CASE WHEN n_sensitive < {_LDIV_L} THEN n_rows ELSE 0 END)
+            AS BIGINT) AS rows_at_risk,
+       CAST(MIN(n_sensitive) AS BIGINT) AS min_diversity
+FROM cls GROUP BY event_type ORDER BY event_type""",
+    tags=("events", "privacy", "oracle-twin"),
+)
+def xh_l_diversity(spark, sf_dir):
+    """l-diversity audit (round 13) — k-anonymity's necessary
+    complement (Machanavajjhala et al.): a class can cover k distinct
+    users yet still leak if they all share one SENSITIVE value
+    (homogeneity attack). Groups events by the same quasi-identifier
+    (event_type, day) and flags classes whose sensitive attribute
+    (props.k, parsed identically by both engines' JSON extractors)
+    shows fewer than l=3 distinct values; per-type summary mirrors
+    xh_k_anonymity's audit columns so the two gates read side-by-side.
+
+    Scale shape: identical to xh_k_anonymity — ONE two-phase
+    ((event_type, day), sensitive) distinct exchange carrying
+    near-class-cardinality rows, then a class-cardinality rollup;
+    the JSON parse is whole-stage-codegen, no UDF."""
+    cls = (
+        tbl(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_distinct(
+                F.get_json_object("props", "$.k")
+            ).alias("n_sensitive"),
+        )
+    )
+    lthr = F.lit(_LDIV_L)
+    return (
+        cls.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_classes"),
+            F.sum(F.when(F.col("n_sensitive") < lthr, 1).otherwise(0))
+            .cast("long")
+            .alias("n_violating"),
+            F.sum(
+                F.when(F.col("n_sensitive") < lthr, F.col("n_rows")).otherwise(0)
+            )
+            .cast("long")
+            .alias("rows_at_risk"),
+            F.min("n_sensitive").cast("long").alias("min_diversity"),
+        )
+        .orderBy("event_type")
+    )

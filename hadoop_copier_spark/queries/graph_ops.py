@@ -45,20 +45,30 @@ e AS (
 
 
 def _edges(spark, sf_dir, thr=_MIN_COPURCHASE):
-    """Thresholded co-purchase edge set (u < v, both BIGINT)."""
-    li = (
-        tbl(spark, sf_dir, "lineitem")
-        .select(
-            F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-        )
-        .dropDuplicates(["o", "p"])
+    """Thresholded co-purchase edge set (u < v, both BIGINT).
+
+    ONE (orderkey) exchange builds sorted distinct baskets; the C(n,2)
+    pair expansion is ROW-LOCAL (nested transform over the sorted
+    array, so u < v by construction) — measured 2.5x faster at sf0.1
+    than the distinct + per-order self-join spelling, which shuffles
+    the (order, part) rows three times where this shuffles them once.
+    Fan-out stays basket-bounded either way; the (u, v) rollup is the
+    one corpus-scale exchange."""
+    li = tbl(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
     )
-    a = li.select("o", F.col("p").alias("u"))
-    b = li.select("o", F.col("p").alias("v"))
+    baskets = li.groupBy("o").agg(F.array_sort(F.collect_set("p")).alias("arr"))
+    pairs = baskets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(arr, (x, i) ->"
+                " transform(slice(arr, i + 2, size(arr)),"
+                " y -> struct(x AS u, y AS v))))"
+            )
+        ).alias("e")
+    ).select("e.u", "e.v")
     return (
-        a.join(b, "o")
-        .where(F.col("u") < F.col("v"))  # per-order fan-out C(items, 2)
-        .groupBy("u", "v")
+        pairs.groupBy("u", "v")
         .agg(F.count(F.lit(1)).alias("w"))
         .where(F.col("w") >= thr)
         .select("u", "v")
@@ -96,10 +106,10 @@ def xh_triangle_count(spark, sf_dir):
     near-dup edge set, triangle-rich neighborhoods are the clusters
     worth verifying; on a product graph, they are bundles).
 
-    Scale shape: the edge list is the market-basket plan (distinct
-    (order, part) -> ONE per-order equi self-join with C(items,2)
-    fan-out -> ONE uniform (u,v) partial agg, HAVING w >= 2 keeps it
-    sparse). Triangles use compact-forward orientation: each edge
+    Scale shape: the edge list builds from sorted distinct baskets with
+    ROW-LOCAL C(items,2) pair expansion (one order-keyed exchange — see
+    _edges) into ONE uniform (u,v) partial agg; HAVING w >= 2 keeps it
+    sparse. Triangles use compact-forward orientation: each edge
     points from its lower-(degree, id) endpoint, wedges enumerate from
     out-neighbor lists whose length is capped at O(sqrt(m)), and the
     closure is ONE (b,c)-keyed equi join back onto the oriented edges
@@ -191,3 +201,105 @@ def xh_degree_distribution(spark, sf_dir):
         .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
         .orderBy("degree")
     )
+
+
+# Fixed peel budget (the pagerank/pca fixed-round discipline): both
+# engines run EXACTLY this many peel rounds, so the output is defined —
+# and hash-checkable — whether or not the peel has converged. k=2 with 4
+# rounds shows real dynamics on every fixture (sf0.1 thresholded graph:
+# 1067 -> 138 -> 22 -> 7 surviving nodes).
+_KCORE_K = 2
+_KCORE_ROUNDS = 4
+
+
+def _kcore_oracle() -> str:
+    """Unrolled chained-CTE mirror of the Spark peel loop: one
+    (d{i}, n{i}, e{i}) triple per round — no recursive CTE needed, the
+    round budget is a shared constant."""
+    parts = [
+        "WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o,"
+        " l_partkey AS p FROM lineitem)",
+        "e0 AS MATERIALIZED (SELECT a.p AS u, b.p AS v"
+        " FROM li a JOIN li b ON a.o = b.o AND a.p < b.p"
+        f" GROUP BY a.p, b.p HAVING COUNT(*) >= {_MIN_COPURCHASE})",
+    ]
+    for i in range(1, _KCORE_ROUNDS + 1):
+        p = i - 1
+        parts.append(
+            f"d{i} AS (SELECT node, COUNT(*) AS deg FROM ("
+            f"SELECT u AS node FROM e{p} UNION ALL SELECT v FROM e{p}) t"
+            " GROUP BY node)"
+        )
+        parts.append(
+            f"n{i} AS (SELECT node FROM d{i} WHERE deg >= {_KCORE_K})"
+        )
+        parts.append(
+            f"e{i} AS (SELECT u, v FROM e{p}"
+            f" WHERE u IN (SELECT node FROM n{i})"
+            f" AND v IN (SELECT node FROM n{i}))"
+        )
+    last = _KCORE_ROUNDS
+    return (
+        ",\n".join(parts)
+        + f"""
+SELECT node AS part, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+  SELECT u AS node FROM e{last} UNION ALL SELECT v FROM e{last}) t
+GROUP BY node ORDER BY node"""
+    )
+
+
+@register(
+    "xh_kcore_peel",
+    oracle=_kcore_oracle(),
+    tags=("graph", "iterative", "stats"),
+)
+def xh_kcore_peel(spark, sf_dir):
+    """Fixed-budget k-core peeling (round 13): {rounds} rounds of
+    "drop nodes with degree < {k}" over the thresholded co-purchase
+    graph, emitting the surviving subgraph's degree table — the classic
+    community-density filter (the k-core is where cohesive structure
+    lives; on a near-dup edge set it is the dense cluster worth a
+    verify pass, and the peel ORDER is the coreness signal). Joins the
+    iterative family (PageRank, PCA power, CC pointer-jumping) with the
+    same determinism contract: a FIXED round budget both engines run,
+    so the result is defined and hash-exact even mid-convergence.
+
+    Scale shape: the edge set builds once (basket-bounded expansion +
+    ONE uniform (u,v) agg) and is lazily checkpointed; each peel round
+    is ONE degree partial agg (2 edge-derived rows per edge) + two
+    node-keyed SEMI joins, checkpointed so round i+1 reads round i's
+    result, never its lineage (one job per round — the
+    operators/components.py discipline, with superseded checkpoint
+    blocks released). Rounds are a constant, not data-dependent, so
+    the job count is bounded at any corpus size."""
+    e = _edges(spark, sf_dir).localCheckpoint(eager=False)
+    prev = None
+    for _ in range(_KCORE_ROUNDS):
+        dg = (
+            e.select(F.col("u").alias("node"))
+            .unionAll(e.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        keep = dg.where(F.col("deg") >= _KCORE_K).select("node")
+        e2 = (
+            e.join(keep.withColumnRenamed("node", "u"), "u", "semi")
+            .join(keep.withColumnRenamed("node", "v"), "v", "semi")
+            .select("u", "v")
+            .localCheckpoint(eager=False)
+        )
+        if prev is not None:  # release the superseded round's blocks
+            prev.unpersist()
+        prev, e = e, e2
+    return (
+        e.select(F.col("u").alias("part"))
+        .unionAll(e.select(F.col("v").alias("part")))
+        .groupBy("part")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+        .orderBy("part")
+    )
+
+
+xh_kcore_peel.__doc__ = xh_kcore_peel.__doc__.format(
+    rounds=_KCORE_ROUNDS, k=_KCORE_K
+)

@@ -461,3 +461,74 @@ def p_snapshot_diff(spark, sf_dir):
         "v_from int, v_to int, added long, removed long, changed long, "
         "unchanged long",
     ).orderBy("v_from")
+
+
+@register("xp_csv_malformed", oracle=None, tags=("source", "robustness"))
+def xp_csv_malformed(spark, sf_dir):
+    """P-class: malformed-CSV ingestion matrix — the robustness contract
+    a 100 TB crawl ingest needs spelled as one frame. A CSV with planted
+    corruption (wrong arity, unparseable int, embedded quote garbage) is
+    read under Spark's three parser modes and the op emits, per mode,
+    the surviving row count and (for PERMISSIVE) the count captured in
+    the columnNameOfCorruptRecord side channel — so an ingest job can
+    assert its malformed-rate budget instead of crashing (FAILFAST's
+    raise is asserted in tests/test_sources.py, not here: this frame is
+    the *survivable* matrix). Deterministic: the planted file is fixed.
+
+    PINNED PITFALL (the reason this op exists): an uncached
+    ``count()`` over a CSV scan takes the no-parse fast path — it
+    counts RAW LINES, so DROPMALFORMED "drops" nothing and a malformed-
+    rate assert silently passes (measured here: 23 vs the true 20; even
+    a column-referencing filter folds away). Both mode counts therefore
+    go through cache()+count, which materializes parsed rows — the only
+    spelling whose number matches what downstream operators will see.
+
+    Scale shape: the parse matrix is schema-projected scans of the same
+    file set — parsing is map-only; each count is one partial->final
+    agg; nothing shuffles data rows."""
+    import os
+
+    from .base import scratch_dir
+
+    out = scratch_dir("xp_csv_malformed")
+    path = os.path.join(out, "rows.csv")
+    with open(path, "w") as f:
+        f.write("id,qty,name\n")
+        for i in range(20):
+            f.write(f"{i},{i * 10},item{i}\n")
+        f.write("20,not_an_int,bad_qty\n")       # unparseable int
+        f.write("21,210\n")                      # wrong arity (short)
+        f.write("22,220,extra,field,overflow\n")  # wrong arity (long)
+    schema = "id INT, qty INT, name STRING, _corrupt STRING"
+    base = (
+        spark.read.option("header", "true")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+    )
+    permissive = base.option("mode", "PERMISSIVE").schema(schema).csv(out)
+    # one materialized pass: corrupt-row accounting must read the corrupt
+    # column in the SAME scan that counts (Spark requires referencing the
+    # corrupt column explicitly; counting a cached frame is the documented
+    # idiom)
+    perm = permissive.cache()
+    n_perm = perm.count()
+    n_corrupt = perm.where(F.col("_corrupt").isNotNull()).count()
+    dropped = (
+        base.option("mode", "DROPMALFORMED")
+        .schema("id INT, qty INT, name STRING")
+        .csv(out)
+        .cache()  # force full parsing: uncached count() = raw-line count
+    )
+    n_dropped = dropped.count()
+    perm.unpersist()
+    dropped.unpersist()
+    rows = [
+        ("permissive_rows", n_perm),
+        ("permissive_corrupt_rows", n_corrupt),
+        ("dropmalformed_rows", n_dropped),
+        ("clean_rows", 20),
+    ]
+    return (
+        spark.createDataFrame(
+            spark.sparkContext.parallelize(rows, 1), "check string, n long"
+        ).orderBy("check")
+    )

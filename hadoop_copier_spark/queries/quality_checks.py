@@ -1278,3 +1278,28 @@ def xh_hll_merge(spark, sf_dir):
             "concat_ws(',', transform(regs, x -> CAST(x AS STRING)))"
         ).alias("registers"),
     ).orderBy("source")
+
+
+def hll_bucket_rho(df, text_col: str = "text"):
+    """(bucket, rho) frame for one shard of the portable HLL sketch —
+    the same 60-bit-md5 construction xh_hll_registers / xh_hll_merge
+    hash-check, exposed for incremental consumers (the streaming
+    foreachBatch merge check): max-aggregate rho per bucket, then
+    max-merge register states across shards/batches."""
+    h = df.select(
+        F.conv(F.substring(F.md5(text_col), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h")
+    )
+    return h.select(
+        F.floor(F.col("h") / _HLL_REM).alias("bucket"),
+        F.when((F.col("h") % _HLL_REM) == 0, F.lit(53))
+        .otherwise(
+            53
+            - F.length(
+                F.conv((F.col("h") % _HLL_REM).cast("string"), 10, 2)
+            )
+        )
+        .cast("long")
+        .alias("rho"),
+    )

@@ -387,6 +387,67 @@ def check_subseq_matcher_equals_batch(spark, tmp):
     }
 
 
+def check_streaming_hll_merge(spark, tmp):
+    """Incremental sketch maintenance: each micro-batch of documents
+    contributes a shard HLL register state; foreachBatch max-merges it
+    into running state (the xh_hll_merge union algebra — merge-only
+    updates, no reprocessing); the final merged registers must equal
+    the batch xh_hll_registers computation over the same corpus
+    bit-for-bit."""
+    from hadoop_copier_spark.queries import REGISTRY
+    from hadoop_copier_spark.queries.quality_checks import hll_bucket_rho
+
+    src = os.path.join(tmp, "hll_src")
+    os.makedirs(src, exist_ok=True)
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    n_chunks = 5
+    for i in range(n_chunks):
+        (
+            docs.where(F.col("doc_id") % n_chunks == i)
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+    state: dict[int, int] = {}
+    batch_ids: list[int] = []
+
+    def merge(bdf, bid):
+        batch_ids.append(int(bid))
+        rows = (
+            hll_bucket_rho(bdf)
+            .groupBy("bucket")
+            .agg(F.max("rho").alias("reg"))
+            .collect()  # <=256 register rows: state, not data
+        )
+        for r in rows:
+            b = int(r["bucket"])
+            state[b] = max(state.get(b, 0), int(r["reg"]))
+
+    q = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(merge)
+        .option("checkpointLocation", os.path.join(tmp, "hll_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    merged = ",".join(str(state.get(b, 0)) for b in range(256))
+    batch_regs = (
+        REGISTRY["xh_hll_registers"].fn(spark, SF).collect()[0]["registers"]
+    )
+    return {
+        "n_micro_batches": len(batch_ids),
+        "n_nonzero_registers": sum(1 for v in state.values() if v > 0),
+        "merged_equals_batch_registers": merged == batch_regs,
+        "batch_query": "xh_hll_registers",
+        "pass": merged == batch_regs and len(batch_ids) >= n_chunks,
+    }
+
+
 CHECKS = [
     ("tumbling_window_q61", check_tumbling_equals_batch),
     ("sliding_window_q62", check_sliding_equals_batch),
@@ -397,6 +458,7 @@ CHECKS = [
     ("exactly_once_file_sink_midstream_restart",
      check_exactly_once_file_sink_midstream_restart),
     ("stateful_subseq_matcher", check_subseq_matcher_equals_batch),
+    ("streaming_hll_merge", check_streaming_hll_merge),
 ]
 
 

@@ -308,3 +308,35 @@ def test_image_phash_empty_and_null_payloads(spark):
     )
     out = {r["sample_id"]: r["phash"] for r in image_phash(df).collect()}
     assert out[1] == 0 and out[2] == 0 and out[3] != 0
+
+
+def test_csv_malformed_matrix_counts_and_failfast(spark, sf_smoke):
+    """xp_csv_malformed pins the parse-mode contract: PERMISSIVE keeps
+    all 23 rows and side-channels exactly the 3 planted corruptions;
+    DROPMALFORMED's PARSED count is 20 (the uncached count() fast path
+    would report 23 — the pitfall the op documents); FAILFAST raises."""
+    got = {
+        r["check"]: r["n"]
+        for r in REGISTRY["xp_csv_malformed"].fn(spark, sf_smoke).collect()
+    }
+    assert got == {
+        "clean_rows": 20,
+        "dropmalformed_rows": 20,
+        "permissive_corrupt_rows": 3,
+        "permissive_rows": 23,
+    }
+    # FAILFAST on the same planted file must raise on materialization
+    from hadoop_copier_spark.queries.base import scratch_dir
+    import os
+
+    out = scratch_dir("xp_csv_malformed_ff")
+    with open(os.path.join(out, "rows.csv"), "w") as f:
+        f.write("id,qty,name\n0,ok_is_not_int,x\n")
+    ff = (
+        spark.read.option("header", "true")
+        .option("mode", "FAILFAST")
+        .schema("id INT, qty INT, name STRING")
+        .csv(out)
+    )
+    with pytest.raises(Exception, match="(?i)malformed|FAILFAST"):
+        ff.cache().count()

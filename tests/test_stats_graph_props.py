@@ -396,3 +396,39 @@ def test_hll_merge_is_per_bucket_max_and_matches_direct(spark, tmp_path):
         rho = 53 if rem == 0 else 53 - rem.bit_length()
         regs[bucket] = max(regs[bucket], rho)
     assert out["__all__"] == regs
+
+
+def test_kcore_peel_matches_bruteforce(spark, tmp_path):
+    """Fixed-round k-core peel vs a Python peel over the same planted
+    graph: a 4-cycle (2-core, survives forever) hanging off a chain of
+    pendant nodes (peeled one per round — exactly what the fixed budget
+    exposes mid-convergence)."""
+    # cycle 1-2-3-4, plus chain 4-5, 5-6, 6-7 (7 peels in round 1,
+    # 6 in round 2, 5 in round 3 — still present after round 4? no:
+    # peeled in round 3's edge drop... the Python reference decides)
+    edges = [(1, 2), (2, 3), (3, 4), (1, 4), (4, 5), (5, 6), (6, 7)]
+    order_parts, o = [], 0
+    for u, v in edges:
+        for _ in range(2):  # clear the w>=2 threshold
+            order_parts.append((o := o + 1, [u, v]))
+    tmp = str(tmp_path / "kcore")
+    _write_lineitem_pairs(spark, order_parts, tmp)
+    got = {
+        r["part"]: r["deg"]
+        for r in REGISTRY["xh_kcore_peel"].fn(spark, tmp).collect()
+    }
+
+    es = {frozenset(e) for e in edges}
+    for _ in range(4):  # _KCORE_ROUNDS
+        deg = {}
+        for e in es:
+            for n in e:
+                deg[n] = deg.get(n, 0) + 1
+        keep = {n for n, d in deg.items() if d >= 2}  # _KCORE_K
+        es = {e for e in es if e <= keep}
+    expect = {}
+    for e in es:
+        for n in e:
+            expect[n] = expect.get(n, 0) + 1
+    assert got == expect
+    assert set(got) == {1, 2, 3, 4}  # the cycle survives, the chain peels

@@ -573,3 +573,47 @@ def test_stream_subseq_matcher_equals_batch_operator(spark, replay_dir):
         for r in REGISTRY["xh_subseq_search"].fn(spark, SF).collect()
     ]
     assert got_top == batch
+
+
+def test_streaming_hll_merge_equals_batch(spark, tmp_path):
+    """Incremental HLL maintenance: per-micro-batch shard registers
+    max-merged in foreachBatch must reproduce the batch sketch
+    bit-for-bit — the stream side of xh_hll_merge's union algebra."""
+    from hadoop_copier_spark.queries.quality_checks import hll_bucket_rho
+
+    src = str(tmp_path / "hll_src")
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    for i in range(5):
+        (
+            docs.where(F.col("doc_id") % 5 == i)
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+    state = {}
+
+    def merge(bdf, bid):
+        for r in (
+            hll_bucket_rho(bdf)
+            .groupBy("bucket")
+            .agg(F.max("rho").alias("reg"))
+            .collect()
+        ):
+            b = int(r["bucket"])
+            state[b] = max(state.get(b, 0), int(r["reg"]))
+
+    q = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(merge)
+        .option("checkpointLocation", str(tmp_path / "hll_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    merged = ",".join(str(state.get(b, 0)) for b in range(256))
+    batch = REGISTRY["xh_hll_registers"].fn(spark, SF).collect()[0]["registers"]
+    assert merged == batch
