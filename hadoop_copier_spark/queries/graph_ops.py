@@ -303,3 +303,268 @@ def xh_kcore_peel(spark, sf_dir):
 xh_kcore_peel.__doc__ = xh_kcore_peel.__doc__.format(
     rounds=_KCORE_ROUNDS, k=_KCORE_K
 )
+
+
+# Common-neighbor counting enumerates wedges from each CENTER, and a
+# center contributes deg^2 wedges — the one graph shape orientation
+# cannot fix (the wedge count IS the answer). The hub cap is therefore
+# the honest scale bound: centers above it are excluded ON BOTH ENGINES
+# (hash still matches) and at 100 TB the cap is the knob that keeps the
+# wedge volume linear-ish (the LSH-band discipline: bound the bucket,
+# log what was dropped). Fixture graphs max out at degree 51, so the
+# cap excludes nothing here — it exists for the 1e6-degree hub.
+_CN_HUB_CAP = 64
+_CN_TOPK = 25
+
+
+@register(
+    "xh_common_neighbors",
+    oracle=f"""WITH li AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+e AS MATERIALIZED (
+  SELECT a.p AS u, b.p AS v
+  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+  GROUP BY a.p, b.p HAVING COUNT(*) >= {_MIN_COPURCHASE}),
+adj AS (SELECT u AS ctr, v AS nbr FROM e
+        UNION ALL SELECT v AS ctr, u AS nbr FROM e),
+dg AS (SELECT ctr, COUNT(*) AS deg FROM adj GROUP BY ctr),
+sm AS (SELECT adj.ctr, adj.nbr FROM adj JOIN dg USING (ctr)
+       WHERE dg.deg <= {_CN_HUB_CAP}),
+wedge AS (SELECT a.nbr AS x, b.nbr AS y
+          FROM sm a JOIN sm b ON a.ctr = b.ctr AND a.nbr < b.nbr),
+cnt AS (SELECT x, y, CAST(COUNT(*) AS BIGINT) AS n_common
+        FROM wedge GROUP BY x, y),
+new_pairs AS (
+  SELECT c.x, c.y, c.n_common FROM cnt c
+  LEFT JOIN e ON e.u = c.x AND e.v = c.y
+  WHERE e.u IS NULL)
+SELECT x AS part_a, y AS part_b, n_common
+FROM new_pairs ORDER BY n_common DESC, x, y LIMIT {_CN_TOPK}""",
+    tags=("graph", "llm", "link-prediction"),
+)
+def xh_common_neighbors(spark, sf_dir):
+    """Common-neighbors link prediction (round 13): the top NON-adjacent
+    part pairs ranked by shared co-purchase neighbors — the classic
+    candidate generator (Liben-Nowell/Kleinberg) behind "customers who
+    bought these also bought" and, on a near-dup graph, the transitive-
+    closure candidates a verify pass should test next. Exact counts,
+    deterministic (count desc, pair) order, hash-checked.
+
+    Scale shape: wedge volume from a center is deg^2 — the one graph
+    fan-out orientation cannot reduce, because the pair counts ARE the
+    output; the HUB CAP (degree <= 64, applied identically in both
+    engines) is the declared bound that keeps it linear at 100 TB (the
+    LSH-bucket discipline: bound the bucket, document the drop). The
+    wedge join is ONE center-keyed equi self-join of the capped
+    adjacency; the pair rollup is one uniform agg; existing edges leave
+    via a pair-keyed LEFT ANTI; top-K is TakeOrderedAndProject."""
+    e = _edges(spark, sf_dir).localCheckpoint(eager=False)
+    adj = (
+        e.select(F.col("u").alias("ctr"), F.col("v").alias("nbr"))
+        .unionAll(e.select(F.col("v").alias("ctr"), F.col("u").alias("nbr")))
+    )
+    dg = adj.groupBy("ctr").agg(F.count(F.lit(1)).alias("deg"))
+    sm = adj.join(dg.where(F.col("deg") <= _CN_HUB_CAP), "ctr").select(
+        "ctr", "nbr"
+    )
+    a = sm.select("ctr", F.col("nbr").alias("x"))
+    b = sm.select("ctr", F.col("nbr").alias("y"))
+    cnt = (
+        a.join(b, "ctr")
+        .where(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    new_pairs = cnt.join(
+        e.select(F.col("u").alias("x"), F.col("v").alias("y")),
+        ["x", "y"],
+        "left_anti",
+    )
+    return (
+        new_pairs.select(
+            F.col("x").alias("part_a"), F.col("y").alias("part_b"), "n_common"
+        )
+        .orderBy(F.col("n_common").desc(), "part_a", "part_b")
+        .limit(_CN_TOPK)
+    )
+
+
+@register(
+    "xh_degree_assortativity",
+    oracle=f"""WITH li AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+e AS MATERIALIZED (
+  SELECT a.p AS u, b.p AS v
+  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+  GROUP BY a.p, b.p HAVING COUNT(*) >= {_MIN_COPURCHASE}),
+dg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+         SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e) t
+       GROUP BY node),
+stubs AS (SELECT du.deg AS x, dv.deg AS y
+          FROM e JOIN dg du ON du.node = e.u JOIN dg dv ON dv.node = e.v
+          UNION ALL
+          SELECT dv.deg AS x, du.deg AS y
+          FROM e JOIN dg du ON du.node = e.u JOIN dg dv ON dv.node = e.v),
+s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(x*y) AS BIGINT) AS sxy,
+             CAST(SUM(x*x) AS BIGINT) AS sxx
+      FROM stubs)
+SELECT n AS n_stubs,
+       CAST(sx * 1000000 // n AS BIGINT) AS mean_stub_deg_ppm,
+       CAST((n*sxy - sx*sx) * 1000000 // (n*n) AS BIGINT) AS deg_cov_ppm,
+       CAST(CASE WHEN n*sxx - sx*sx = 0 THEN 0
+                 ELSE (n*sxy - sx*sx) * 1000000 // (n*sxx - sx*sx)
+            END AS BIGINT) AS assortativity_ppm
+FROM s""",
+    tags=("graph", "stats"),
+)
+def xh_degree_assortativity(spark, sf_dir):
+    """Degree assortativity (round 13): Newman's r over the co-purchase
+    graph — do hubs link to hubs (r > 0, social-network shape) or to
+    leaves (r < 0, hub-and-spoke)? The sign decides which end of a
+    graph job skews first. Computed over ordered edge stubs (each edge
+    contributes both orientations, so the x and y marginals coincide
+    and Pearson's r needs no square root: r = cov/var with a SHARED
+    variance — exactly the case integer ppm division can express).
+    Hash-exact: degree sums stay BIGINT; cov, var and r emit in
+    truncating ppm.
+
+    Scale shape: degrees derive from the edge list (2 rows/edge, one
+    uniform agg); the stub frame is two node-keyed probe joins of that
+    domain-bounded degree table back onto edges; the 4 moment sums fold
+    partial->final. No window, no driver loop, O(1) output."""
+    e = _edges(spark, sf_dir)
+    dg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    du = dg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
+    dv = dg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
+    both = e.join(du, "u").join(dv, "v")
+    stubs = both.select(
+        F.col("du").alias("x"), F.col("dv").alias("y")
+    ).unionAll(both.select(F.col("dv").alias("x"), F.col("du").alias("y")))
+    s = stubs.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    return s.select(
+        F.col("n").alias("n_stubs"),
+        F.expr("CAST(sx * 1000000 div n AS BIGINT)").alias(
+            "mean_stub_deg_ppm"
+        ),
+        F.expr(
+            "CAST((n*sxy - sx*sx) * 1000000 div (n*n) AS BIGINT)"
+        ).alias("deg_cov_ppm"),
+        F.expr(
+            "CAST(CASE WHEN n*sxx - sx*sx = 0 THEN 0"
+            " ELSE (n*sxy - sx*sx) * 1000000 div (n*sxx - sx*sx)"
+            " END AS BIGINT)"
+        ).alias("assortativity_ppm"),
+    )
+
+
+@register(
+    "xh_clustering_coefficient",
+    oracle=f"""WITH {_EDGES_SQL.format(thr=_MIN_COPURCHASE)},
+dg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+         SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e) t
+       GROUP BY node),
+oe AS (SELECT CASE WHEN du.deg < dv.deg
+                     OR (du.deg = dv.deg AND e.u < e.v) THEN e.u ELSE e.v
+              END AS s,
+              CASE WHEN du.deg < dv.deg
+                     OR (du.deg = dv.deg AND e.u < e.v) THEN e.v ELSE e.u
+              END AS t
+       FROM e JOIN dg du ON du.node = e.u JOIN dg dv ON dv.node = e.v),
+tri AS (SELECT w1.s AS a, w1.t AS b, w2.t AS c
+        FROM oe w1
+        JOIN oe w2 ON w2.s = w1.s AND w2.t <> w1.t
+        JOIN oe w3 ON w3.s = w1.t AND w3.t = w2.t),
+tcnt AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri FROM (
+           SELECT a AS node FROM tri UNION ALL
+           SELECT b FROM tri UNION ALL SELECT c FROM tri) x
+         GROUP BY node)
+SELECT dg.node AS part, dg.deg,
+       CAST(COALESCE(tcnt.n_tri, 0) AS BIGINT) AS n_triangles,
+       CAST(COALESCE(tcnt.n_tri, 0) * 2 * 1000000
+            // (dg.deg * (dg.deg - 1)) AS BIGINT) AS cc_ppm
+FROM dg LEFT JOIN tcnt ON tcnt.node = dg.node
+WHERE dg.deg >= 2
+ORDER BY dg.node""",
+    tags=("graph", "stats"),
+)
+def xh_clustering_coefficient(spark, sf_dir):
+    """Local clustering coefficient (round 13): per node, the fraction
+    of its neighbor pairs that are themselves connected — 2T(v) /
+    (deg(v)(deg(v)-1)) in exact ppm. Completes the structural triad
+    (degree = volume, triangles = closed wedges, this = the ratio):
+    on a near-dup edge set a HIGH coefficient neighborhood is a
+    coherent duplicate cluster while a low one around a high-degree
+    node is the chaining artifact xh_multi_signal_dedup's CC would
+    over-merge — the diagnostic read before trusting transitive
+    closure. Nodes of degree < 2 (coefficient undefined) are excluded
+    on both engines.
+
+    Scale shape: reuses the compact-forward oriented triangle plan
+    verbatim (O(m^1.5) wedges regardless of hub skew) plus the
+    edge-derived degree frame; the final LEFT probe is node-keyed onto
+    the domain-bounded degree table; the ppm division is exact BIGINT.
+    No new exchange class over xh_triangle_count."""
+    e = _edges(spark, sf_dir)
+    dg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    du = dg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
+    dv = dg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
+    fwd = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oe = (
+        e.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("s"),
+            F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("t"),
+        )
+    )
+    w1 = oe.select(F.col("s").alias("a"), F.col("t").alias("b"))
+    w2 = oe.select(F.col("s").alias("a"), F.col("t").alias("c"))
+    w3 = oe.select(F.col("s").alias("b"), F.col("t").alias("c"))
+    tri = (
+        w1.join(w2, "a")
+        .where(F.col("b") != F.col("c"))
+        .join(w3, ["b", "c"])
+        .select("a", "b", "c")
+    )
+    tcnt = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_tri"))
+    )
+    return (
+        dg.where(F.col("deg") >= 2)
+        .join(tcnt, "node", "left")
+        .select(
+            F.col("node").alias("part"),
+            "deg",
+            F.coalesce(F.col("n_tri"), F.lit(0)).cast("long").alias(
+                "n_triangles"
+            ),
+            F.expr(
+                "CAST(COALESCE(n_tri, 0) * 2 * 1000000"
+                " div (deg * (deg - 1)) AS BIGINT)"
+            ).alias("cc_ppm"),
+        )
+        .orderBy("part")
+    )

@@ -1019,3 +1019,65 @@ def xh_bigram_surprisal(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "xh_token_burstiness",
+    oracle=f"""WITH t AS MATERIALIZED (
+  SELECT doc_id, unnest({_TOKENS_SQL}) AS token FROM documents),
+c AS (SELECT token, doc_id, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM t GROUP BY token, doc_id),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+s AS (SELECT token,
+             CAST(COUNT(*) AS BIGINT) AS df,
+             CAST(SUM(cnt) AS BIGINT) AS sc,
+             CAST(SUM(cnt*cnt) AS BIGINT) AS scc
+      FROM c GROUP BY token)
+SELECT token, df, sc AS total_occurrences,
+       CAST((n.n_docs * s.scc - s.sc * s.sc) * 1000000
+            // (n.n_docs * s.sc) AS BIGINT) AS vmr_ppm
+FROM s CROSS JOIN n ORDER BY token""",
+    tags=("llm", "text", "stats", "quality"),
+)
+def xh_token_burstiness(spark, sf_dir):
+    """Token burstiness (round 13): the variance-to-mean ratio of each
+    token's per-document count over the WHOLE corpus (zeros included
+    via the n_docs cross term — no dense zero rows are ever
+    materialized) — the corpus-linguistics dispersion measure that
+    separates bursty content words (vmr >> 1e6: when a doc mentions
+    them, it mentions them a lot) from evenly-spread function words
+    (vmr ~ 1e6, the Poisson line) and from template boilerplate (high
+    df AND high vmr = paste-repeated). Exact ppm: VMR = (N*sum(c^2) -
+    (sum c)^2) / (N*sum c) stays in BIGINT with truncating division
+    both engines share.
+
+    Scale shape: ONE uniform (token, doc) partial agg, then a token
+    agg collapsing to Heaps-law rows; the corpus doc count is a
+    provably-1-row broadcast; output is vocabulary-sized, fully
+    ordered. Including the zero cells costs NOTHING — the algebra
+    folds them into the N term."""
+    d = tbl(spark, sf_dir, "documents")
+    c = (
+        d.select("doc_id", F.explode(_tokens_col()).alias("token"))
+        .groupBy("token", "doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    n = d.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    s = c.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum("cnt").cast("long").alias("sc"),
+        F.sum(F.col("cnt") * F.col("cnt")).cast("long").alias("scc"),
+    )
+    return (
+        s.join(F.broadcast(n))  # 1-row corpus count
+        .select(
+            "token",
+            "df",
+            F.col("sc").alias("total_occurrences"),
+            F.expr(
+                "CAST((n_docs * scc - sc * sc) * 1000000"
+                " div (n_docs * sc) AS BIGINT)"
+            ).alias("vmr_ppm"),
+        )
+        .orderBy("token")
+    )

@@ -403,6 +403,9 @@ def test_no_unplanned_nested_loop_or_cartesian_joins(spark, sf_smoke):
         # 1-row corpus-document-count broadcast onto the tf frame (the
         # idf probe itself stays token-keyed and unhinted)
         "xh_tfidf_topk",
+        # 1-row corpus-document-count broadcast onto the per-token
+        # moment frame (the zero-inclusive VMR cross term)
+        "xh_token_burstiness",
     }
     offenders = []
     for name, q in sorted(REGISTRY.items()):
@@ -631,6 +634,7 @@ _ADJUDICATED_BROADCASTS = {
     ("queries/quality_checks.py", "nn"),        # 1-row corpus doc count (chi2)
     ("queries/quality_checks.py", "g"),         # 1-row global frame (jackknife)
     ("queries/text_index.py", "total"),         # global doc count
+    ("queries/text_index.py", "n"),             # 1-row doc count (burstiness)
     ("queries/text_index.py", "tot"),           # 1-row corpus token total
     ("queries/text_index.py", "stats"),         # BM25 N / avgdl scalars
     # driver-built metadata frames (<= P x G rows / fixed bucket counts)

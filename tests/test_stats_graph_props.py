@@ -432,3 +432,111 @@ def test_kcore_peel_matches_bruteforce(spark, tmp_path):
             expect[n] = expect.get(n, 0) + 1
     assert got == expect
     assert set(got) == {1, 2, 3, 4}  # the cycle survives, the chain peels
+
+
+def test_common_neighbors_square_and_adjacent_exclusion(spark, tmp_path):
+    """On the 4-cycle 1-2-3-4-1 the only non-adjacent pairs are the
+    diagonals (1,3) and (2,4), each sharing exactly 2 neighbors;
+    adjacent pairs must never appear."""
+    edges = [(1, 2), (2, 3), (3, 4), (1, 4)]
+    order_parts, o = [], 0
+    for u, v in edges:
+        for _ in range(2):
+            order_parts.append((o := o + 1, [u, v]))
+    tmp = str(tmp_path / "cn4")
+    _write_lineitem_pairs(spark, order_parts, tmp)
+    got = {
+        (r["part_a"], r["part_b"]): r["n_common"]
+        for r in REGISTRY["xh_common_neighbors"].fn(spark, tmp).collect()
+    }
+    assert got == {(1, 3): 2, (2, 4): 2}
+
+
+def test_common_neighbors_hub_cap_drops_oversized_center(spark, tmp_path):
+    """A star hub above _CN_HUB_CAP contributes NO wedges (the declared
+    100 TB bound): with 70 leaves off one hub, every leaf pair shares
+    the hub — but the capped op must emit nothing."""
+    order_parts, o = [], 0
+    for i in range(70):
+        for _ in range(2):
+            order_parts.append((o := o + 1, [1000, 2000 + i]))
+    tmp = str(tmp_path / "cncap")
+    _write_lineitem_pairs(spark, order_parts, tmp)
+    assert REGISTRY["xh_common_neighbors"].fn(spark, tmp).count() == 0
+
+
+def test_degree_assortativity_star_is_minus_one(spark, tmp_path):
+    """Newman's r over a star is exactly -1 (perfect disassortativity):
+    every stub pairs the hub degree with a leaf degree. The stub
+    algebra makes this -1_000_000 ppm EXACTLY (numerator and
+    denominator are both -/+ n^2(n-1)^2)."""
+    order_parts, o = [], 0
+    for i in range(8):
+        for _ in range(2):
+            order_parts.append((o := o + 1, [1, 10 + i]))
+    tmp = str(tmp_path / "astar")
+    _write_lineitem_pairs(spark, order_parts, tmp)
+    r = REGISTRY["xh_degree_assortativity"].fn(spark, tmp).collect()[0]
+    assert r["n_stubs"] == 16
+    assert r["assortativity_ppm"] == -1_000_000
+    # regular graph (the 4-cycle): all degrees equal -> var 0 -> defined 0
+    edges = [(1, 2), (2, 3), (3, 4), (1, 4)]
+    order_parts, o = [], 0
+    for u, v in edges:
+        for _ in range(2):
+            order_parts.append((o := o + 1, [u, v]))
+    tmp2 = str(tmp_path / "areg")
+    _write_lineitem_pairs(spark, order_parts, tmp2)
+    r2 = REGISTRY["xh_degree_assortativity"].fn(spark, tmp2).collect()[0]
+    assert (r2["assortativity_ppm"], r2["deg_cov_ppm"]) == (0, 0)
+
+
+def test_token_burstiness_bursty_vs_uniform_and_bruteforce(spark, tmp_path):
+    """'burst' concentrates 8 occurrences in one of 4 docs; 'flat'
+    spreads 8 occurrences 2-per-doc. Burst's VMR must exceed flat's,
+    and every cell must equal the zero-inclusive Python recount."""
+    docs = {
+        1: "burst " * 8 + "flat flat",
+        2: "flat flat",
+        3: "flat flat",
+        4: "flat flat",
+    }
+    rows = [(i, t.strip(), "en", "s", 1) for i, t in docs.items()]
+    tmp = str(tmp_path / "vmr")
+    _write_docs(spark, rows, tmp)
+    got = {
+        r["token"]: (r["df"], r["total_occurrences"], r["vmr_ppm"])
+        for r in REGISTRY["xh_token_burstiness"].fn(spark, tmp).collect()
+    }
+    n = len(docs)
+    for tok in ("burst", "flat"):
+        cnts = [docs[i].split().count(tok) for i in sorted(docs)]
+        sc, scc = sum(cnts), sum(c * c for c in cnts)
+        df = sum(1 for c in cnts if c)
+        vmr = (n * scc - sc * sc) * 1_000_000 // (n * sc)
+        assert got[tok] == (df, sc, vmr), tok
+    assert got["burst"][2] > got["flat"][2]
+
+
+def test_clustering_coefficient_k4_and_path(spark, tmp_path):
+    """K4: every node has deg 3 and 3 triangles -> cc exactly 1e6.
+    A path 5-6-7 appended: node 6 has deg 2, no triangle -> cc 0;
+    endpoints (deg 1) are excluded as undefined."""
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (5, 6), (6, 7)]
+    order_parts, o = [], 0
+    for u, v in edges:
+        for _ in range(2):
+            order_parts.append((o := o + 1, [u, v]))
+    tmp = str(tmp_path / "cc")
+    _write_lineitem_pairs(spark, order_parts, tmp)
+    got = {
+        r["part"]: (r["deg"], r["n_triangles"], r["cc_ppm"])
+        for r in REGISTRY["xh_clustering_coefficient"].fn(spark, tmp).collect()
+    }
+    assert got == {
+        1: (3, 3, 1_000_000),
+        2: (3, 3, 1_000_000),
+        3: (3, 3, 1_000_000),
+        4: (3, 3, 1_000_000),
+        6: (2, 0, 0),
+    }
