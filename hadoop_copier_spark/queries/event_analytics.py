@@ -723,3 +723,322 @@ def xh_l_diversity(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# t-closeness: the third leg of the privacy-release triad (round 13)
+# ---------------------------------------------------------------------------
+
+_TCLOSE_T_PPM = 300_000  # flag classes whose sensitive-value TVD > 0.30
+
+
+@register(
+    "xh_t_closeness",
+    oracle=f"""WITH cell AS MATERIALIZED (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         COALESCE(json_extract_string(props, '$.k'), '__missing__') AS sv,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2, 3),
+cls AS MATERIALIZED (
+  SELECT event_type, day, CAST(SUM(c) AS BIGINT) AS n_cls
+  FROM cell GROUP BY event_type, day),
+gl AS MATERIALIZED (
+  SELECT sv, CAST(SUM(c) AS BIGINT) AS g FROM cell GROUP BY sv),
+tot AS (SELECT CAST(SUM(g) AS BIGINT) AS n_tot FROM gl),
+gp AS MATERIALIZED (
+  SELECT sv, CAST((g * 1000000) // n_tot AS BIGINT) AS g_ppm
+  FROM gl, tot),
+gs AS (SELECT CAST(SUM(g_ppm) AS BIGINT) AS g_total_ppm FROM gp),
+tv AS (
+  SELECT cell.event_type, cell.day, MAX(cls.n_cls) AS n_cls,
+         CAST((SUM(ABS((cell.c * 1000000) // cls.n_cls - gp.g_ppm)
+                   - gp.g_ppm)
+               + MAX(gs.g_total_ppm)) // 2 AS BIGINT) AS tvd_ppm
+  FROM cell
+  JOIN cls ON cls.event_type = cell.event_type AND cls.day = cell.day
+  JOIN gp ON gp.sv = cell.sv, gs
+  GROUP BY cell.event_type, cell.day)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_classes,
+       CAST(SUM(CASE WHEN tvd_ppm > {_TCLOSE_T_PPM} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_violating,
+       CAST(SUM(CASE WHEN tvd_ppm > {_TCLOSE_T_PPM} THEN n_cls ELSE 0 END)
+            AS BIGINT) AS rows_at_risk,
+       CAST(MAX(tvd_ppm) AS BIGINT) AS max_tvd_ppm
+FROM tv GROUP BY event_type ORDER BY event_type""",
+    tags=("events", "privacy", "oracle-twin"),
+)
+def xh_t_closeness(spark, sf_dir):
+    """t-closeness audit (round 13) — completes the privacy-release
+    triad (Li/Li/Venkatasubramanian): a class can be k-anonymous AND
+    l-diverse yet still leak when its sensitive-value DISTRIBUTION
+    diverges from the table's (skewness attack: 2 distinct values at a
+    99/1 split passes l=2 but reveals the majority value with near
+    certainty). Per quasi-identifier class (event_type, day), the
+    total-variation distance between the class's sensitive distribution
+    (props.k, both engines' JSON extractors) and the global one, in
+    truncating ppm; classes past t = 0.30 are flagged. Per-type audit
+    summary mirrors xh_k_anonymity / xh_l_diversity so the three gates
+    read side-by-side.
+
+    Zero cells are ALGEBRAIC (the xh_token_burstiness discipline): a
+    sensitive value absent from a class contributes its global share
+    g_ppm to the TVD, and
+    sum_all(g_ppm) - sum_in_class(g_ppm) + sum_in_class|c_ppm - g_ppm|
+    = 2*TVD needs only the class's OWN cells — no dense
+    (class x sensitive-domain) grid ever exists on either engine.
+
+    Scale shape: ONE ((event_type, day), sv) uniform partial agg builds
+    the cell frame (checkpointed once, read three times); the class and
+    global rollups reduce it; the probe joins are class-keyed and
+    sv-keyed onto domain-bounded frames; the two global scalars attach
+    as provably-1-row broadcasts (the heavy_hitters shape). All
+    arithmetic is exact BIGINT ppm."""
+    ev = tbl(spark, sf_dir, "events").select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.coalesce(
+            F.get_json_object("props", "$.k"), F.lit("__missing__")
+        ).alias("sv"),
+    )
+    cell = (
+        ev.groupBy("event_type", "day", "sv")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    cls = cell.groupBy("event_type", "day").agg(
+        F.sum("c").cast("long").alias("n_cls")
+    )
+    gl = cell.groupBy("sv").agg(F.sum("c").cast("long").alias("g"))
+    ntot = gl.agg(F.sum("g").cast("long").alias("n_tot"))
+    gp = gl.crossJoin(F.broadcast(ntot)).select(
+        "sv", F.expr("CAST((g * 1000000) div n_tot AS BIGINT)").alias("g_ppm")
+    )
+    gtot = gp.agg(F.sum("g_ppm").cast("long").alias("g_total_ppm"))
+    tv = (
+        cell.join(cls, ["event_type", "day"])
+        .join(gp, "sv")
+        .crossJoin(F.broadcast(gtot))
+        .groupBy("event_type", "day")
+        .agg(
+            F.max("n_cls").alias("n_cls"),
+            F.expr(
+                "CAST((SUM(ABS((c * 1000000) div n_cls - g_ppm) - g_ppm)"
+                " + MAX(g_total_ppm)) div 2 AS BIGINT)"
+            ).alias("tvd_ppm"),
+        )
+    )
+    t = F.lit(_TCLOSE_T_PPM)
+    return (
+        tv.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_classes"),
+            F.sum(F.when(F.col("tvd_ppm") > t, 1).otherwise(0))
+            .cast("long")
+            .alias("n_violating"),
+            F.sum(F.when(F.col("tvd_ppm") > t, F.col("n_cls")).otherwise(0))
+            .cast("long")
+            .alias("rows_at_risk"),
+            F.max("tvd_ppm").cast("long").alias("max_tvd_ppm"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Daily-count autocorrelation: the seasonality read (round 13)
+# ---------------------------------------------------------------------------
+
+_ACF_MAX_LAG = 7  # one week of calendar lags
+
+
+@register(
+    "xh_autocorr_daily",
+    oracle=f"""WITH daily AS MATERIALIZED (
+  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1),
+pairs AS (
+  SELECT CAST(l.lag AS BIGINT) AS lag, a.c AS x, b.c AS y
+  FROM daily a
+  CROSS JOIN generate_series(1, {_ACF_MAX_LAG}) l(lag)
+  JOIN daily b ON b.day = a.day + CAST(l.lag AS INTEGER)),
+m AS (
+  SELECT lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM pairs GROUP BY lag),
+d AS (
+  SELECT lag, n_pairs, sx, sy, sxy, sxx, syy,
+         CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num,
+         (CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+         * (CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) AS den
+  FROM m)
+SELECT lag, n_pairs, sx, sy, sxy, sxx, syy,
+       CASE WHEN den > 0 THEN num / SQRT(den) ELSE NULL END AS acf
+FROM d ORDER BY lag""",
+    tags=("events", "stats", "oracle-twin"),
+)
+def xh_autocorr_daily(spark, sf_dir):
+    """Daily-count autocorrelation at calendar lags 1..7 (round 13) —
+    the seasonality read an ingest pipeline runs before trusting any
+    per-day drift alarm (xh_kl_source_drift, xh_embed_centroid_drift):
+    a strong lag-7 peak says weekly cycle, so day-over-day comparisons
+    must be same-weekday; a high lag-1 says momentum, so spike alarms
+    need detrending. Pairs are matched by CALENDAR day (day + lag
+    exists), not series index, so date gaps drop pairs instead of
+    silently splicing non-adjacent days. Emits the exact BIGINT moment
+    sums plus Pearson r per lag.
+
+    Determinism: the moments are exact integers; r is a mirrored IEEE
+    tree over them (cast-to-double, multiply, subtract, sqrt, divide —
+    every step correctly rounded per IEEE-754 in both engines, the
+    queries/base.py ratio discipline), so the doubles hash identically.
+    Integer headroom: the BIGINT moment sums are exact up to ~3e9
+    events/day (sxx <= days * c^2 <= 9.2e18); past that the op needs
+    the probe-gated DECIMAL promotion (the xh_market_basket knob).
+
+    Scale shape: the daily frame is date-cardinality (domain-bounded —
+    ~36.5k rows per century at ANY corpus size); the lag fan-out is a
+    row-local explode(sequence(1,7)); the pair match is one day-keyed
+    equi join of two date-cardinality frames; moments fold
+    partial->final in one uniform agg. Nothing is corpus-sized past
+    the first partial count."""
+    daily = (
+        tbl(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    a = (
+        daily.select(F.col("day"), F.col("c").alias("x"))
+        .withColumn(
+            "lag", F.explode(F.sequence(F.lit(1), F.lit(_ACF_MAX_LAG)))
+        )
+        .withColumn("lag", F.col("lag").cast("long"))
+        .withColumn("tday", F.expr("date_add(day, CAST(lag AS INT))"))
+    )
+    b = daily.select(F.col("day").alias("tday"), F.col("c").alias("y"))
+    m = (
+        a.join(b, "tday")
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum("x").cast("long").alias("sx"),
+            F.sum("y").cast("long").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        )
+    )
+    d = m.select(
+        "lag", "n_pairs", "sx", "sy", "sxy", "sxx", "syy",
+        F.expr(
+            "CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE)"
+            " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)"
+        ).alias("num"),
+        F.expr(
+            "(CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)"
+            " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+            " * (CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)"
+            " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))"
+        ).alias("den"),
+    )
+    return d.select(
+        "lag", "n_pairs", "sx", "sy", "sxy", "sxx", "syy",
+        F.expr(
+            "CASE WHEN den > 0 THEN num / SQRT(den) ELSE NULL END"
+        ).alias("acf"),
+    ).orderBy("lag")
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoint scan over the daily series (round 13, late)
+# ---------------------------------------------------------------------------
+
+_CUSUM_TOPK = 5
+
+
+@register(
+    "xh_cusum_changepoint",
+    oracle=f"""WITH daily AS MATERIALIZED (
+  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+               CAST(SUM(c) AS BIGINT) AS t FROM daily),
+dev AS (SELECT day, c,
+               (SELECT n_days FROM tot) * c - (SELECT t FROM tot) AS d
+        FROM daily),
+s AS (SELECT day, c,
+             CAST(SUM(d) OVER (ORDER BY day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cusum_scaled
+      FROM dev)
+SELECT day, c, cusum_scaled,
+       (SELECT n_days FROM tot) AS n_days,
+       (SELECT t FROM tot) AS total_events
+FROM s ORDER BY ABS(cusum_scaled) DESC, day LIMIT {_CUSUM_TOPK}""",
+    tags=("events", "stats", "oracle-twin"),
+)
+def xh_cusum_changepoint(spark, sf_dir):
+    """CUSUM changepoint scan (round 13) — the level-shift detector
+    that complements xh_autocorr_daily's seasonality read: the running
+    sum of per-day deviations from the global mean peaks (in absolute
+    value) exactly where the series' level changes (Page's cumulative
+    sum statistic), so the top-|CUSUM| days are the split candidates an
+    ingest pipeline investigates before trusting a before/after drift
+    comparison. To stay hash-exact the statistic is SCALED BY N: with
+    S_t = sum_{{i<=t}} (N*c_i - T) the peak location is identical to the
+    float CUSUM's (N*x is a positive affine map) and every cell is an
+    exact BIGINT. Emits the top-5 days by |S| with the day's count and
+    the (n_days, total) scalars that de-scale it.
+
+    Determinism: |S| ties break on day; the (N*c - T) deviations sum
+    exactly, so the prefix is order-free given the total day order.
+    Integer headroom: N*c is exact to ~2.5e14 events/day per century
+    of days.
+
+    Scale shape: the daily frame is date-cardinality (domain-bounded
+    at ANY corpus — 36.5k rows/century); (N, T) is a bounded 1-row
+    driver collect (the vocab_growth class); the prefix runs through
+    operators/prefix.global_prefix_sum — range-partition on day,
+    pid-local window + O(P) driver offsets — NEVER a single-partition
+    global window; top-5 is TakeOrderedAndProject."""
+    from ..operators.prefix import global_prefix_sum
+
+    daily = (
+        tbl(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    row = daily.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("c").alias("t")
+    ).collect()[0]
+    if not row["n"]:  # no events: schema-stable empty frame
+        return daily.select(
+            F.col("day"),
+            F.lit(0).cast("bigint").alias("c"),
+            F.lit(0).cast("bigint").alias("cusum_scaled"),
+            F.lit(0).cast("bigint").alias("n_days"),
+            F.lit(0).cast("bigint").alias("total_events"),
+        ).limit(0)
+    n, t = int(row["n"]), int(row["t"])
+    dev = daily.withColumn(
+        "d", (F.lit(n) * F.col("c") - F.lit(t)).cast("long")
+    )
+    cum = global_prefix_sum(dev, "d", ["day"], "cusum_scaled")
+    return (
+        cum.select(
+            "day",
+            "c",
+            "cusum_scaled",
+            F.lit(n).cast("bigint").alias("n_days"),
+            F.lit(t).cast("bigint").alias("total_events"),
+        )
+        .orderBy(F.abs(F.col("cusum_scaled")).desc(), "day")
+        .limit(_CUSUM_TOPK)
+    )

@@ -568,3 +568,94 @@ def xh_clustering_coefficient(spark, sf_dir):
         )
         .orderBy("part")
     )
+
+
+_RA_SCALE = 1_000_000_000  # 1/deg quantized as FLOOR(1e9 / deg)
+
+
+@register(
+    "xh_resource_allocation",
+    oracle=f"""WITH li AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+e AS MATERIALIZED (
+  SELECT a.p AS u, b.p AS v
+  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+  GROUP BY a.p, b.p HAVING COUNT(*) >= {_MIN_COPURCHASE}),
+adj AS (SELECT u AS ctr, v AS nbr FROM e
+        UNION ALL SELECT v AS ctr, u AS nbr FROM e),
+dg AS (SELECT ctr, CAST(COUNT(*) AS BIGINT) AS deg FROM adj GROUP BY ctr),
+sm AS (SELECT adj.ctr, adj.nbr,
+              CAST({_RA_SCALE} // dg.deg AS BIGINT) AS w
+       FROM adj JOIN dg USING (ctr)
+       WHERE dg.deg <= {_CN_HUB_CAP}),
+wedge AS (SELECT a.nbr AS x, b.nbr AS y, a.w
+          FROM sm a JOIN sm b ON a.ctr = b.ctr AND a.nbr < b.nbr),
+cnt AS (SELECT x, y, CAST(SUM(w) AS BIGINT) AS ra_score_q,
+               CAST(COUNT(*) AS BIGINT) AS n_common
+        FROM wedge GROUP BY x, y),
+new_pairs AS (
+  SELECT c.x, c.y, c.ra_score_q, c.n_common FROM cnt c
+  LEFT JOIN e ON e.u = c.x AND e.v = c.y
+  WHERE e.u IS NULL)
+SELECT x AS part_a, y AS part_b, ra_score_q, n_common
+FROM new_pairs ORDER BY ra_score_q DESC, x, y LIMIT {_CN_TOPK}""",
+    tags=("graph", "llm", "link-prediction"),
+)
+def xh_resource_allocation(spark, sf_dir):
+    """Resource-allocation link prediction (round 13) — the hub-aware
+    refinement of xh_common_neighbors (Zhou/Lu/Zhang): each shared
+    neighbor contributes 1/deg(center) instead of 1, so a pair whose
+    only witnesses are promiscuous hubs (the chaining artifacts a
+    transitive dedup closure over-merges) ranks far below a pair
+    sharing selective neighbors. The 1/deg weight is quantized as the
+    exact integer FLOOR(1e9 / deg) on BOTH engines — no floating
+    reciprocal, hash-exact (the integer-unit quantization discipline);
+    side-by-side with raw n_common the two rankings isolate exactly
+    the hub-witness effect.
+
+    Scale shape: identical exchanges to xh_common_neighbors — the
+    center fan-out is deg^2 and the counts ARE the output, so the
+    DECLARED hub cap (deg <= 64, identical both engines) is the bound;
+    the weight attaches during the cap's own degree join (no new
+    exchange); ONE center-keyed self-join, one uniform (x, y) rollup,
+    pair-keyed LEFT ANTI vs existing edges, TakeOrderedAndProject."""
+    e = _edges(spark, sf_dir).localCheckpoint(eager=False)
+    adj = (
+        e.select(F.col("u").alias("ctr"), F.col("v").alias("nbr"))
+        .unionAll(e.select(F.col("v").alias("ctr"), F.col("u").alias("nbr")))
+    )
+    dg = adj.groupBy("ctr").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    sm = (
+        adj.join(dg.where(F.col("deg") <= _CN_HUB_CAP), "ctr")
+        .select(
+            "ctr",
+            "nbr",
+            F.expr(f"CAST({_RA_SCALE} div deg AS BIGINT)").alias("w"),
+        )
+    )
+    a = sm.select("ctr", F.col("nbr").alias("x"), "w")
+    b = sm.select("ctr", F.col("nbr").alias("y"))
+    cnt = (
+        a.join(b, "ctr")
+        .where(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(
+            F.sum("w").cast("long").alias("ra_score_q"),
+            F.count(F.lit(1)).cast("long").alias("n_common"),
+        )
+    )
+    new_pairs = cnt.join(
+        e.select(F.col("u").alias("x"), F.col("v").alias("y")),
+        ["x", "y"],
+        "left_anti",
+    )
+    return (
+        new_pairs.select(
+            F.col("x").alias("part_a"),
+            F.col("y").alias("part_b"),
+            "ra_score_q",
+            "n_common",
+        )
+        .orderBy(F.col("ra_score_q").desc(), "part_a", "part_b")
+        .limit(_CN_TOPK)
+    )

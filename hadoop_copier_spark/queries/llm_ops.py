@@ -1152,3 +1152,129 @@ def xh_tfidf_topk(spark, sf_dir):
         )
         .orderBy("doc_id", "rank")
     )
+
+
+# --- exact-integer Lloyd round (round 13, late) -------------------------
+_KM_K = 8
+_KM_UNIT = 1_000_000
+
+
+def _kmeans_round_oracle() -> str:
+    """Mirror of xh_kmeans_round: quantize, seed from the K smallest
+    vec_ids, assign by exact integer squared distance with (d2, cluster)
+    tie-break, recompute centroids with trunc-toward-zero division."""
+    return f"""WITH eu AS MATERIALIZED (
+  SELECT vec_id, i - 1 AS dim,
+         CAST(floor(CAST(embedding[i] AS DOUBLE) * {_KM_UNIT} + 0.5)
+              AS BIGINT) AS u
+  FROM (SELECT vec_id, embedding,
+               unnest(generate_series(1, len(embedding))) AS i
+        FROM embeddings WHERE embedding IS NOT NULL)),
+seeds AS (
+  SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+           AS cluster
+  FROM (SELECT DISTINCT vec_id FROM eu ORDER BY vec_id LIMIT {_KM_K})),
+cent AS MATERIALIZED (
+  SELECT s.cluster, e.dim, e.u AS cu FROM eu e JOIN seeds s USING (vec_id)),
+dist AS (
+  SELECT e.vec_id, c.cluster, SUM((e.u - c.cu) * (e.u - c.cu)) AS d2
+  FROM eu e JOIN cent c USING (dim) GROUP BY e.vec_id, c.cluster),
+assign AS (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+    FROM dist) t WHERE rn = 1)
+SELECT a.cluster, e.dim,
+       CAST(SUM(e.u) // COUNT(*) AS BIGINT) AS new_cu,
+       CAST(COUNT(*) AS BIGINT) AS n_assigned
+FROM eu e JOIN assign a USING (vec_id)
+GROUP BY a.cluster, e.dim
+ORDER BY a.cluster, e.dim"""
+
+
+@register(
+    "xh_kmeans_round",
+    oracle=_kmeans_round_oracle(),
+    tags=("llm", "embedding", "iterative"),
+)
+def xh_kmeans_round(spark, sf_dir):
+    """One EXACT-INTEGER Lloyd k-means round over the embedding corpus
+    (round 13) — the hash-checked H twin of the float coarse k-means
+    inside xp_semdedup / xp_ann_ivf (operators/similarity.py), joining
+    the quantized-twin family (xh_pagerank_quantized, xh_pca_power):
+    the float recurrence is re-defined over floor(x*1e6+0.5) integer
+    units so assignment and centroid update are order-free and DuckDB
+    replays them bit-for-bit. Seeds are the K=8 smallest vec_ids;
+    assignment minimizes exact BIGINT squared distance with a
+    deterministic (d2, cluster) tie-break; the new centroid divides
+    trunc-toward-zero identically in both engines (the probed
+    `div` == `//` contract). Emits the full (cluster, dim) centroid
+    table with cluster sizes — 512 rows at any corpus size.
+
+    Scale shape: the K x dims seed matrix is DRIVER METADATA (bounded
+    collect of 8 rows, the vocab_growth class), baked into the plan as
+    array literals — so the distance scan + argmin run ROW-LOCAL in
+    whole-stage codegen (zip_with/aggregate over the quantized array
+    against 8 constant arrays, array_min over (d2, cluster) structs):
+    NO per-vector shuffle, no candidate fan-out. The ONLY corpus-scale
+    exchange is the centroid update: posexplode to (cluster, dim, u)
+    partials that map-side-combine into <= K*dims = 512 groups. At
+    1000 executors the exchange carries 512 rows per task, nothing
+    else moves. Integer headroom: SUM(u) per (cluster, dim) is exact
+    to ~9e12 member vectors per cluster.
+
+    Reference parity: none (byte-copy service, m/service/
+    CopyTaskService.java); extends SURVEY §2b's LLM-pipeline family."""
+    emb = tbl(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    q = emb.select(
+        "vec_id",
+        F.expr(
+            f"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)"
+            f" * {_KM_UNIT} + 0.5) AS BIGINT))"
+        ).alias("ue"),
+    )
+    seed_rows = q.orderBy("vec_id").limit(_KM_K).collect()  # K rows: metadata
+    if not seed_rows:  # empty corpus: schema-stable empty frame
+        return q.select(
+            F.lit(0).cast("bigint").alias("cluster"),
+            F.lit(0).cast("bigint").alias("dim"),
+            F.lit(0).cast("bigint").alias("new_cu"),
+            F.lit(0).cast("bigint").alias("n_assigned"),
+        ).limit(0)
+    dists = [
+        F.expr(
+            "aggregate(zip_with(ue, array({vals}), (a, b) -> (a - b) * (a - b)),"
+            " 0L, (acc, x) -> acc + x)".format(
+                vals=", ".join(f"{int(v)}L" for v in r["ue"])
+            )
+        ).alias(f"d{k}")
+        for k, r in enumerate(seed_rows)
+    ]
+    am = F.array_min(
+        F.array(
+            *[
+                F.struct(
+                    F.col(f"d{k}").alias("d2"),
+                    F.lit(k).cast("long").alias("cluster"),
+                )
+                for k in range(len(seed_rows))
+            ]
+        )
+    )
+    assigned = (
+        q.select("vec_id", "ue", *dists)
+        .select("ue", am["cluster"].alias("cluster"))
+    )
+    return (
+        assigned.select(
+            "cluster", F.posexplode("ue").alias("dim", "u")
+        )
+        .groupBy("cluster", F.col("dim").cast("long").alias("dim"))
+        .agg(
+            F.expr("CAST(SUM(u) div COUNT(*) AS BIGINT)").alias("new_cu"),
+            F.count(F.lit(1)).cast("long").alias("n_assigned"),
+        )
+        .orderBy("cluster", "dim")
+    )

@@ -1303,3 +1303,101 @@ def hll_bucket_rho(df, text_col: str = "text"):
         .cast("long")
         .alias("rho"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit (round 13)
+# ---------------------------------------------------------------------------
+
+# floor(log10(1 + 1/d) * 1e6) for d = 1..9 — SHARED LITERALS in both
+# engines' query text, so no runtime log10 (whose final-ulp rounding is
+# libm-version dependent) ever executes on either side.
+_BENFORD_PPM = {
+    1: 301029, 2: 176091, 3: 124938, 4: 96910, 5: 79181,
+    6: 66946, 7: 57991, 8: 51152, 9: 45757,
+}
+_BENFORD_CASE = (
+    "CASE digit "
+    + " ".join(f"WHEN {d} THEN {p}" for d, p in _BENFORD_PPM.items())
+    + " END"
+)
+
+
+@register(
+    "xh_benford",
+    oracle=f"""WITH obs AS MATERIALIZED (
+  SELECT CAST(SUBSTRING(CAST(CAST(l_extendedprice * 100 AS BIGINT)
+                             AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+         CAST(COUNT(*) AS BIGINT) AS n_rows
+  FROM lineitem GROUP BY 1),
+tot AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS n_tot FROM obs),
+grid AS (SELECT CAST(gs AS BIGINT) AS digit FROM generate_series(1, 9) t(gs))
+SELECT grid.digit,
+       CAST(COALESCE(obs.n_rows, 0) AS BIGINT) AS n_rows,
+       CAST((COALESCE(obs.n_rows, 0) * 1000000) // tot.n_tot AS BIGINT)
+         AS obs_ppm,
+       CAST({_BENFORD_CASE.replace('digit', 'grid.digit')} AS BIGINT)
+         AS exp_ppm,
+       CAST(ABS((COALESCE(obs.n_rows, 0) * 1000000) // tot.n_tot
+                - {_BENFORD_CASE.replace('digit', 'grid.digit')})
+            AS BIGINT) AS dev_ppm
+FROM grid LEFT JOIN obs ON obs.digit = grid.digit, tot
+ORDER BY grid.digit""",
+    tags=("quality", "stats", "oracle-twin"),
+)
+def xh_benford(spark, sf_dir):
+    """Benford first-digit audit (round 13) — the classic synthetic-data
+    / corruption smell test: first significant digits of organically
+    grown monetary amounts follow log10(1 + 1/d), while fabricated,
+    truncated, or unit-mangled columns flatten or spike the histogram.
+    Run over l_extendedprice (via its exact integer-cents form, the
+    queries/base.py money discipline); emits per-digit observed count,
+    observed ppm, the Benford expectation, and the absolute deviation.
+    TPC-H prices are uniform-ish draws, NOT Benford-distributed — the
+    op's value is the deviation profile itself (flat-vs-log shape), and
+    the planted test pins a constructed corpus on both ends.
+
+    Determinism: the Benford constants are SHARED LITERALS baked into
+    both engines' query text (floor(log10(1+1/d)*1e6) precomputed in
+    Python) — no runtime transcendental, whose last-ulp rounding is
+    libm-dependent, ever runs in either engine; everything else is
+    exact BIGINT ppm.
+
+    Scale shape: ONE digit-keyed uniform partial agg (9 groups,
+    map-side combined — the exchange carries 9 rows per task); the
+    1-row total attaches as a provably-single-row broadcast; the 9-row
+    digit grid densifies absent digits driver-side (degrade-never-fail
+    on a filtered slice where a digit vanishes). Output is 9 rows at
+    any corpus size."""
+    obs = (
+        tbl(spark, sf_dir, "lineitem")
+        .select(
+            F.expr(
+                "CAST(SUBSTRING(CAST(CAST(l_extendedprice * 100 AS BIGINT)"
+                " AS STRING), 1, 1) AS BIGINT)"
+            ).alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+    )
+    ntot = obs.agg(F.sum("n_rows").cast("long").alias("n_tot"))
+    grid = spark.range(1, 10).select(F.col("id").cast("long").alias("digit"))
+    return (
+        grid.join(obs, "digit", "left")
+        .crossJoin(F.broadcast(ntot))
+        .select(
+            "digit",
+            F.coalesce(F.col("n_rows"), F.lit(0))
+            .cast("long")
+            .alias("n_rows"),
+            F.expr(
+                "CAST((COALESCE(n_rows, 0) * 1000000) div n_tot AS BIGINT)"
+            ).alias("obs_ppm"),
+            F.expr(f"CAST({_BENFORD_CASE} AS BIGINT)").alias("exp_ppm"),
+            F.expr(
+                f"CAST(ABS((COALESCE(n_rows, 0) * 1000000) div n_tot"
+                f" - {_BENFORD_CASE}) AS BIGINT)"
+            ).alias("dev_ppm"),
+        )
+        .orderBy("digit")
+    )

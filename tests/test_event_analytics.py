@@ -281,3 +281,140 @@ def test_market_basket_support_and_lift_exact(spark, tmp_path_factory):
             )
         )
         assert dec_rows == bigint_rows, (promote_at, dec_rows, bigint_rows)
+
+
+def test_t_closeness_flags_point_mass_class(spark, tmp_path_factory):
+    """Class A/day1 is a point mass on sensitive value 'x' while the
+    global distribution is 50/25/25 over x/y/z -> TVD = 0.5, flagged at
+    t = 0.30; class A/day2 (uniform over x/y/z, 10 each) lands at
+    ~0.167, unflagged. Expected values recomputed in pure Python with
+    the same truncating-ppm algebra (zero cells included)."""
+    rows = []
+    eid = 0
+    # day 1: 10 rows, all sensitive 'x'
+    for _ in range(10):
+        eid += 1
+        rows.append((eid, _ts(1, 9), eid, "A", 1.0, '{"k": "x"}'))
+    # day 2: 10 each of x / y / z
+    for sv in ("x", "y", "z"):
+        for _ in range(10):
+            eid += 1
+            rows.append((eid, _ts(2, 9), eid, "A", 1.0, f'{{"k": "{sv}"}}'))
+    df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 2),
+        schema="event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string",
+    )
+    root = tmp_path_factory.mktemp("tclose_events")
+    df.write.parquet(f"{root}/events.parquet")
+
+    # brute-force recount with the identical integer-ppm algebra
+    from collections import Counter
+    cells = Counter()
+    for _, ts, _, et, _, props in rows:
+        sv = props.split('"k": "')[1].split('"')[0]
+        cells[(et, ts.day, sv)] += 1
+    gl = Counter()
+    for (et, day, sv), c in cells.items():
+        gl[sv] += c
+    n_tot = sum(gl.values())
+    g_ppm = {sv: g * 1_000_000 // n_tot for sv, g in gl.items()}
+    g_total = sum(g_ppm.values())
+    expect_tvd = {}
+    for cls in {(et, day) for et, day, _ in cells}:
+        n_cls = sum(c for (et, day, sv), c in cells.items()
+                    if (et, day) == cls)
+        s = sum(
+            abs(c * 1_000_000 // n_cls - g_ppm[sv]) - g_ppm[sv]
+            for (et, day, sv), c in cells.items() if (et, day) == cls
+        )
+        expect_tvd[cls] = (s + g_total) // 2
+
+    out = {r["event_type"]: r for r in
+           REGISTRY["xh_t_closeness"].fn(spark, str(root)).collect()}
+    a = out["A"]
+    assert a["n_classes"] == 2
+    assert a["n_violating"] == 1          # only the point-mass class
+    assert a["rows_at_risk"] == 10
+    assert a["max_tvd_ppm"] == max(expect_tvd.values()) == 500000
+    assert min(expect_tvd.values()) < 300000  # day2 stays below t
+
+
+def test_autocorr_daily_alternating_series_and_calendar_gap(spark,
+                                                            tmp_path_factory):
+    """A strict period-2 count series (1,3,1,3,...) over 10 consecutive
+    days: lag-1 r = -1, lag-2 r = +1 exactly. Every (n, sx, sy, sxy,
+    sxx, syy) moment matches a pure-Python recount, and removing a day
+    would drop pairs by CALENDAR match (verified by the recount using
+    day arithmetic, not series index)."""
+    rows, eid = [], 0
+    counts = {}
+    for d in range(1, 11):
+        c = 1 if d % 2 else 3
+        counts[d] = c
+        for _ in range(c):
+            eid += 1
+            rows.append((eid, _ts(d, 12), eid, "A", 1.0, "{}"))
+    df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 2),
+        schema="event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string",
+    )
+    root = tmp_path_factory.mktemp("acf_events")
+    df.write.parquet(f"{root}/events.parquet")
+
+    import math
+    expect = {}
+    for lag in range(1, 8):
+        pairs = [(counts[d], counts[d + lag])
+                 for d in counts if (d + lag) in counts]
+        n = len(pairs)
+        sx = sum(x for x, _ in pairs); sy = sum(y for _, y in pairs)
+        sxy = sum(x * y for x, y in pairs)
+        sxx = sum(x * x for x, _ in pairs); syy = sum(y * y for _, y in pairs)
+        num = float(n) * float(sxy) - float(sx) * float(sy)
+        den = (float(n) * float(sxx) - float(sx) * float(sx)) * (
+            float(n) * float(syy) - float(sy) * float(sy))
+        r = num / math.sqrt(den) if den > 0 else None
+        expect[lag] = (n, sx, sy, sxy, sxx, syy, r)
+
+    out = REGISTRY["xh_autocorr_daily"].fn(spark, str(root)).collect()
+    got = {r["lag"]: (r["n_pairs"], r["sx"], r["sy"], r["sxy"],
+                      r["sxx"], r["syy"], r["acf"]) for r in out}
+    assert got == expect
+    assert got[1][6] == -1.0 and got[2][6] == 1.0
+
+
+def test_cusum_changepoint_level_shift(spark, tmp_path_factory):
+    """10 days at 2 events/day then 10 days at 8/day: the scaled CUSUM
+    S_t = sum(N*c - T) is monotone decreasing through the low regime, so
+    |S| peaks exactly at the shift boundary (day 10) and the top-5 days
+    cluster around it. Full top-5 recomputed in pure Python."""
+    rows, eid = [], 0
+    counts = {}
+    for d in range(1, 21):
+        c = 2 if d <= 10 else 8
+        counts[d] = c
+        for _ in range(c):
+            eid += 1
+            rows.append((eid, _ts(d, 12), eid, "A", 1.0, "{}"))
+    df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 2),
+        schema="event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string",
+    )
+    root = tmp_path_factory.mktemp("cusum_events")
+    df.write.parquet(f"{root}/events.parquet")
+
+    n, t = len(counts), sum(counts.values())
+    s, cum = {}, 0
+    for d in sorted(counts):
+        cum += n * counts[d] - t
+        s[d] = cum
+    expect = sorted(s.items(), key=lambda kv: (-abs(kv[1]), kv[0]))[:5]
+
+    out = REGISTRY["xh_cusum_changepoint"].fn(spark, str(root)).collect()
+    got = [(r["day"].day, r["cusum_scaled"]) for r in out]
+    assert got == expect
+    assert got[0][0] == 10  # the peak sits on the shift boundary
+    assert all(r["n_days"] == n and r["total_events"] == t for r in out)

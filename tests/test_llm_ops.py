@@ -629,3 +629,74 @@ def test_ann_ivfpq_planted_duplicates_and_recall(spark, sf_oracle):
         top_a.setdefault(r["query_id"], set()).add(r["neighbor_id"])
     recalls = [len(top_b[q] & top_a.get(q, set())) / len(top_b[q]) for q in top_b]
     assert sum(recalls) / len(recalls) >= 0.1, recalls
+
+
+def test_kmeans_round_matches_bruteforce(spark, tmp_path):
+    """One Lloyd round on a 12-vector, 4-dim corpus with two planted
+    blobs: a pure-Python recount of the identical integer recurrence
+    (quantize, argmin with (d2, cluster) tie-break, trunc-toward-zero
+    centroid division) must reproduce every (cluster, dim) cell, and
+    the two blob members must land with their own seed groups."""
+    vecs = {
+        # blob A near (1, 0, 0, 0); vec_ids 0..7 become the seeds
+        0: [1.0, 0.0, 0.0, 0.0],
+        1: [0.9, 0.1, 0.0, 0.0],
+        2: [1.1, -0.1, 0.0, 0.0],
+        3: [0.0, 1.0, 0.0, 0.0],   # stray seed
+        4: [0.0, 0.0, 1.0, 0.0],
+        5: [0.0, 0.0, 0.0, 1.0],
+        6: [-1.0, 0.0, 0.0, 0.0],
+        7: [0.5, 0.5, 0.0, 0.0],
+        # non-seed members: near blob A and near seed 4's axis
+        8: [0.95, 0.05, 0.0, 0.0],
+        9: [1.05, 0.0, 0.05, 0.0],
+        10: [0.0, 0.05, 0.95, 0.0],
+        11: [-0.02, 0.0, 1.02, 0.0],
+    }
+    df = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+            [(i, [float(x) for x in v], 0) for i, v in vecs.items()], 3
+        ),
+        "vec_id long, embedding array<float>, label int",
+    )
+    root = str(tmp_path / "km")
+    df.write.parquet(f"{root}/embeddings.parquet")
+
+    import math
+    U = 1_000_000
+
+    def q(x):
+        # float32 storage round-trip first, then the engine quantize
+        import struct
+        x32 = struct.unpack("f", struct.pack("f", x))[0]
+        return math.floor(x32 * U + 0.5)
+
+    def tdiv(a, b):
+        qd = abs(a) // abs(b)
+        return qd if (a >= 0) == (b >= 0) else -qd
+
+    eu = {i: [q(x) for x in v] for i, v in vecs.items()}
+    seeds = {k: eu[k] for k in range(8)}
+    assign = {}
+    for i, u in eu.items():
+        best = min(
+            (sum((a - b) * (a - b) for a, b in zip(u, seeds[k])), k)
+            for k in range(8)
+        )
+        assign[i] = best[1]
+    expect = {}
+    for k in range(8):
+        members = [eu[i] for i, c in assign.items() if c == k]
+        if not members:
+            continue
+        for d in range(4):
+            s = sum(m[d] for m in members)
+            expect[(k, d)] = (tdiv(s, len(members)), len(members))
+
+    got = {
+        (r["cluster"], r["dim"]): (r["new_cu"], r["n_assigned"])
+        for r in REGISTRY["xh_kmeans_round"].fn(spark, root).collect()
+    }
+    assert got == expect
+    # the blob members joined seed 0's cluster, the axis pair seed 4's
+    assert assign[8] == assign[9] == 0 and assign[10] == assign[11] == 4

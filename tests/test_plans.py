@@ -406,6 +406,11 @@ def test_no_unplanned_nested_loop_or_cartesian_joins(spark, sf_smoke):
         # 1-row corpus-document-count broadcast onto the per-token
         # moment frame (the zero-inclusive VMR cross term)
         "xh_token_burstiness",
+        # two 1-row global scalars (sensitive-value total, global-share
+        # ppm total) onto domain-bounded frames (the burstiness shape)
+        "xh_t_closeness",
+        # 1-row lineitem-total broadcast onto the 9-row digit grid
+        "xh_benford",
     }
     offenders = []
     for name, q in sorted(REGISTRY.items()):
@@ -635,6 +640,9 @@ _ADJUDICATED_BROADCASTS = {
     ("queries/quality_checks.py", "g"),         # 1-row global frame (jackknife)
     ("queries/text_index.py", "total"),         # global doc count
     ("queries/text_index.py", "n"),             # 1-row doc count (burstiness)
+    ("queries/event_analytics.py", "ntot"),     # 1-row sensitive total (t-closeness)
+    ("queries/event_analytics.py", "gtot"),     # 1-row global-ppm total (t-closeness)
+    ("queries/quality_checks.py", "ntot"),      # 1-row lineitem total (benford)
     ("queries/text_index.py", "tot"),           # 1-row corpus token total
     ("queries/text_index.py", "stats"),         # BM25 N / avgdl scalars
     # driver-built metadata frames (<= P x G rows / fixed bucket counts)

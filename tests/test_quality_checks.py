@@ -430,3 +430,38 @@ def test_cms_point_query_and_mergeability(spark, tmp_path):
     # the heaviest planted token's estimate is exact here (no collision
     # materialized in this tiny corpus for at least one of its 4 rows)
     assert min(reg_u[(j, h(j, "the"))] for j in range(4)) >= exact["the"] == 4
+
+
+def test_benford_planted_digits_and_missing_digit(spark, tmp_path):
+    """Constructed price corpus: 30 prices leading with 1, 17 with 2,
+    5 with 5 — digits 3,4,6,7,8,9 absent. The audit must densify absent
+    digits to n_rows = 0 (dev = the full Benford expectation) and
+    reproduce a pure-Python truncating-ppm recount for the present
+    ones, including a sub-1.00 price whose first CENTS digit leads."""
+    import decimal
+    prices = (
+        [decimal.Decimal("123.45")] * 29 + [decimal.Decimal("0.19")]  # digit 1
+        + [decimal.Decimal("2999.99")] * 17                           # digit 2
+        + [decimal.Decimal("55.00")] * 5                              # digit 5
+    )
+    df = spark.createDataFrame(
+        spark.sparkContext.parallelize([(p,) for p in prices], 2),
+        "l_extendedprice decimal(12,2)",
+    )
+    root = str(tmp_path / "benford")
+    df.write.parquet(f"{root}/lineitem.parquet")
+
+    n_tot = len(prices)
+    counts = {1: 30, 2: 17, 5: 5}
+    exp_ppm = {1: 301029, 2: 176091, 3: 124938, 4: 96910, 5: 79181,
+               6: 66946, 7: 57991, 8: 51152, 9: 45757}
+    out = {r["digit"]: r for r in
+           REGISTRY["xh_benford"].fn(spark, root).collect()}
+    assert sorted(out) == list(range(1, 10))
+    for d in range(1, 10):
+        n = counts.get(d, 0)
+        obs = n * 1_000_000 // n_tot
+        assert out[d]["n_rows"] == n
+        assert out[d]["obs_ppm"] == obs
+        assert out[d]["exp_ppm"] == exp_ppm[d]
+        assert out[d]["dev_ppm"] == abs(obs - exp_ppm[d])

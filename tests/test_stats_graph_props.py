@@ -540,3 +540,50 @@ def test_clustering_coefficient_k4_and_path(spark, tmp_path):
         4: (3, 3, 1_000_000),
         6: (2, 0, 0),
     }
+
+
+def test_resource_allocation_downweights_hub_witnesses(spark, tmp_path):
+    """Two selective centers (deg 2) witnessing pair (1,2) must outrank
+    a deg-4 hub's pairs even though all have the same raw n_common
+    direction: (1,2) scores 2 * floor(1e9/2) = 1e9 while hub pairs get
+    floor(1e9/4). Full score table recomputed in pure Python."""
+    # edges via doubled 2-part baskets (co-purchase threshold = 2):
+    # c1(10)-{1,2}, c2(11)-{1,2}, hub(12)-{1,3,4,5}
+    edges = [(10, 1), (10, 2), (11, 1), (11, 2),
+             (12, 1), (12, 3), (12, 4), (12, 5)]
+    order_parts, onum = [], 0
+    for u, v in edges:
+        for _ in range(2):  # repeat so HAVING COUNT(*) >= 2 keeps it
+            onum += 1
+            order_parts.append((onum, [u, v]))
+    tmp = str(tmp_path / "ra")
+    _write_lineitem_pairs(spark, order_parts, tmp)
+
+    # brute-force: adjacency, degrees, capped wedge scores
+    from collections import defaultdict
+    adj = defaultdict(set)
+    for u, v in edges:
+        adj[u].add(v); adj[v].add(u)
+    score, common = defaultdict(int), defaultdict(int)
+    for ctr, nbrs in adj.items():
+        if len(nbrs) > 64:
+            continue
+        w = 1_000_000_000 // len(nbrs)
+        ns = sorted(nbrs)
+        for i in range(len(ns)):
+            for j in range(i + 1, len(ns)):
+                pair = (ns[i], ns[j])
+                if ns[j] not in adj[ns[i]]:  # non-adjacent only
+                    score[pair] += w
+                    common[pair] += 1
+    expect = sorted(
+        ((p, s, common[p]) for p, s in score.items()),
+        key=lambda t: (-t[1], t[0]),
+    )
+
+    got = [((r["part_a"], r["part_b"]), r["ra_score_q"], r["n_common"])
+           for r in REGISTRY["xh_resource_allocation"].fn(spark, tmp).collect()]
+    assert got == expect[:25]
+    assert got[0] == ((1, 2), 1_000_000_000, 2)  # selective pair on top
+    hub_pair = next(g for g in got if g[0] == (3, 4))
+    assert hub_pair[1] == 250_000_000  # hub witness contributes 1e9//4
