@@ -75,15 +75,16 @@ xh_common_neighbors,
 xh_containment_pairs, xh_cooccurrence_window, xh_cusum_changepoint,
 xh_degree_assortativity,
 xh_degree_distribution, xh_entropy_by_source,
-xh_hll_merge, xh_jackknife_ci, xh_kcore_peel, xh_kl_source_drift,
+xh_hll_merge, xh_jackknife_ci, xh_kappa_langid, xh_kcore_peel,
+xh_kl_source_drift,
 xh_kmeans_round,
-xh_l_diversity, xh_resource_allocation, xh_t_closeness,
+xh_l_diversity, xh_resource_allocation, xh_rrf_fusion, xh_t_closeness,
 xh_tfidf_topk, xh_token_burstiness, xh_triangle_count,
 xh_unigram_surprisal, xh_zipf_fit
 and the TPC-H completion set xh_tpch_q11,
 xh_tpch_q12, xh_tpch_q13, xh_tpch_q15, xh_tpch_q16, xh_tpch_q17,
 xh_tpch_q2, xh_tpch_q20, xh_tpch_q21, xh_tpch_q6, xh_tpch_q7,
-xh_tpch_q8, xh_tpch_q9 (41 never-driver-checked, name order; any later
+xh_tpch_q8, xh_tpch_q9 (43 never-driver-checked, name order; any later
 r13 adds join them; the P-class xp_ann_pq / xp_ann_ivfpq / xp_snapshot_diff /
 xp_csv_malformed stay outside the hash window); then the 14 remaining
 round-7 xh_* ops on r10 evidence (xh_langid_ngram, xh_ohlc_bars,

@@ -1326,7 +1326,8 @@ _BENFORD_CASE = (
 @register(
     "xh_benford",
     oracle=f"""WITH obs AS MATERIALIZED (
-  SELECT CAST(SUBSTRING(CAST(CAST(l_extendedprice * 100 AS BIGINT)
+  SELECT CAST(SUBSTRING(CAST(CAST(FLOOR(CAST(l_extendedprice AS DOUBLE)
+                                         * 100 + 0.5) AS BIGINT)
                              AS VARCHAR), 1, 1) AS BIGINT) AS digit,
          CAST(COUNT(*) AS BIGINT) AS n_rows
   FROM lineitem GROUP BY 1),
@@ -1373,7 +1374,8 @@ def xh_benford(spark, sf_dir):
         tbl(spark, sf_dir, "lineitem")
         .select(
             F.expr(
-                "CAST(SUBSTRING(CAST(CAST(l_extendedprice * 100 AS BIGINT)"
+                "CAST(SUBSTRING(CAST(CAST(FLOOR(CAST(l_extendedprice"
+                " AS DOUBLE) * 100 + 0.5) AS BIGINT)"
                 " AS STRING), 1, 1) AS BIGINT)"
             ).alias("digit")
         )

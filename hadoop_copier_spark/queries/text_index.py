@@ -51,9 +51,10 @@ def _tokens_col():
 _PROFILE_K = 20  # tokens per language profile
 
 
-@register(
-    "xh_langid_ngram",
-    oracle=f"""WITH tk AS (
+# Shared confusion-matrix CTE chain: xh_langid_ngram emits it directly,
+# xh_kappa_langid aggregates it one step further — ONE definition so the
+# two oracles can never drift.
+_LANGID_CM_SQL = f"""tk AS (
   SELECT doc_id, lang, unnest({_TOKENS_SQL}) AS token FROM documents
 ),
 prof AS (
@@ -76,10 +77,19 @@ best AS (
                               ORDER BY overlap DESC, plang) AS rn
     FROM ov)
   WHERE rn = 1
-)
-SELECT d.lang, COALESCE(best.plang, 'und') AS predicted, COUNT(*) AS n_docs
-FROM documents d LEFT JOIN best ON d.doc_id = best.doc_id
-GROUP BY 1, 2 ORDER BY lang, predicted""",
+),
+cm AS (
+  SELECT d.lang, COALESCE(best.plang, 'und') AS predicted,
+         CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM documents d LEFT JOIN best ON d.doc_id = best.doc_id
+  GROUP BY 1, 2
+)"""
+
+
+@register(
+    "xh_langid_ngram",
+    oracle=f"""WITH {_LANGID_CM_SQL}
+SELECT lang, predicted, n_docs FROM cm ORDER BY lang, predicted""",
     tags=("llm", "text", "langid"),
 )
 def xh_langid_ngram(spark, sf_dir):
@@ -1080,4 +1090,91 @@ def xh_token_burstiness(spark, sf_dir):
             ).alias("vmr_ppm"),
         )
         .orderBy("token")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cohen's kappa over the langid confusion matrix (round 13, late)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "xh_kappa_langid",
+    oracle=f"""WITH {_LANGID_CM_SQL},
+tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN lang = predicted THEN n_docs ELSE 0 END)
+                    AS BIGINT) AS tr
+        FROM cm),
+r AS (SELECT lang, CAST(SUM(n_docs) AS BIGINT) AS rt FROM cm GROUP BY lang),
+c AS (SELECT predicted, CAST(SUM(n_docs) AS BIGINT) AS ct
+      FROM cm GROUP BY predicted),
+s AS (SELECT CAST(COALESCE(SUM(r.rt * c.ct), 0) AS BIGINT) AS s
+      FROM r JOIN c ON c.predicted = r.lang)
+SELECT tot.n AS n_docs, tot.tr AS n_correct,
+       CAST((tot.tr * 1000000) // tot.n AS BIGINT) AS accuracy_ppm,
+       CAST((s.s * 1000000) // (tot.n * tot.n) AS BIGINT) AS expected_ppm,
+       CASE WHEN tot.n * tot.n - s.s = 0 THEN NULL
+            ELSE CAST(((tot.n * tot.tr - s.s) * 1000000)
+                      // (tot.n * tot.n - s.s) AS BIGINT)
+       END AS kappa_ppm
+FROM tot, s""",
+    tags=("llm", "text", "eval", "oracle-twin"),
+)
+def xh_kappa_langid(spark, sf_dir):
+    """Cohen's kappa for the langid classifier (round 13) — the
+    evaluation step a curation pipeline runs on its own heuristics:
+    raw accuracy over-credits a classifier on a skewed label mix (on a
+    90%-one-language corpus, 'always predict the majority' scores 0.9),
+    so kappa subtracts the agreement expected from the marginals alone:
+    kappa = (po - pe) / (1 - pe), emitted as exact truncating ppm over
+    the BIGINT confusion counts. Composes xh_langid_ngram's OWN
+    confusion matrix (one shared CTE chain / DataFrame, so the two can
+    never drift) — the same compose-the-production-operator discipline
+    as xh_split_leakage. Negative kappa (worse than chance) divides
+    trunc-toward-zero identically in both engines (the probed
+    `div` == `//` contract).
+
+    Integer headroom: the pe cross terms are row_total x col_total —
+    exact in BIGINT to ~3e9 docs; past that the op needs the
+    probe-gated DECIMAL promotion (the xh_market_basket knob).
+
+    Scale shape: everything downstream of the (already scale-audited)
+    confusion matrix is label-cardinality metadata — two rollups of a
+    langs^2-row frame, one label-keyed equi join, and the final global
+    folds are partial->final aggregates; the two 1-row frames combine
+    via a provably-single-row broadcast (the heavy_hitters shape)."""
+    cm = xh_langid_ngram(spark, sf_dir)
+    tot = cm.agg(
+        F.sum("n_docs").cast("long").alias("n"),
+        F.sum(
+            F.when(F.col("lang") == F.col("predicted"), F.col("n_docs"))
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("tr"),
+    )
+    r = cm.groupBy("lang").agg(F.sum("n_docs").cast("long").alias("rt"))
+    c = cm.groupBy("predicted").agg(
+        F.sum("n_docs").cast("long").alias("ct")
+    )
+    s = (
+        r.join(c, r["lang"] == c["predicted"])
+        .agg(
+            F.coalesce(F.sum(F.col("rt") * F.col("ct")), F.lit(0))
+            .cast("long")
+            .alias("s")
+        )
+    )
+    return tot.crossJoin(F.broadcast(s)).select(
+        F.col("n").alias("n_docs"),
+        F.col("tr").alias("n_correct"),
+        F.expr("CAST((tr * 1000000) div n AS BIGINT)").alias("accuracy_ppm"),
+        F.expr("CAST((s * 1000000) div (n * n) AS BIGINT)").alias(
+            "expected_ppm"
+        ),
+        F.expr(
+            "CASE WHEN n * n - s = 0 THEN NULL"
+            " ELSE CAST(((n * tr - s) * 1000000) div (n * n - s) AS BIGINT)"
+            " END"
+        ).alias("kappa_ppm"),
     )

@@ -1394,3 +1394,98 @@ def xh_tpch_q2(spark, sf_dir):
         .orderBy(F.col("acctbal_cents").desc(), "n_name", "s_name", "p_partkey")
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------------------
+# Reciprocal-rank fusion across two part rankings (round 13, late)
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60            # the standard Cormack/Clarke/Buettcher damping
+_RRF_SCALE = 10 ** 9   # 1/(k + r) quantized as FLOOR(1e9 / (k + r))
+_RRF_TOPK = 25
+
+
+@register(
+    "xh_rrf_fusion",
+    oracle=f"""WITH per_part AS MATERIALIZED (
+  SELECT l_partkey AS part,
+         CAST(SUM({ocents('l_quantity')}) AS BIGINT) AS qty_c,
+         {_REV_SQL.replace('SUM(', 'CAST(SUM(') + ' AS BIGINT)'} AS rev_u
+  FROM lineitem GROUP BY l_partkey),
+rk AS (
+  SELECT part, qty_c, rev_u,
+         CAST(ROW_NUMBER() OVER (ORDER BY qty_c DESC, part) AS BIGINT)
+           AS r_qty,
+         CAST(ROW_NUMBER() OVER (ORDER BY rev_u DESC, part) AS BIGINT)
+           AS r_rev
+  FROM per_part)
+SELECT part, r_qty, r_rev,
+       CAST({_RRF_SCALE} // ({_RRF_K} + r_qty)
+            + {_RRF_SCALE} // ({_RRF_K} + r_rev) AS BIGINT) AS rrf_q
+FROM rk
+ORDER BY rrf_q DESC, part LIMIT {_RRF_TOPK}""",
+    tags=("tpch", "ranking", "oracle-twin"),
+)
+def xh_rrf_fusion(spark, sf_dir):
+    """Reciprocal-rank fusion of two part rankings (round 13) — the
+    standard rank aggregation (Cormack/Clarke/Buettcher, k=60) a
+    retrieval or curation stack uses to combine incomparable signals
+    without score normalization: here units-sold rank and revenue rank
+    fuse into one top-{_RRF_TOPK}, rewarding parts strong on BOTH lists
+    over one-list champions. The 1/(k+r) weight is quantized as the
+    exact integer FLOOR(1e9/(k+r)) on both engines (the
+    xh_resource_allocation discipline) — no float scores anywhere, so
+    the fused ranking hash-checks bit-for-bit; rank ties break on part
+    key, fusion ties on (score, part).
+
+    Scale shape: the per-part signal frame is ONE uniform partial agg
+    (catalog-cardinality output); each GLOBAL rank runs through
+    operators/prefix.grouped_rank under a constant group — range-
+    partition on the sort key + pid-local windows + O(P) driver offset
+    rows, the q35 fix-up — NEVER a single-partition window over the
+    catalog; the two rank frames re-join part-keyed; top-K is
+    TakeOrderedAndProject."""
+    from ..operators.prefix import grouped_rank
+
+    li = tbl(spark, sf_dir, "lineitem")
+    per = (
+        li.groupBy(F.col("l_partkey").alias("part"))
+        .agg(
+            F.sum(cents("l_quantity")).cast("long").alias("qty_c"),
+            F.sum(
+                cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
+            )
+            .cast("long")
+            .alias("rev_u"),
+        )
+        .withColumn("__one", F.lit(1))
+        .localCheckpoint(eager=False)
+    )
+    rq = grouped_rank(
+        per.withColumn("nq", -F.col("qty_c")),
+        ["__one"],
+        ["nq", "part"],
+        out_col="r_qty",
+    ).select("part", "r_qty")
+    rr = grouped_rank(
+        per.withColumn("nr", -F.col("rev_u")),
+        ["__one"],
+        ["nr", "part"],
+        out_col="r_rev",
+    ).select("part", "r_rev")
+    return (
+        per.select("part")
+        .join(rq, "part")
+        .join(rr, "part")
+        .select(
+            "part",
+            "r_qty",
+            "r_rev",
+            F.expr(
+                f"CAST({_RRF_SCALE} div ({_RRF_K} + r_qty)"
+                f" + {_RRF_SCALE} div ({_RRF_K} + r_rev) AS BIGINT)"
+            ).alias("rrf_q"),
+        )
+        .orderBy(F.col("rrf_q").desc(), "part")
+        .limit(_RRF_TOPK)
+    )

@@ -411,6 +411,9 @@ def test_no_unplanned_nested_loop_or_cartesian_joins(spark, sf_smoke):
         "xh_t_closeness",
         # 1-row lineitem-total broadcast onto the 9-row digit grid
         "xh_benford",
+        # 1-row marginal-product scalar broadcast onto the 1-row totals
+        # frame (kappa's pe term — the heavy_hitters shape)
+        "xh_kappa_langid",
     }
     offenders = []
     for name, q in sorted(REGISTRY.items()):
@@ -643,6 +646,7 @@ _ADJUDICATED_BROADCASTS = {
     ("queries/event_analytics.py", "ntot"),     # 1-row sensitive total (t-closeness)
     ("queries/event_analytics.py", "gtot"),     # 1-row global-ppm total (t-closeness)
     ("queries/quality_checks.py", "ntot"),      # 1-row lineitem total (benford)
+    ("queries/text_index.py", "s"),             # 1-row pe cross-term (kappa)
     ("queries/text_index.py", "tot"),           # 1-row corpus token total
     ("queries/text_index.py", "stats"),         # BM25 N / avgdl scalars
     # driver-built metadata frames (<= P x G rows / fixed bucket counts)

@@ -587,3 +587,75 @@ def test_resource_allocation_downweights_hub_witnesses(spark, tmp_path):
     assert got[0] == ((1, 2), 1_000_000_000, 2)  # selective pair on top
     hub_pair = next(g for g in got if g[0] == (3, 4))
     assert hub_pair[1] == 250_000_000  # hub witness contributes 1e9//4
+
+
+def test_kappa_langid_matches_confusion_recompute(spark, sf_oracle):
+    """kappa's integer algebra recomputed in Python from the langid
+    op's OWN collected confusion matrix: po, pe, and the truncating
+    ppm divisions must agree cell-for-cell with the operator."""
+    cm = REGISTRY["xh_langid_ngram"].fn(spark, sf_oracle).collect()
+    n = sum(r["n_docs"] for r in cm)
+    tr = sum(r["n_docs"] for r in cm if r["lang"] == r["predicted"])
+    rt, ct = {}, {}
+    for r in cm:
+        rt[r["lang"]] = rt.get(r["lang"], 0) + r["n_docs"]
+        ct[r["predicted"]] = ct.get(r["predicted"], 0) + r["n_docs"]
+    s = sum(rt[l] * ct[l] for l in rt if l in ct)
+
+    def tdiv(a, b):
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    out = REGISTRY["xh_kappa_langid"].fn(spark, sf_oracle).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["n_docs"], r["n_correct"]) == (n, tr)
+    assert r["accuracy_ppm"] == tdiv(tr * 1_000_000, n)
+    assert r["expected_ppm"] == tdiv(s * 1_000_000, n * n)
+    if n * n == s:
+        assert r["kappa_ppm"] is None
+    else:
+        assert r["kappa_ppm"] == tdiv((n * tr - s) * 1_000_000, n * n - s)
+
+
+def test_rrf_fusion_rewards_both_list_strength(spark, tmp_path):
+    """Five-part corpus where the quantity champion is LAST on revenue
+    and vice versa, while part 3 is runner-up on BOTH: 2/(60+2) beats
+    1/(60+1) + 1/(60+5), so the fusion puts the consistent part first —
+    the property score normalization can't give. (With adjacent ranks
+    the convexity of 1/(k+r) favors extremes; the planted spread is
+    what RRF is FOR.) Full integer score table recomputed in Python."""
+    rows = [
+        # (l_orderkey, l_partkey, l_quantity, l_extendedprice, l_discount)
+        (1, 1, 100.0, 1.00, 0.0),     # qty rank 1, rev rank 5
+        (2, 2, 1.0, 1000.00, 0.0),    # qty rank 5, rev rank 1
+        (3, 3, 50.0, 500.00, 0.0),    # rank 2 on both lists
+        (4, 4, 40.0, 400.00, 0.0),    # rank 3 on both
+        (5, 5, 30.0, 300.00, 0.0),    # rank 4 on both
+    ]
+    df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 2),
+        "l_orderkey long, l_partkey long, l_quantity double, "
+        "l_extendedprice double, l_discount double",
+    )
+    tmp = str(tmp_path / "rrf")
+    df.write.parquet(f"{tmp}/lineitem.parquet")
+
+    qty = {1: 10000, 2: 100, 3: 5000, 4: 4000, 5: 3000}  # cents sums
+    rev = {1: 100 * 100, 2: 100000 * 100, 3: 50000 * 100,
+           4: 40000 * 100, 5: 30000 * 100}
+    r_qty = {p: r + 1 for r, p in
+             enumerate(sorted(qty, key=lambda p: (-qty[p], p)))}
+    r_rev = {p: r + 1 for r, p in
+             enumerate(sorted(rev, key=lambda p: (-rev[p], p)))}
+    score = {p: 10 ** 9 // (60 + r_qty[p]) + 10 ** 9 // (60 + r_rev[p])
+             for p in qty}
+    expect = sorted(score.items(), key=lambda kv: (-kv[1], kv[0]))
+
+    out = REGISTRY["xh_rrf_fusion"].fn(spark, tmp).collect()
+    got = [(r["part"], r["rrf_q"]) for r in out]
+    assert got == [(p, s) for p, s in expect]
+    assert got[0][0] == 3  # both-lists runner-up wins the fusion
+    assert {r["part"]: (r["r_qty"], r["r_rev"]) for r in out} == {
+        p: (r_qty[p], r_rev[p]) for p in qty
+    }
