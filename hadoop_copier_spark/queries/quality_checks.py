@@ -630,7 +630,12 @@ def _ks_two_sample(spark, d, value_col, pack_k=1 << 31):
 # Distributed HyperLogLog with EXACT cross-engine verification (round 12).
 
 _HLL_M = 256  # buckets: top 8 bits of the 60-bit hash
-_HLL_REM = 4503599627370496  # 2^52 — remaining 52 bits carry rho
+# 2^52 — remaining 52 bits carry rho. The bucket MUST be derived with exact
+# integer division (`h div 2^52`), never floor(h / 2^52): the long->double
+# conversion loses up to 7 low bits of a 60-bit h, so a hash within that
+# error of a bucket boundary would land in the wrong register and break the
+# bit-for-bit contract with the DuckDB oracle's exact `//` (ADVICE r13).
+_HLL_REM = 4503599627370496
 _HLL_H60_SQL = "('0x' || substr(md5(text), 1, 15))::BIGINT"
 # alpha_256 * m^2, computed ONCE in Python and embedded as a repr'd
 # double literal: a `0.7213 / ...` spelled inline parses as DECIMAL in
@@ -708,7 +713,7 @@ def xh_hll_registers(spark, sf_dir):
         F.conv(F.substring(F.md5("text"), 1, 15), 16, 10).cast("long").alias("h")
     )
     b = h.select(
-        F.floor(F.col("h") / _HLL_REM).alias("bucket"),
+        F.expr(f"h div {_HLL_REM}").alias("bucket"),
         (F.col("h") % _HLL_REM).alias("rem"),
     )
     r = b.groupBy("bucket").agg(
@@ -1237,7 +1242,7 @@ def xh_hll_merge(spark, sf_dir):
     )
     b = h.select(
         "source",
-        F.floor(F.col("h") / _HLL_REM).alias("bucket"),
+        F.expr(f"h div {_HLL_REM}").alias("bucket"),
         (F.col("h") % _HLL_REM).alias("rem"),
     )
     rho = F.when(F.col("rem") == 0, F.lit(53)).otherwise(
@@ -1292,7 +1297,7 @@ def hll_bucket_rho(df, text_col: str = "text"):
         .alias("h")
     )
     return h.select(
-        F.floor(F.col("h") / _HLL_REM).alias("bucket"),
+        F.expr(f"h div {_HLL_REM}").alias("bucket"),
         F.when((F.col("h") % _HLL_REM) == 0, F.lit(53))
         .otherwise(
             53

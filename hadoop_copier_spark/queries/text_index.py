@@ -904,10 +904,12 @@ s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
              CAST(SUM(x*x) AS BIGINT) AS sxx, CAST(SUM(y*y) AS BIGINT) AS syy
       FROM xy)
 SELECT n AS n_types,
-       CAST((n*sxy - sx*sy) * 1000000 // (n*sxx - sx*sx) AS BIGINT)
-         AS slope_ppm,
-       CAST((n*sxy - sx*sy) * (n*sxy - sx*sy) * 1000000
-            // ((n*sxx - sx*sx) * (n*syy - sy*sy)) AS BIGINT) AS r2_ppm
+       CAST(CAST(n*sxy - sx*sy AS HUGEINT) * 1000000
+            // CAST(n*sxx - sx*sx AS HUGEINT) AS BIGINT) AS slope_ppm,
+       CAST(CAST(n*sxy - sx*sy AS HUGEINT) * CAST(n*sxy - sx*sy AS HUGEINT)
+            * 1000000
+            // (CAST(n*sxx - sx*sx AS HUGEINT)
+                * CAST(n*syy - sy*sy AS HUGEINT)) AS BIGINT) AS r2_ppm
 FROM s""",
     tags=("llm", "text", "stats"),
 )
@@ -918,8 +920,16 @@ def xh_zipf_fit(spark, sf_dir):
     slope collapse flags boilerplate/template flooding, machine-
     generated spam, or a broken extractor). Hash-exact across engines:
     both logs are integer bit-lengths (length(bin(v)) — the surprisal
-    idiom), the OLS normal equations stay in BIGINT, and slope/r^2 are
-    emitted in exact ppm via truncating integer division.
+    idiom); the 5 OLS normal-equation SUMS stay in BIGINT (each term is
+    <= 4096*n_types), but the slope/r^2 ppm expressions are widened to
+    exact 128-bit integers (Spark DECIMAL(38,0) div / DuckDB HUGEINT
+    //, the xh_chi2_tokens pattern — ADVICE r13): the r^2 numerator is
+    a SQUARED covariance times 1e6, ~1.7e13*n_types^4, which silently
+    wraps BIGINT past ~1,500 vocabulary types. Exact headroom after
+    widening: slope to ~1e14 types; r^2 to ~4.9e6 types (1.7e13*n^4 <=
+    1e38) — past that, sample the vocab frame down rather than widen
+    further (the chi2 sampling rule; real crawl vocabs at 100 TB are
+    pre-capped by the tokenizer long before this bound).
 
     Scale shape: ONE uniform token partial agg builds the vocab frame
     (Heaps-law rows, never corpus rows); the global frequency rank uses
@@ -956,11 +966,14 @@ def xh_zipf_fit(spark, sf_dir):
     return s.select(
         F.col("n").alias("n_types"),
         F.expr(
-            "CAST((n*sxy - sx*sy) * 1000000 div (n*sxx - sx*sx) AS BIGINT)"
+            "CAST(CAST(n*sxy - sx*sy AS DECIMAL(38,0)) * 1000000"
+            " div CAST(n*sxx - sx*sx AS DECIMAL(38,0)) AS BIGINT)"
         ).alias("slope_ppm"),
         F.expr(
-            "CAST((n*sxy - sx*sy) * (n*sxy - sx*sy) * 1000000"
-            " div ((n*sxx - sx*sx) * (n*syy - sy*sy)) AS BIGINT)"
+            "CAST(CAST(n*sxy - sx*sy AS DECIMAL(38,0))"
+            " * CAST(n*sxy - sx*sy AS DECIMAL(38,0)) * 1000000"
+            " div (CAST(n*sxx - sx*sx AS DECIMAL(38,0))"
+            "      * CAST(n*syy - sy*sy AS DECIMAL(38,0))) AS BIGINT)"
         ).alias("r2_ppm"),
     )
 
@@ -1044,8 +1057,9 @@ s AS (SELECT token,
              CAST(SUM(cnt*cnt) AS BIGINT) AS scc
       FROM c GROUP BY token)
 SELECT token, df, sc AS total_occurrences,
-       CAST((n.n_docs * s.scc - s.sc * s.sc) * 1000000
-            // (n.n_docs * s.sc) AS BIGINT) AS vmr_ppm
+       CAST((CAST(n.n_docs AS HUGEINT) * s.scc
+             - CAST(s.sc AS HUGEINT) * s.sc) * 1000000
+            // (CAST(n.n_docs AS HUGEINT) * s.sc) AS BIGINT) AS vmr_ppm
 FROM s CROSS JOIN n ORDER BY token""",
     tags=("llm", "text", "stats", "quality"),
 )
@@ -1058,8 +1072,13 @@ def xh_token_burstiness(spark, sf_dir):
     them, it mentions them a lot) from evenly-spread function words
     (vmr ~ 1e6, the Poisson line) and from template boilerplate (high
     df AND high vmr = paste-repeated). Exact ppm: VMR = (N*sum(c^2) -
-    (sum c)^2) / (N*sum c) stays in BIGINT with truncating division
-    both engines share.
+    (sum c)^2) / (N*sum c), widened to exact 128-bit integers (Spark
+    DECIMAL(38,0) div / DuckDB HUGEINT //, the xh_chi2_tokens pattern —
+    ADVICE r13): for a common token N*scc alone passes ~1e13 at ~1e6
+    docs, so the *1e6 ppm scaling silently wraps BIGINT. Headroom after
+    widening: N*scc*1e6 <= 1e38 holds to ~1e9 docs x ~1e5-token docs
+    (N*scc <= N^2 * maxlen^2 only for the degenerate one-token corpus;
+    realistically scc <= N*maxlen^2 ~ 1e19, x1e6 = 1e34).
 
     Scale shape: ONE uniform (token, doc) partial agg, then a token
     agg collapsing to Heaps-law rows; the corpus doc count is a
@@ -1085,8 +1104,9 @@ def xh_token_burstiness(spark, sf_dir):
             "df",
             F.col("sc").alias("total_occurrences"),
             F.expr(
-                "CAST((n_docs * scc - sc * sc) * 1000000"
-                " div (n_docs * sc) AS BIGINT)"
+                "CAST((CAST(n_docs AS DECIMAL(38,0)) * scc"
+                "      - CAST(sc AS DECIMAL(38,0)) * sc) * 1000000"
+                " div (CAST(n_docs AS DECIMAL(38,0)) * sc) AS BIGINT)"
             ).alias("vmr_ppm"),
         )
         .orderBy("token")
@@ -1112,10 +1132,11 @@ s AS (SELECT CAST(COALESCE(SUM(r.rt * c.ct), 0) AS BIGINT) AS s
       FROM r JOIN c ON c.predicted = r.lang)
 SELECT tot.n AS n_docs, tot.tr AS n_correct,
        CAST((tot.tr * 1000000) // tot.n AS BIGINT) AS accuracy_ppm,
-       CAST((s.s * 1000000) // (tot.n * tot.n) AS BIGINT) AS expected_ppm,
-       CASE WHEN tot.n * tot.n - s.s = 0 THEN NULL
-            ELSE CAST(((tot.n * tot.tr - s.s) * 1000000)
-                      // (tot.n * tot.n - s.s) AS BIGINT)
+       CAST((CAST(s.s AS HUGEINT) * 1000000)
+            // (CAST(tot.n AS HUGEINT) * tot.n) AS BIGINT) AS expected_ppm,
+       CASE WHEN CAST(tot.n AS HUGEINT) * tot.n - s.s = 0 THEN NULL
+            ELSE CAST(((CAST(tot.n AS HUGEINT) * tot.tr - s.s) * 1000000)
+                      // (CAST(tot.n AS HUGEINT) * tot.n - s.s) AS BIGINT)
        END AS kappa_ppm
 FROM tot, s""",
     tags=("llm", "text", "eval", "oracle-twin"),
@@ -1134,9 +1155,13 @@ def xh_kappa_langid(spark, sf_dir):
     trunc-toward-zero identically in both engines (the probed
     `div` == `//` contract).
 
-    Integer headroom: the pe cross terms are row_total x col_total —
-    exact in BIGINT to ~3e9 docs; past that the op needs the
-    probe-gated DECIMAL promotion (the xh_market_basket knob).
+    Integer headroom (corrected per ADVICE r13): s = sum(rt*ct) can
+    reach n^2, so the ppm expressions s*1e6 and (n*tr - s)*1e6 are the
+    binding terms, NOT the bare rt*ct cross product — they wrap BIGINT
+    at n ~ 3e6 docs. All three n^2-order ppm expressions are therefore
+    widened to exact 128-bit integers (Spark DECIMAL(38,0) div / DuckDB
+    HUGEINT //, the xh_chi2_tokens pattern): n^2*1e6 <= 1e38 now holds
+    to ~3e15 docs.
 
     Scale shape: everything downstream of the (already scale-audited)
     confusion matrix is label-cardinality metadata — two rollups of a
@@ -1169,12 +1194,14 @@ def xh_kappa_langid(spark, sf_dir):
         F.col("n").alias("n_docs"),
         F.col("tr").alias("n_correct"),
         F.expr("CAST((tr * 1000000) div n AS BIGINT)").alias("accuracy_ppm"),
-        F.expr("CAST((s * 1000000) div (n * n) AS BIGINT)").alias(
-            "expected_ppm"
-        ),
         F.expr(
-            "CASE WHEN n * n - s = 0 THEN NULL"
-            " ELSE CAST(((n * tr - s) * 1000000) div (n * n - s) AS BIGINT)"
+            "CAST((CAST(s AS DECIMAL(38,0)) * 1000000)"
+            " div (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)"
+        ).alias("expected_ppm"),
+        F.expr(
+            "CASE WHEN CAST(n AS DECIMAL(38,0)) * n - s = 0 THEN NULL"
+            " ELSE CAST(((CAST(n AS DECIMAL(38,0)) * tr - s) * 1000000)"
+            "      div (CAST(n AS DECIMAL(38,0)) * n - s) AS BIGINT)"
             " END"
         ).alias("kappa_ppm"),
     )

@@ -317,3 +317,132 @@ def test_quantile_norm_rank_widened_past_int32_overflow_boundary(spark, tmp_path
     assert out[-1]["pct_ppm"] == 1_000_000
     vals = [r["pct_ppm"] for r in out]
     assert vals == sorted(vals)
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r13 width fixes: the sf fixtures (31 token types, 1.5k docs) never
+# exercised the BIGINT ceilings in zipf r^2, burstiness VMR, and kappa's
+# n^2-order ppm terms. Each test below builds the smallest fixture PAST the
+# old 2^63 bound and runs the REGISTERED operator (the quantile_norm
+# discipline, VERDICT r8 #3): reverting the DECIMAL(38,0) widening turns
+# these red (ANSI ARITHMETIC_OVERFLOW) instead of silently wrapping.
+# Expected values are exact Python ints computed from the same formulas.
+# ---------------------------------------------------------------------------
+
+
+def test_zipf_fit_r2_widened_past_int64_boundary(spark, tmp_path):
+    """ADVICE r13 (medium): (n*sxy - sx*sy)^2 * 1e6 wraps BIGINT past
+    ~1,000 vocabulary types. 1,500 distinct types with distinct counts
+    push the squared numerator to ~1.04e19 > 2^63-1; the widened op must
+    return the exact truncating-division ppm values."""
+    from hadoop_copier_spark.queries import REGISTRY
+
+    n = 1500
+    rows = [(i, " ".join([f"t{i:04d}"] * (n - i))) for i in range(n)]
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(4).write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+
+    # exact expected values (int.bit_length == length(bin(v)) for v > 0)
+    cnts = sorted((n - i for i in range(n)), reverse=True)
+    xs = [(i + 1).bit_length() for i in range(n)]
+    ys = [c.bit_length() for c in cnts]
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    sxx, syy = sum(a * a for a in xs), sum(b * b for b in ys)
+    nm, dx, dy = n * sxy - sx * sy, n * sxx - sx * sx, n * syy - sy * sy
+    assert nm * nm * 1_000_000 > 2**63 - 1  # fixture actually crosses the bound
+
+    def tdiv(a, b):  # truncate toward zero, the div == // contract
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    got = REGISTRY["xh_zipf_fit"].fn(spark, str(tmp_path)).collect()[0]
+    assert got["n_types"] == n
+    assert got["slope_ppm"] == tdiv(nm * 1_000_000, dx)
+    assert got["r2_ppm"] == tdiv(nm * nm * 1_000_000, dx * dy)
+
+
+def test_token_burstiness_vmr_widened_past_int64_boundary(spark, tmp_path):
+    """ADVICE r13 (low): (n_docs*scc - sc*sc) * 1e6 wraps BIGINT for a
+    bursty token. 10 docs x 30,000 copies of one token among 2,000 docs
+    push the numerator to ~1.79e19 > 2^63-1."""
+    from hadoop_copier_spark.queries import REGISTRY
+
+    rows = [(i, " ".join(["z"] * 30_000)) for i in range(10)]
+    rows += [(10 + i, f"f{i:05d}") for i in range(1990)]
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(4).write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+
+    n_docs, sc, scc = 2000, 10 * 30_000, 10 * 30_000**2
+    num = (n_docs * scc - sc * sc) * 1_000_000
+    assert num > 2**63 - 1  # fixture actually crosses the bound
+
+    got = {
+        r["token"]: r
+        for r in REGISTRY["xh_token_burstiness"].fn(spark, str(tmp_path)).collect()
+    }
+    z = got["z"]
+    assert (z["df"], z["total_occurrences"]) == (10, sc)
+    assert z["vmr_ppm"] == num // (n_docs * sc)
+    f = got["f00000"]  # an even-spread singleton sits just under the Poisson line
+    assert (f["df"], f["vmr_ppm"]) == (1, ((n_docs - 1) * 1_000_000) // n_docs)
+
+
+def test_kappa_langid_widened_past_int64_boundary(spark, tmp_path):
+    """ADVICE r13 (low): s = sum(rt*ct) reaches n^2, so s*1e6 and
+    (n*tr - s)*1e6 wrap BIGINT at n ~ 3e6 docs (the docstring's old
+    ~3e9 figure only bounded the bare rt*ct term). 4.4e6 one-token docs
+    in two perfectly-separable languages push s*1e6 to ~9.68e18."""
+    from hadoop_copier_spark.queries import REGISTRY
+
+    per_lang = 2_200_000
+    (
+        spark.range(2 * per_lang)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.when(F.col("id") % 2 == 0, F.lit("aa")).otherwise(F.lit("bb")).alias("lang"),
+            F.when(F.col("id") % 2 == 0, F.lit("hola")).otherwise(F.lit("hello")).alias("text"),
+        )
+        .coalesce(8)
+        .write.parquet(str(tmp_path / "documents.parquet"))
+    )
+
+    n = 2 * per_lang
+    s = 2 * per_lang * per_lang  # perfect prediction: s = n1^2 + n2^2
+    assert s * 1_000_000 > 2**63 - 1  # fixture actually crosses the bound
+
+    got = REGISTRY["xh_kappa_langid"].fn(spark, str(tmp_path)).collect()[0]
+    assert got["n_docs"] == n and got["n_correct"] == n
+    assert got["accuracy_ppm"] == 1_000_000
+    assert got["expected_ppm"] == (s * 1_000_000) // (n * n)
+    assert got["kappa_ppm"] == ((n * n - s) * 1_000_000) // (n * n - s)  # == 1e6
+
+
+def test_hll_bucket_is_exact_integer_division(spark):
+    """ADVICE r13 (low): floor(h / 2^52) goes through a double, which
+    loses up to 7 low bits of a 60-bit h — a hash within that error of a
+    bucket boundary lands in the wrong register. Demonstrate the
+    divergence at an adversarial h and pin that the module derives every
+    bucket with exact `div` (no floor-division site remains)."""
+    import inspect
+
+    from hadoop_copier_spark.queries import quality_checks as qc
+
+    rem = qc._HLL_REM
+    h = 5 * rem - 1  # one below a bucket boundary; rounds UP as a double
+    row = (
+        spark.createDataFrame([(h,)], "h long")
+        .select(
+            F.floor(F.col("h") / rem).alias("float_bucket"),
+            F.expr(f"h div {rem}").alias("exact_bucket"),
+        )
+        .collect()[0]
+    )
+    assert row["float_bucket"] == 5  # the double path misassigns...
+    assert row["exact_bucket"] == h // rem == 4  # ...the exact path does not
+
+    src = inspect.getsource(qc)
+    assert "F.floor(F.col(\"h\") / _HLL_REM)" not in src
+    assert src.count('F.expr(f"h div {_HLL_REM}")') == 3  # registers, merge, rho
