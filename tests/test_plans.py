@@ -691,11 +691,15 @@ _ADJUDICATED_BROADCASTS = {
     ("queries/tpch_analogs.py", "nc"),      # region-sliced nation keys (q8)
     ("queries/tpch_analogs.py", "ns"),      # 25-row nation decode (q8)
     ("queries/tpch_analogs.py", "nr"),      # region-sliced nation decode (q2)
-    ("queries/tpch_analogs.py", "p"),
-    ("queries/tpch_analogs.py", "p.filter(part_union)"),
-    ("queries/tpch_analogs.py", "p.select('p_partkey')"),  # type/brand slices (q8/q17/q20)
-    ("queries/tpch_analogs.py", "p.select('p_partkey', 'p_retailprice')"),  # q9/q11
-    ("queries/tpch_analogs.py", "p.select('p_partkey', 'p_type', 'p_size')"),  # q2
+    # row-count-probed part slices (VERDICT r13 #3): part is
+    # SF-PROPORTIONAL (200k x SF — grows with the catalog, linear in SF,
+    # never with the fact tables), so every part-derived build side in
+    # tpch_analogs routes through _probed_broadcast: the ONLY F.broadcast
+    # call on part frames is the one inside the helper, applied iff the
+    # probed row count clears _PART_BROADCAST_MAX_ROWS; past the bound
+    # the join is unhinted and AQE decides. Covers q2/q8/q9/q11/q14/q17/
+    # q19/q20 (q14 additionally projects to 2 columns before probing).
+    ("queries/tpch_analogs.py", "df"),
     ("queries/tpch_analogs.py", "r"),
     ("queries/tpch_analogs.py", "s"),
     ("queries/tpch_analogs.py", "t"),       # 1-row nation-total scalar (q11)
@@ -734,3 +738,25 @@ def test_forced_broadcast_sites_are_adjudicated_bounded():
     stale = _ADJUDICATED_BROADCASTS - sites
     assert not unadjudicated, f"new forced broadcast needs adjudication: {sorted(unadjudicated)}"
     assert not stale, f"remove stale whitelist entries: {sorted(stale)}"
+
+
+def test_part_broadcast_is_row_count_probed(spark, sf_oracle, monkeypatch):
+    """VERDICT r13 #3: part is SF-proportional, so its broadcast hint
+    must be gated by the row-count probe. Below the bound the fixture
+    part slice hints (BroadcastHashJoin, no fact shuffle); with the
+    bound forced to 0 the hint must be GONE from the logical plan —
+    the join is AQE's call, not a pin."""
+    from hadoop_copier_spark.queries import tpch_analogs as ta
+
+    text = _explain(spark, sf_oracle, "xh_tpch_q14")
+    assert "BroadcastHashJoin" in text  # fixture part clears the probe
+
+    monkeypatch.setattr(ta, "_PART_BROADCAST_MAX_ROWS", 0)
+    df = REGISTRY["xh_tpch_q14"].fn(spark, sf_oracle)
+    logical = df._jdf.queryExecution().analyzed().toString()
+    assert "UnresolvedHint" not in logical and "ResolvedHint" not in logical
+    # and the gated plan still computes the same result
+    ungated = [tuple(r) for r in df.collect()]
+    monkeypatch.undo()
+    gated = [tuple(r) for r in REGISTRY["xh_tpch_q14"].fn(spark, sf_oracle).collect()]
+    assert ungated == gated

@@ -659,3 +659,71 @@ def test_rrf_fusion_rewards_both_list_strength(spark, tmp_path):
     assert {r["part"]: (r["r_qty"], r["r_rev"]) for r in out} == {
         p: (r_qty[p], r_rev[p]) for p in qty
     }
+
+
+def test_kcore_releases_own_rounds_and_spares_shared_edge_cache(spark, tmp_path):
+    """VERDICT r13 #4: the k-core peel must free its OWN superseded round
+    frames' localCheckpoint blocks (DataFrame.unpersist was a no-op on
+    them) and must NEVER touch the shared _EDGE_CACHE frame that six
+    other graph operators read. Pinned two ways: (a) the persistent-RDD
+    ledger grows by at most 2 across a full peel (the shared weighted
+    frame + the final round — NOT 3 extra superseded rounds), and (b)
+    the shared cache still answers a triangle query afterwards."""
+    from hadoop_copier_spark.queries import graph_ops
+
+    # triangle {1,2,3} (the 2-core) + a pendant chain that peels
+    edges = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (5, 6), (6, 7)]
+    order_parts, o = [], 0
+    for u, v in edges:
+        for _ in range(2):  # clear the w>=2 threshold
+            order_parts.append((o := o + 1, [u, v]))
+    tmp = str(tmp_path / "kcore_release")
+    _write_lineitem_pairs(spark, order_parts, tmp)
+
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    got = {
+        r["part"]: r["deg"]
+        for r in REGISTRY["xh_kcore_peel"].fn(spark, tmp).collect()
+    }
+    assert got == {1: 2, 2: 2, 3: 2}  # the triangle survives 4 peels
+    after = jsc.getPersistentRDDs().size()
+    # shared weighted frame + final round = 2; superseded rounds 1..3 freed
+    assert after - before <= 2, (
+        f"superseded k-core round blocks leaked: {after - before} new "
+        "persistent RDDs after a peel (expected <= 2)"
+    )
+
+    # (b) the shared cached frame is still readable: a second operator
+    # that derives its edges from _EDGE_CACHE must answer correctly
+    key = (spark.sparkContext.applicationId, tmp)
+    assert key in graph_ops._EDGE_CACHE
+    assert graph_ops._EDGE_CACHE[key].count() == len(edges)
+    tri = {
+        r["part"]: r["n_triangles"]
+        for r in REGISTRY["xh_triangle_count"].fn(spark, tmp).collect()
+    }
+    assert tri == {1: 1, 2: 1, 3: 1}
+
+
+def test_both_thresholds_read_one_shared_edge_build(spark, tmp_path):
+    """VERDICT r13 #5: _edges(thr=2) and _edges(thr=1) must be filters of
+    ONE checkpointed weighted frame — one cache entry per (app, sf_dir),
+    and both consumers' plans read the same LogicalRDD (no second
+    basket-expansion pipeline)."""
+    from hadoop_copier_spark.queries import graph_ops
+
+    order_parts = [(1, [1, 2]), (2, [1, 2]), (3, [2, 3])]  # w(1,2)=2, w(2,3)=1
+    tmp = str(tmp_path / "sharedbuild")
+    _write_lineitem_pairs(spark, order_parts, tmp)
+
+    e2 = graph_ops._edges(spark, tmp, thr=2)
+    e1 = graph_ops._edges(spark, tmp, thr=1)
+    keys = [k for k in graph_ops._EDGE_CACHE if k[1] == tmp]
+    assert len(keys) == 1  # one weighted build, not one per threshold
+    assert {(r["u"], r["v"]) for r in e2.collect()} == {(1, 2)}
+    assert {(r["u"], r["v"]) for r in e1.collect()} == {(1, 2), (2, 3)}
+    # both plans scan the SAME checkpointed RDD (filter pushdown over it)
+    p1 = e1._jdf.queryExecution().optimizedPlan().toString()
+    p2 = e2._jdf.queryExecution().optimizedPlan().toString()
+    assert "LogicalRDD" in p1 and "LogicalRDD" in p2
