@@ -1,110 +1,69 @@
-"""Driver-window rotation (round 13; executes the r12 verdict's R13 QUEUE LEDGER).
+"""Driver-window rotation (round 14; executes the r13 verdict's R14 QUEUE LEDGER).
 
 THE MECHANISM AND ITS AUTHORIZATION
 -----------------------------------
 The driver's CORRECTNESS harness re-verifies only the alphabetically-first
-50 registry names each round, while the registry declares 190+ real
+50 registry names each round, while the registry declares 240+ real
 queries. Re-pointing that window from inside the repo was flagged by the
 round-5 advisor (ADVICE.md, high): the graded party must not silently
 choose its own grading sample. The rotation below is therefore NOT
 silent: it executes the judge's explicit instruction, carried verbatim as
-VERDICT r12 "Next round" #1:
+VERDICT r13 "Next round" #1:
 
-    "Execute the R13 QUEUE LEDGER rotation (queries/aliases.py:41-72,
-    already written): window = the 30 never-driver-checked r12 H ops
-    (xh_bloom_prune, xh_cdc_dedup, xh_datetime_matrix, xh_decayed_counts,
-    xh_dsir_weights, xh_embed_centroid_drift, xh_hll_registers,
-    xh_k_anonymity, xh_ks_drift, xh_lsh_recall_eval, xh_market_basket,
-    xh_multi_signal_dedup, xh_norm_dedup, xh_oov_rate,
-    xh_pagerank_quantized, xh_pca_power, xh_pmi_counts, xh_quality_topk,
-    xh_robust_stats, xh_source_dup_matrix, xh_source_gini,
-    xh_source_overlap, xh_span_dedup, xh_split_leakage,
-    xh_stratified_split, xh_tpch_q14/q19/q22/q4, xh_winnow_fingerprint)
-    first, then q45-q47 and the stalest round-7 xh ops in name order
-    until the window fills. Done = CORRECTNESS_r13.json 50/50 green with
-    exactly that keyset."
-
-NAME CORRECTIONS vs the r12-written ledger TEXT (policy unchanged): the
-prose ledger in the r12 version of this file listed a few round-7 ops by
-approximate names that do not exist in the registry (xh_bm25_topk,
-xh_funnel_paths, xh_gap_islands, xh_langid_mix, xh_tpch_q7). The real
-registry names are used below (xh_bm25, xh_event_funnel/xh_filter_funnel,
-xh_gap_fill, xh_langid_ngram; there is no TPC-H Q7 analog — Q18 is the
-fourth). The selection RULE (least-recently-driver-verified first,
-never-checked before stale, ties by name) is applied to the actual
-registry; evidence ages were recomputed from CORRECTNESS_r01..r12.json.
+    "Execute the R14 QUEUE LEDGER rotation (queries/aliases.py:68-102,
+    already written): window = the 43 never-driver-checked r13 H ops —
+    the 30 new ops (xh_autocorr_daily ... xh_zipf_fit, list at
+    aliases.py:70-83) and the 13 TPC-H completion analogs
+    (q2/q6/q7/q8/q9/q11/q12/q13/q15/q16/q17/q20/q21) — then the 14
+    round-7 ops on r10 evidence in name order until the window fills.
+    Done = CORRECTNESS_r14.json 50/50 green with exactly that keyset."
 
 ROTATION POLICY (deterministic, coverage-first, no cherry-picking)
 ------------------------------------------------------------------
 Window slots go to the LEAST-RECENTLY-DRIVER-VERIFIED queries first;
 never-checked before stale; ties broken by registry name. Ledger of
-driver evidence entering round 13 (recomputed from CORRECTNESS_r*.json,
+driver evidence entering round 14 (recomputed from CORRECTNESS_r*.json,
 alias names decoded to their targets):
 
-  never checked : the 30 H operators added mid-r12 after the r12 window
-                  was pinned (full list above, = _XH_NEVER_CHECKED)
-                                                         -> 30 slots
-  r10 (stalest) : q45-q47 and the 31 round-7 xh_* ops; the stalest 20 in
-                  name order: q45, q46, q47, xh_bm25, xh_chunk_dedup,
-                  xh_cohort_retention, xh_consistent_sample,
-                  xh_dedup_clusters, xh_doc_freq, xh_dq_profile,
-                  xh_dup_rate_by_source, xh_embed_quantize,
-                  xh_event_funnel, xh_event_transitions,
-                  xh_filter_funnel, xh_fuzzy_match, xh_heavy_hitters,
-                  xh_incremental_dedup, xh_inverted_index, xh_keep_best
-                                                         -> 20 slots
-  r11 / r12     : everything else H carries r11-or-fresher driver
+  never checked : the 43 H operators added mid-r13 after the r13 window
+                  was pinned (30 new ops + 13 TPC-H completion analogs,
+                  = _XH_NEVER_CHECKED below)           -> 43 slots
+  r10 (stalest) : the 14 remaining round-7 xh_* ops; the first 7 in
+                  name order: xh_langid_ngram, xh_ohlc_bars,
+                  xh_outlier_trim, xh_quantile_norm, xh_rfm_segments,
+                  xh_scd2_intervals, xh_subseq_search  ->  7 slots
+  r11+          : everything else H carries r11-or-fresher driver
                   evidence -> displaced (their evidence of record stays
-                  in CORRECTNESS_r11/r12.json)
+                  in CORRECTNESS_r11/r12/r13.json)
   P-class (xp_/xt_): rows-only by design, driver checks them outside the
                   hash window; not rotated.
 
-30 + 20 = 50 = the full window. Nothing contract-bearing is steered OUT:
-every query displaced this round carries a green r11 or r12 driver row.
-After this round the never-checked backlog is empty (any H op added
-mid-r13 queues for R14) and the stalest remaining driver evidence is the
-14 round-7 ops left at r10.
+43 + 7 = 50 = the full window. Nothing contract-bearing is steered OUT:
+every query displaced this round carries a green r11, r12 or r13 driver
+row. After this round the never-checked backlog is empty (any H op added
+mid-r14 queues for R15) and the stalest remaining driver evidence is the
+7 round-7 ops left at r10.
 
-R14 QUEUE LEDGER (stalest driver evidence after this window, in rotation
-order — never-checked first, then ties by name): the H operators added
-mid-r13 after this window was pinned queue first — as of this writing
-xh_autocorr_daily, xh_balanced_shards, xh_benford, xh_bigram_surprisal,
-xh_bpe_merge_step,
-xh_chi2_tokens, xh_clustering_coefficient, xh_cms_registers,
-xh_common_neighbors,
-xh_containment_pairs, xh_cooccurrence_window, xh_cusum_changepoint,
-xh_degree_assortativity,
-xh_degree_distribution, xh_entropy_by_source,
-xh_hll_merge, xh_jackknife_ci, xh_kappa_langid, xh_kcore_peel,
-xh_kl_source_drift,
-xh_kmeans_round,
-xh_l_diversity, xh_resource_allocation, xh_rrf_fusion, xh_t_closeness,
-xh_tfidf_topk, xh_token_burstiness, xh_triangle_count,
-xh_unigram_surprisal, xh_zipf_fit
-and the TPC-H completion set xh_tpch_q11,
-xh_tpch_q12, xh_tpch_q13, xh_tpch_q15, xh_tpch_q16, xh_tpch_q17,
-xh_tpch_q2, xh_tpch_q20, xh_tpch_q21, xh_tpch_q6, xh_tpch_q7,
-xh_tpch_q8, xh_tpch_q9 (43 never-driver-checked, name order; any later
-r13 adds join them; the P-class xp_ann_pq / xp_ann_ivfpq / xp_snapshot_diff /
-xp_csv_malformed stay outside the hash window); then the 14 remaining
-round-7 xh_* ops on r10 evidence (xh_langid_ngram, xh_ohlc_bars,
-xh_outlier_trim, xh_quantile_norm, xh_rfm_segments, xh_scd2_intervals,
-xh_subseq_search, xh_text_roundtrip, xh_tpch_q10, xh_tpch_q18,
-xh_tpch_q3, xh_tpch_q5, xh_weighted_mix, xh_weighted_sample); then the
-r11-evidence cohort in name order (q01-q21, q48-q50, xh_asof_bucketed,
-xh_contamination, xh_correlated_scalar_subquery, xh_date_series,
-xh_doc_fingerprint, xh_embedding_neardup, xh_exists_subquery_sql,
-xh_gap_fill, xh_higher_order, xh_histogram, xh_merge_upsert,
-xh_minhash_lsh_pairs, xh_ngram_jaccard, xh_orc_roundtrip,
-xh_pack_sequences, xh_pii_scrub, xh_pivot, xh_repetition,
-xh_scalar_and_in_subquery, xh_simhash, xh_string_agg, xh_text_quality,
-xh_token_stats, xh_udtf_generate, xh_unpivot, xh_znorm_window) until the
-window fills. P-class adds stay outside the hash window, not rotated.
+R15 QUEUE LEDGER (stalest driver evidence after this window, in rotation
+order — never-checked first, then ties by name): any H operators added
+mid-r14 after this window was pinned queue first; then the 7 remaining
+round-7 xh_* ops on r10 evidence (xh_text_roundtrip, xh_tpch_q10,
+xh_tpch_q18, xh_tpch_q3, xh_tpch_q5, xh_weighted_mix,
+xh_weighted_sample); then the r11-evidence cohort in name order (q01-q21,
+q48-q50, xh_asof_bucketed, xh_contamination,
+xh_correlated_scalar_subquery, xh_date_series, xh_doc_fingerprint,
+xh_embedding_neardup, xh_exists_subquery_sql, xh_gap_fill,
+xh_higher_order, xh_histogram, xh_merge_upsert, xh_minhash_lsh_pairs,
+xh_ngram_jaccard, xh_orc_roundtrip, xh_pack_sequences, xh_pii_scrub,
+xh_pivot, xh_repetition, xh_scalar_and_in_subquery, xh_simhash,
+xh_string_agg, xh_text_quality, xh_token_stats, xh_udtf_generate,
+xh_unpivot, xh_znorm_window) until the window fills. P-class adds stay
+outside the hash window, not rotated.
 
-Each ``bNN``/``bx_*`` name binds the SAME ``Query`` object fields
-(function and oracle) as its target — verified by tests/test_oracle_queries
-running aliases through the identical harness. The round-12 alias block is
-replaced wholesale (its evidence of record stays in CORRECTNESS_r12.json)
+Each ``bx_*`` name binds the SAME ``Query`` object fields (function and
+oracle) as its target — verified by tests/test_oracle_queries running
+aliases through the identical harness. The round-13 alias block is
+replaced wholesale (its evidence of record stays in CORRECTNESS_r13.json)
 so the registry carries one alias generation at a time.
 """
 
@@ -112,40 +71,40 @@ from __future__ import annotations
 
 from .registry import REGISTRY, Query
 
-# The 30 H operators added mid-r12 (never driver-checked), name order.
-# Pinned as an explicit list, NOT derived from the registry: operators
-# added later must queue for the NEXT rotation instead of silently
-# reshaping this one.
+# The 43 H operators added mid-r13 (never driver-checked), name order:
+# 30 new graph/sketch/privacy/stats/text ops + the 13 TPC-H completion
+# analogs. Pinned as an explicit list, NOT derived from the registry:
+# operators added later must queue for the NEXT rotation instead of
+# silently reshaping this one.
 _XH_NEVER_CHECKED = [
-    "xh_bloom_prune", "xh_cdc_dedup", "xh_datetime_matrix",
-    "xh_decayed_counts", "xh_dsir_weights", "xh_embed_centroid_drift",
-    "xh_hll_registers", "xh_k_anonymity", "xh_ks_drift",
-    "xh_lsh_recall_eval", "xh_market_basket", "xh_multi_signal_dedup",
-    "xh_norm_dedup", "xh_oov_rate", "xh_pagerank_quantized",
-    "xh_pca_power", "xh_pmi_counts", "xh_quality_topk",
-    "xh_robust_stats", "xh_source_dup_matrix", "xh_source_gini",
-    "xh_source_overlap", "xh_span_dedup", "xh_split_leakage",
-    "xh_stratified_split", "xh_tpch_q14", "xh_tpch_q19", "xh_tpch_q22",
-    "xh_tpch_q4", "xh_winnow_fingerprint",
+    "xh_autocorr_daily", "xh_balanced_shards", "xh_benford",
+    "xh_bigram_surprisal", "xh_bpe_merge_step", "xh_chi2_tokens",
+    "xh_clustering_coefficient", "xh_cms_registers",
+    "xh_common_neighbors", "xh_containment_pairs",
+    "xh_cooccurrence_window", "xh_cusum_changepoint",
+    "xh_degree_assortativity", "xh_degree_distribution",
+    "xh_entropy_by_source", "xh_hll_merge", "xh_jackknife_ci",
+    "xh_kappa_langid", "xh_kcore_peel", "xh_kl_source_drift",
+    "xh_kmeans_round", "xh_l_diversity", "xh_resource_allocation",
+    "xh_rrf_fusion", "xh_t_closeness", "xh_tfidf_topk",
+    "xh_token_burstiness", "xh_triangle_count", "xh_unigram_surprisal",
+    "xh_zipf_fit",
+    "xh_tpch_q11", "xh_tpch_q12", "xh_tpch_q13", "xh_tpch_q15",
+    "xh_tpch_q16", "xh_tpch_q17", "xh_tpch_q2", "xh_tpch_q20",
+    "xh_tpch_q21", "xh_tpch_q6", "xh_tpch_q7", "xh_tpch_q8",
+    "xh_tpch_q9",
 ]
 
-# r10-stale contract queries (q45-q47) ...
-_CONTRACT_TARGETS = ["q45", "q46", "q47"]
-
-# ... and the 17 stalest round-7 xh_* ops on r10 evidence, name order.
+# ... and the 7 stalest round-7 xh_* ops on r10 evidence, name order.
 _XH_R10_STALE = [
-    "xh_bm25", "xh_chunk_dedup", "xh_cohort_retention",
-    "xh_consistent_sample", "xh_dedup_clusters", "xh_doc_freq",
-    "xh_dq_profile", "xh_dup_rate_by_source", "xh_embed_quantize",
-    "xh_event_funnel", "xh_event_transitions", "xh_filter_funnel",
-    "xh_fuzzy_match", "xh_heavy_hitters", "xh_incremental_dedup",
-    "xh_inverted_index", "xh_keep_best",
+    "xh_langid_ngram", "xh_ohlc_bars", "xh_outlier_trim",
+    "xh_quantile_norm", "xh_rfm_segments", "xh_scd2_intervals",
+    "xh_subseq_search",
 ]
 
 
 def _install() -> None:
-    pairs = [("b" + t[1:], t) for t in _CONTRACT_TARGETS]
-    pairs += [
+    pairs = [
         ("bx_" + name[3:], name)
         for name in _XH_NEVER_CHECKED + _XH_R10_STALE
     ]
@@ -156,7 +115,7 @@ def _install() -> None:
             name=alias,
             fn=q.fn,
             oracle=q.oracle,
-            doc=f"Alias of {target} (driver-window rotation, VERDICT r12 #1): " + q.doc,
+            doc=f"Alias of {target} (driver-window rotation, VERDICT r13 #1): " + q.doc,
             tags=q.tags + ("alias",),
         )
 

@@ -784,6 +784,52 @@ _CMS_H_SQL = "(('0x' || substr(md5({j} || ':' || token), 1, 15))::BIGINT) % " + 
 )
 
 
+def cms_counts(df, text_col: str = "text"):
+    """Sparse Count-Min counters (row_id, bucket, cnt) for ONE document
+    frame — the per-shard state the sketch exists for: shard sketches
+    union by pointwise ADDITION, so a streaming foreachBatch SUM-merges
+    these <=256 rows per micro-batch into running registers that equal
+    the batch sketch exactly (mirrors hll_bucket_rho's role for the HLL
+    family; used by xh_cms_registers, tests/test_streaming.py and
+    record_streaming.py's incremental-CMS check)."""
+    toks = df.select(
+        F.explode(
+            F.filter(F.split(F.lower(text_col), r"\s+"), lambda t: t != "")
+        ).alias("token")
+    )
+    rb = toks.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).cast("long").alias("row_id"),
+                        (
+                            F.conv(
+                                F.substring(
+                                    F.md5(
+                                        F.concat_ws(
+                                            ":", F.lit(str(j)), F.col("token")
+                                        )
+                                    ),
+                                    1,
+                                    15,
+                                ),
+                                16,
+                                10,
+                            ).cast("long")
+                            % _CMS_W
+                        ).alias("bucket"),
+                    )
+                    for j in range(_CMS_D)
+                ]
+            )
+        ).alias("rb")
+    ).select("rb.row_id", "rb.bucket")
+    return rb.groupBy("row_id", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+
+
 @register(
     "xh_cms_registers",
     oracle=f"""WITH t AS MATERIALIZED (
@@ -825,43 +871,7 @@ def xh_cms_registers(spark, sf_dir):
     shuffles, exactly the property that lets a 1000-executor job emit a
     256-long frame per shard and merge on the driver. The zero-filled
     grid attaches via a 256-row driver range, cost-free."""
-    d = tbl(spark, sf_dir, "documents")
-    toks = d.select(
-        F.explode(
-            F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
-        ).alias("token")
-    )
-    rb = toks.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).cast("long").alias("row_id"),
-                        (
-                            F.conv(
-                                F.substring(
-                                    F.md5(
-                                        F.concat_ws(
-                                            ":", F.lit(str(j)), F.col("token")
-                                        )
-                                    ),
-                                    1,
-                                    15,
-                                ),
-                                16,
-                                10,
-                            ).cast("long")
-                            % _CMS_W
-                        ).alias("bucket"),
-                    )
-                    for j in range(_CMS_D)
-                ]
-            )
-        ).alias("rb")
-    ).select("rb.row_id", "rb.bucket")
-    counts = rb.groupBy("row_id", "bucket").agg(
-        F.count(F.lit(1)).cast("long").alias("cnt")
-    )
+    counts = cms_counts(tbl(spark, sf_dir, "documents"))
     grid = spark.range(_CMS_D * _CMS_W).select(
         F.expr(f"id div {_CMS_W}").cast("long").alias("row_id"),
         (F.col("id") % _CMS_W).cast("long").alias("bucket"),

@@ -448,6 +448,61 @@ def check_streaming_hll_merge(spark, tmp):
     }
 
 
+def check_streaming_cms_merge(spark, tmp):
+    """Incremental Count-Min maintenance (VERDICT r13 #7, the HLL
+    check's sum-merge twin): each micro-batch contributes sparse shard
+    counters; foreachBatch merges them by pointwise ADDITION (the union
+    algebra xh_cms_registers property-tests); the final state must
+    equal the batch sketch over the same corpus bit-for-bit."""
+    from hadoop_copier_spark.queries import REGISTRY
+    from hadoop_copier_spark.queries.quality_checks import cms_counts
+
+    src = os.path.join(tmp, "cms_src")
+    os.makedirs(src, exist_ok=True)
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    n_chunks = 5
+    for i in range(n_chunks):
+        (
+            docs.where(F.col("doc_id") % n_chunks == i)
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+    state: dict[tuple[int, int], int] = {}
+    batch_ids: list[int] = []
+
+    def merge(bdf, bid):
+        batch_ids.append(int(bid))
+        for r in cms_counts(bdf).collect():  # <=256 counter rows: state
+            k = (int(r["row_id"]), int(r["bucket"]))
+            state[k] = state.get(k, 0) + int(r["cnt"])
+
+    q = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(merge)
+        .option("checkpointLocation", os.path.join(tmp, "cms_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    batch = REGISTRY["xh_cms_registers"].fn(spark, SF).collect()
+    equal = len(batch) == 256 and all(
+        state.get((int(r["row_id"]), int(r["bucket"])), 0) == int(r["cnt"])
+        for r in batch
+    )
+    return {
+        "n_micro_batches": len(batch_ids),
+        "n_nonzero_counters": sum(1 for v in state.values() if v > 0),
+        "merged_equals_batch_registers": equal,
+        "batch_query": "xh_cms_registers",
+        "pass": equal and len(batch_ids) >= n_chunks,
+    }
+
+
 CHECKS = [
     ("tumbling_window_q61", check_tumbling_equals_batch),
     ("sliding_window_q62", check_sliding_equals_batch),
@@ -459,6 +514,7 @@ CHECKS = [
      check_exactly_once_file_sink_midstream_restart),
     ("stateful_subseq_matcher", check_subseq_matcher_equals_batch),
     ("streaming_hll_merge", check_streaming_hll_merge),
+    ("streaming_cms_merge", check_streaming_cms_merge),
 ]
 
 
