@@ -707,3 +707,104 @@ def xh_resource_allocation(spark, sf_dir):
         .orderBy(F.col("ra_score_q").desc(), "part_a", "part_b")
         .limit(_CN_TOPK)
     )
+
+
+# Fixed BFS budget (the kcore/pagerank fixed-round discipline): both
+# engines expand EXACTLY this many hops from the seed, so the frontier
+# table is defined — and hash-checkable — whether or not the component
+# is exhausted. 4 hops covers the fixture graphs' small diameters while
+# still leaving unreached nodes at sf0.001 (mid-traversal state is the
+# case worth pinning).
+_BFS_ROUNDS = 4
+
+
+def _bfs_oracle() -> str:
+    """Unrolled chained-CTE mirror of the Spark hop loop: one (f{i},
+    h{i}) pair per hop — no recursive CTE, the hop budget is a shared
+    constant (the _kcore_oracle construction)."""
+    parts = [
+        "WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o,"
+        " l_partkey AS p FROM lineitem)",
+        "e AS MATERIALIZED (SELECT a.p AS u, b.p AS v"
+        " FROM li a JOIN li b ON a.o = b.o AND a.p < b.p"
+        f" GROUP BY a.p, b.p HAVING COUNT(*) >= {_MIN_COPURCHASE})",
+        "adj AS (SELECT u AS ctr, v AS nbr FROM e"
+        " UNION ALL SELECT v AS ctr, u AS nbr FROM e)",
+        "h0 AS (SELECT MIN(u) AS node, CAST(0 AS BIGINT) AS hop FROM e"
+        " HAVING MIN(u) IS NOT NULL)",
+    ]
+    for i in range(1, _BFS_ROUNDS + 1):
+        p = i - 1
+        parts.append(
+            f"f{i} AS (SELECT DISTINCT adj.nbr AS node FROM adj"
+            f" JOIN h{p} ON adj.ctr = h{p}.node AND h{p}.hop = {p}"
+            f" WHERE adj.nbr NOT IN (SELECT node FROM h{p}))"
+        )
+        parts.append(
+            f"h{i} AS (SELECT node, hop FROM h{p}"
+            f" UNION ALL SELECT node, CAST({i} AS BIGINT) FROM f{i})"
+        )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT node AS part, hop FROM h{_BFS_ROUNDS} ORDER BY part"
+    )
+
+
+@register(
+    "xh_bfs_hops",
+    oracle=_bfs_oracle(),
+    tags=("graph", "iterative", "stats"),
+)
+def xh_bfs_hops(spark, sf_dir):
+    """Fixed-budget BFS levels (round 14): the minimal-hop distance of
+    every part reachable within {rounds} hops of the DETERMINISTIC seed
+    (the minimum node id in the thresholded co-purchase graph) — the
+    neighborhood-expansion read behind "related products within k
+    clicks" and, on a near-dup graph, the blast-radius probe around a
+    flagged document before trusting a transitive merge. Completes the
+    iterative-traversal family (PageRank = weighted stationary, CC =
+    global closure, k-core = density peel, this = distance): same
+    determinism contract, a FIXED hop budget both engines run, so the
+    result is defined and hash-exact even mid-traversal.
+
+    Scale shape: the edge set is the shared checkpointed frame
+    (_weighted_edges — a filter, no rebuild); each hop is ONE node-keyed
+    equi join of the domain-bounded adjacency against the current
+    frontier + one ANTI join against the labeled set, eagerly
+    checkpointed so hop i+1 reads hop i's materialized result, never
+    its lineage; superseded label frames release their blocks via
+    release_local_checkpoint (the k-core discipline — the shared edge
+    cache is never a cleanup target). Labeled-set size is bounded by
+    the reached component, hops are a constant, and the seed is a
+    1-row aggregate, never a collect."""
+    from ..operators.components import release_local_checkpoint
+
+    e = _edges(spark, sf_dir)
+    adj = (
+        e.select(F.col("u").alias("ctr"), F.col("v").alias("nbr"))
+        .unionAll(e.select(F.col("v").alias("ctr"), F.col("u").alias("nbr")))
+    )
+    labeled = (
+        e.agg(F.min("u").alias("node"))
+        .where(F.col("node").isNotNull())
+        .select("node", F.lit(0).cast("long").alias("hop"))
+        .localCheckpoint(eager=True)
+    )
+    for i in range(1, _BFS_ROUNDS + 1):
+        frontier = labeled.where(F.col("hop") == i - 1).select(
+            F.col("node").alias("ctr")
+        )
+        new = (
+            adj.join(frontier, "ctr")
+            .select(F.col("nbr").alias("node"))
+            .distinct()
+            .join(labeled.select("node"), "node", "anti")
+            .select("node", F.lit(i).cast("long").alias("hop"))
+        )
+        nxt = labeled.unionByName(new).localCheckpoint(eager=True)
+        release_local_checkpoint(labeled)  # safe: nxt's blocks are live
+        labeled = nxt
+    return labeled.select(F.col("node").alias("part"), "hop").orderBy("part")
+
+
+xh_bfs_hops.__doc__ = xh_bfs_hops.__doc__.format(rounds=_BFS_ROUNDS)

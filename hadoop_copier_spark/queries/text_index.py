@@ -1205,3 +1205,76 @@ def xh_kappa_langid(spark, sf_dir):
             " END"
         ).alias("kappa_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Good-Turing frequency-of-frequencies (round 14)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "xh_good_turing",
+    oracle=f"""WITH t AS MATERIALIZED (
+  SELECT unnest({_TOKENS_SQL}) AS token FROM documents),
+c AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM t GROUP BY token),
+cc AS (SELECT cnt AS c, CAST(COUNT(*) AS BIGINT) AS n_types
+       FROM c GROUP BY cnt)
+SELECT a.c, a.n_types,
+       CAST(COALESCE(b.n_types, 0) AS BIGINT) AS n_types_next,
+       CAST((a.c + 1) * CAST(COALESCE(b.n_types, 0) AS HUGEINT) * 1000000
+            // a.n_types AS BIGINT) AS c_star_ppm
+FROM cc a LEFT JOIN cc b ON b.c = a.c + 1
+ORDER BY a.c""",
+    tags=("llm", "text", "stats", "lm"),
+)
+def xh_good_turing(spark, sf_dir):
+    """Good-Turing frequency-of-frequencies table (round 14): for every
+    observed token count c, how many vocabulary types occur exactly c
+    times (N_c), and the Good-Turing re-estimated count c* =
+    (c+1) * N_{c+1} / N_c in exact ppm — the smoothing statistic under
+    Katz back-off and the unseen-mass estimate (row c=1: N_1 carries
+    the probability mass GT assigns to UNSEEN types, the signal a
+    curation pipeline reads as "how open is this vocabulary still").
+    A count level whose N_{c+1} is empty re-estimates to 0 on both
+    engines (the raw-GT convention; smoothed variants interpolate,
+    which is a float fit and stays out of the hash contract).
+
+    Hash-exact: counts and count-of-counts are BIGINT; the c* numerator
+    (c+1)*N_{c+1}*1e6 is widened to exact 128-bit integers up front
+    (Spark DECIMAL(38,0) div / DuckDB HUGEINT //, the ADVICE r13
+    discipline — c*N_types*1e6 <= T*V*1e6 ~ 1e27 at a 1e12-token /
+    1e9-type corpus, comfortably inside 1e38).
+
+    Scale shape: ONE uniform token partial agg builds the vocab frame
+    (Heaps-law rows); the count-of-counts agg collapses it to at most
+    O(sqrt(T)) distinct count levels (sum over levels of c*N_c = T
+    bounds the level count); the c+1 self-join runs on that tiny frame,
+    level-keyed and unhinted; output is level-cardinality, fully
+    ordered. Nothing corpus-sized survives the first exchange."""
+    d = tbl(spark, sf_dir, "documents")
+    c = (
+        d.select(F.explode(_tokens_col()).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    cc = c.groupBy(F.col("cnt").alias("c")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_types")
+    )
+    nxt = cc.select(
+        (F.col("c") - 1).alias("c"), F.col("n_types").alias("n_types_next")
+    )
+    return (
+        cc.join(nxt, "c", "left")
+        .select(
+            "c",
+            "n_types",
+            F.coalesce("n_types_next", F.lit(0)).cast("long").alias(
+                "n_types_next"
+            ),
+            F.expr(
+                "CAST((c + 1) * CAST(COALESCE(n_types_next, 0)"
+                " AS DECIMAL(38,0)) * 1000000 div n_types AS BIGINT)"
+            ).alias("c_star_ppm"),
+        )
+        .orderBy("c")
+    )

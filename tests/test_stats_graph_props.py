@@ -727,3 +727,39 @@ def test_both_thresholds_read_one_shared_edge_build(spark, tmp_path):
     p1 = e1._jdf.queryExecution().optimizedPlan().toString()
     p2 = e2._jdf.queryExecution().optimizedPlan().toString()
     assert "LogicalRDD" in p1 and "LogicalRDD" in p2
+
+
+def test_good_turing_matches_hand_recount(spark, tmp_path):
+    """Planted corpus a,a,a,d,d,b,c: count-of-counts N_1=2, N_2=1,
+    N_3=1; Good-Turing c* = (c+1)*N_{c+1}/N_c in exact ppm, with the
+    empty N_4 level re-estimating c=3 to 0 (raw-GT convention)."""
+    rows = [(1, "a a a d"), (2, "d b c")]
+    tmp = str(tmp_path / "gt")
+    _write_docs(spark, [(i, t, "en", "s", len(t)) for i, t in rows], tmp)
+    got = [
+        (r["c"], r["n_types"], r["n_types_next"], r["c_star_ppm"])
+        for r in REGISTRY["xh_good_turing"].fn(spark, tmp).collect()
+    ]
+    assert got == [
+        (1, 2, 1, (2 * 1 * 1_000_000) // 2),   # c*=1.0 -> 1_000_000
+        (2, 1, 1, (3 * 1 * 1_000_000) // 1),   # c*=3.0 -> 3_000_000
+        (3, 1, 0, 0),                          # no N_4: raw GT says 0
+    ]
+
+
+def test_bfs_hops_levels_and_budget_cutoff(spark, tmp_path):
+    """Path 1-2-3-4-5-6-7 (each edge in 2 orders): seed = min node = 1,
+    one level per hop, and nodes 6,7 stay OUTSIDE the fixed 4-hop
+    budget — the mid-traversal state the determinism contract pins."""
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (6, 7)]
+    order_parts, o = [], 0
+    for u, v in edges:
+        for _ in range(2):
+            order_parts.append((o := o + 1, [u, v]))
+    tmp = str(tmp_path / "bfs")
+    _write_lineitem_pairs(spark, order_parts, tmp)
+    got = {
+        r["part"]: r["hop"]
+        for r in REGISTRY["xh_bfs_hops"].fn(spark, tmp).collect()
+    }
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3, 5: 4}
