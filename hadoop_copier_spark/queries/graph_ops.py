@@ -44,14 +44,14 @@ e AS (
   GROUP BY a.p, b.p HAVING COUNT(*) >= {thr})"""
 
 
-# Session-scoped staging cache: SEVEN registry operators probe the same
+# Session-scoped staging cache: NINE registry operators probe the same
 # materialized co-purchase graph, so the build runs once per (session,
 # sf_dir) and every later op reads the checkpointed result — the "stage
 # the dimension once, probe it many times" pattern a production graph
 # pipeline uses (the xp_training_pipeline snapshot amortization;
 # measured ~2.3 s/op saved at sf0.1). Since round 14 (VERDICT r13 #5)
 # the cache holds ONE WEIGHTED (u, v, w) frame per (session, sf_dir) —
-# both consumer thresholds (thr=2 for the seven thresholded ops, thr=1
+# both consumer thresholds (thr=2 for the eight thresholded ops, thr=1
 # for xh_degree_distribution) derive from it by a row-local filter, so
 # the basket-expansion pipeline and its order-keyed exchange run once,
 # not once per threshold. The frame is a lazily localCheckpoint'ed
