@@ -47,7 +47,8 @@ mid-r14 queues for R15) and the stalest remaining driver evidence is the
 R15 QUEUE LEDGER (stalest driver evidence after this window, in rotation
 order — never-checked first, then ties by name): the H operators added
 mid-r14 after this window was pinned queue first (as of this writing
-xh_bfs_hops, xh_good_turing; any later r14 adds join them); then the 7 remaining
+xh_bfs_hops, xh_coverage_curve, xh_good_turing, xh_label_propagation;
+any later r14 adds join them); then the 7 remaining
 round-7 xh_* ops on r10 evidence (xh_text_roundtrip, xh_tpch_q10,
 xh_tpch_q18, xh_tpch_q3, xh_tpch_q5, xh_weighted_mix,
 xh_weighted_sample); then the r11-evidence cohort in name order (q01-q21,

@@ -1278,3 +1278,81 @@ def xh_good_turing(spark, sf_dir):
         )
         .orderBy("c")
     )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary coverage curve (round 14)
+# ---------------------------------------------------------------------------
+
+# fixed probe ranks: coverage at top-2^i types. A tokenizer-budget read is
+# only meaningful at pre-declared ranks (the fixed-round discipline); ranks
+# past the actual vocabulary simply emit no row on either engine.
+_COVERAGE_KS = (1, 2, 4, 8, 16, 32, 64, 128, 256, 512, 1024)
+_COVERAGE_KS_SQL = ", ".join(str(k) for k in _COVERAGE_KS)
+
+
+@register(
+    "xh_coverage_curve",
+    oracle=f"""WITH t AS MATERIALIZED (
+  SELECT unnest({_TOKENS_SQL}) AS token FROM documents),
+c AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM t GROUP BY token),
+r AS (SELECT token, cnt,
+             CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS BIGINT)
+               AS rk,
+             CAST(SUM(cnt) OVER (ORDER BY cnt DESC, token
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      FROM c),
+n AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM c)
+SELECT r.rk AS top_k, r.cum AS tokens_covered,
+       CAST(CAST(r.cum AS HUGEINT) * 1000000 // n.total AS BIGINT)
+         AS coverage_ppm
+FROM r CROSS JOIN n
+WHERE r.rk IN ({_COVERAGE_KS_SQL})
+ORDER BY top_k""",
+    tags=("llm", "text", "stats", "tokenizer"),
+)
+def xh_coverage_curve(spark, sf_dir):
+    """Vocabulary coverage curve (round 14): what fraction of all corpus
+    token OCCURRENCES the top-2^i types cover, at the fixed probe ranks
+    1,2,4,...,1024 — the read that sizes a tokenizer vocab budget (the
+    knee of this curve is where adding types stops paying) and flags
+    template flooding (coverage ~1e6 at tiny k = a boilerplate corpus).
+    Exact ppm via truncating division, widened to 128-bit integers up
+    front (cum*1e6 wraps BIGINT past ~9e12 tokens — a 100 TB corpus is
+    ~2e13; the ADVICE r13 width discipline). Probe ranks past the
+    actual vocabulary emit no row on either engine (fixed-rank
+    discipline, deterministic at every SF).
+
+    Scale shape: ONE uniform token partial agg builds the vocab frame
+    (Heaps-law rows); the global frequency rank AND the running
+    coverage both come from operators/prefix (range-partitioned rank
+    fix-up + pid-local prefix sums with O(P) driver offsets — never a
+    single-partition ROW_NUMBER/SUM window over the vocabulary); the
+    corpus total is a provably-1-row broadcast; output is <= 11 rows at
+    any corpus."""
+    from ..operators.prefix import global_prefix_sum, grouped_rank
+
+    d = tbl(spark, sf_dir, "documents")
+    c = (
+        d.select(F.explode(_tokens_col()).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .withColumn("__grp", F.lit(0))
+        .withColumn("neg_cnt", -F.col("cnt"))
+    )
+    ranked = grouped_rank(c, ["__grp"], ["neg_cnt", "token"], out_col="rk")
+    cum = global_prefix_sum(ranked, "cnt", ["rk"], out_col="cum")
+    tot = c.agg(F.sum("cnt").cast("long").alias("total"))
+    return (
+        cum.where(F.col("rk").isin(*_COVERAGE_KS))
+        .join(F.broadcast(tot))  # 1-row corpus token total
+        .select(
+            F.col("rk").alias("top_k"),
+            F.col("cum").alias("tokens_covered"),
+            F.expr(
+                "CAST(CAST(cum AS DECIMAL(38,0)) * 1000000"
+                " div total AS BIGINT)"
+            ).alias("coverage_ppm"),
+        )
+        .orderBy("top_k")
+    )

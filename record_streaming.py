@@ -503,6 +503,92 @@ def check_streaming_cms_merge(spark, tmp):
     }
 
 
+def check_streaming_mg_recount(spark, tmp):
+    """Incremental heavy-hitters (round 14, the sketch trio's third
+    member): a driver-side weighted Misra-Gries state (K+1 counters)
+    ingests each micro-batch's (token, cnt) partial-agg rows with the
+    classic decrement step; the MG guarantee survives merging, so the
+    exact recount over the final key set, thresholded at N/(K+1), must
+    equal the batch xh_heavy_hitters output exactly."""
+    from hadoop_copier_spark.queries import REGISTRY
+    from hadoop_copier_spark.queries.text_index import (
+        _MG_COUNTERS,
+        _tokens_col,
+    )
+
+    src = os.path.join(tmp, "mg_src")
+    os.makedirs(src, exist_ok=True)
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    n_chunks = 5
+    for i in range(n_chunks):
+        (
+            docs.where(F.col("doc_id") % n_chunks == i)
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+    state: dict[str, int] = {}
+    batch_ids: list[int] = []
+
+    def merge(bdf, bid):
+        batch_ids.append(int(bid))
+        rows = (
+            bdf.select(F.explode(_tokens_col()).alias("token"))
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        )
+        for r in rows:
+            state[r["token"]] = state.get(r["token"], 0) + int(r["cnt"])
+            if len(state) > _MG_COUNTERS:
+                m = min(state.values())
+                for t in list(state):
+                    state[t] -= m
+                    if state[t] <= 0:
+                        del state[t]
+
+    q = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(merge)
+        .option("checkpointLocation", os.path.join(tmp, "mg_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    toks = docs.select(F.explode(_tokens_col()).alias("token"))
+    cand = spark.createDataFrame(
+        spark.sparkContext.parallelize([(t,) for t in state], 1),
+        "token string",
+    )
+    total = toks.count()
+    got = {
+        (r["token"], r["cnt"])
+        for r in toks.join(F.broadcast(cand), "token")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") * (_MG_COUNTERS + 1) > total)
+        .collect()
+    }
+    batch = {
+        (r["token"], r["cnt"])
+        for r in REGISTRY["xh_heavy_hitters"].fn(spark, SF).collect()
+    }
+    return {
+        "n_micro_batches": len(batch_ids),
+        "n_mg_survivors": len(state),
+        "recount_equals_batch_heavy_hitters": got == batch,
+        "batch_query": "xh_heavy_hitters",
+        "pass": got == batch
+        and 0 < len(state) <= _MG_COUNTERS
+        and len(batch_ids) >= n_chunks,
+    }
+
+
 CHECKS = [
     ("tumbling_window_q61", check_tumbling_equals_batch),
     ("sliding_window_q62", check_sliding_equals_batch),
@@ -515,6 +601,7 @@ CHECKS = [
     ("stateful_subseq_matcher", check_subseq_matcher_equals_batch),
     ("streaming_hll_merge", check_streaming_hll_merge),
     ("streaming_cms_merge", check_streaming_cms_merge),
+    ("streaming_mg_recount", check_streaming_mg_recount),
 ]
 
 

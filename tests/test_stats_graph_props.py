@@ -773,3 +773,61 @@ def test_bfs_hops_levels_and_budget_cutoff(spark, tmp_path):
         for r in REGISTRY["xh_bfs_hops"].fn(spark, tmp).collect()
     }
     assert got == {1: 0, 2: 1, 3: 2, 4: 3, 5: 4}
+
+
+def test_coverage_curve_matches_hand_recount(spark, tmp_path):
+    """Planted a^8 b^4 c^2 d^1 corpus (total 15): coverage at the fixed
+    probe ranks 1/2/4 is 8/15, 12/15, 15/15 in exact truncating ppm;
+    ranks past the 4-type vocabulary emit no row."""
+    rows = [(1, " ".join(["a"] * 8 + ["b"] * 4 + ["c"] * 2 + ["d"]))]
+    tmp = str(tmp_path / "cov")
+    _write_docs(spark, [(i, t, "en", "s", 1) for i, t in rows], tmp)
+    got = [
+        (r["top_k"], r["tokens_covered"], r["coverage_ppm"])
+        for r in REGISTRY["xh_coverage_curve"].fn(spark, tmp).collect()
+    ]
+    assert got == [
+        (1, 8, 8 * 1_000_000 // 15),
+        (2, 12, 12 * 1_000_000 // 15),
+        (4, 15, 1_000_000),
+    ]
+
+
+def test_label_propagation_bridge_does_not_merge_cliques(spark, tmp_path):
+    """Two triangles joined by ONE bridge edge: after the fixed 3 LPA
+    rounds each clique holds a single internal community and the two
+    communities stay DISTINCT — the local-majority property that makes
+    LPA resist the chaining artifact transitive closure over-merges.
+    Expected labels recomputed by hand-simulating the synchronous
+    min-tie-break update (documented step by step in the sim below)."""
+    edges = [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12), (3, 10)]
+    order_parts, o = [], 0
+    for u, v in edges:
+        for _ in range(2):
+            order_parts.append((o := o + 1, [u, v]))
+    tmp = str(tmp_path / "lpa")
+    _write_lineitem_pairs(spark, order_parts, tmp)
+    got = {
+        r["part"]: r["community"]
+        for r in REGISTRY["xh_label_propagation"].fn(spark, tmp).collect()
+    }
+
+    # independent synchronous simulation with the same tie-break
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    lbl = {n: n for n in adj}
+    for _ in range(3):  # _LPA_ROUNDS
+        new = {}
+        for n, nbrs in adj.items():
+            cnt = {}
+            for m in nbrs:
+                cnt[lbl[m]] = cnt.get(lbl[m], 0) + 1
+            new[n] = min(cnt, key=lambda L: (-cnt[L], L))
+        lbl = new
+    assert got == lbl
+    # the two cliques end in single, DISTINCT communities
+    assert len({got[1], got[2], got[3]}) == 1
+    assert len({got[10], got[11], got[12]}) == 1
+    assert got[1] != got[10]

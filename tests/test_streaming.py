@@ -660,3 +660,76 @@ def test_streaming_cms_merge_equals_batch(spark, tmp_path):
         state.get((int(r["row_id"]), int(r["bucket"])), 0) == int(r["cnt"])
         for r in batch
     )
+
+
+def test_streaming_misra_gries_recount_equals_batch(spark, tmp_path):
+    """Incremental heavy-hitters (round 14, the sketch trio's third
+    member beside HLL max-merge and CMS sum-merge): a driver-side
+    weighted Misra-Gries state (K+1 = 50 counters) ingests each
+    micro-batch's (token, cnt) partial-agg rows with the classic
+    decrement step; the final key set is a SUPERSET of every token with
+    total count > N/(K+1) (the MG guarantee survives merging), so the
+    exact recount restricted to it, thresholded, must equal the batch
+    xh_heavy_hitters output EXACTLY."""
+    from hadoop_copier_spark.queries.text_index import _MG_COUNTERS, _tokens_col
+
+    src = str(tmp_path / "mg_src")
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    for i in range(5):
+        (
+            docs.where(F.col("doc_id") % 5 == i)
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+    state: dict[str, int] = {}
+
+    def merge(bdf, bid):
+        rows = (
+            bdf.select(F.explode(_tokens_col()).alias("token"))
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()  # batch-vocab partial-agg rows; state stays K+1
+        )
+        for r in rows:
+            state[r["token"]] = state.get(r["token"], 0) + int(r["cnt"])
+            if len(state) > _MG_COUNTERS:
+                m = min(state.values())
+                for t in list(state):
+                    state[t] -= m
+                    if state[t] <= 0:
+                        del state[t]
+
+    q = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(merge)
+        .option("checkpointLocation", str(tmp_path / "mg_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert 0 < len(state) <= _MG_COUNTERS
+
+    # exact recount over the full corpus, restricted to the MG survivors
+    toks = docs.select(F.explode(_tokens_col()).alias("token"))
+    cand = spark.createDataFrame(
+        spark.sparkContext.parallelize([(t,) for t in state], 1), "token string"
+    )
+    total = toks.count()
+    got = {
+        (r["token"], r["cnt"])
+        for r in toks.join(F.broadcast(cand), "token")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") * (_MG_COUNTERS + 1) > total)
+        .collect()
+    }
+    batch = {
+        (r["token"], r["cnt"])
+        for r in REGISTRY["xh_heavy_hitters"].fn(spark, SF).collect()
+    }
+    assert got == batch
