@@ -414,6 +414,9 @@ def test_no_unplanned_nested_loop_or_cartesian_joins(spark, sf_smoke):
         # 1-row marginal-product scalar broadcast onto the 1-row totals
         # frame (kappa's pe term — the heavy_hitters shape)
         "xh_kappa_langid",
+        # 1-row corpus-token-total broadcast onto the <=11-row coverage
+        # frame (the burstiness/unigram_surprisal global-scalar shape)
+        "xh_coverage_curve",
     }
     offenders = []
     for name, q in sorted(REGISTRY.items()):
