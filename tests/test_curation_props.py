@@ -724,3 +724,55 @@ def test_containment_matches_bruteforce_shingle_sets(spark, tmp_path):
     assert (1, 2) in got and got[(1, 2)][3] == 1_000_000  # full containment
     assert (2, 1) not in got                              # not symmetric
     assert (4, 5) in got and (5, 4) in got                # identical shorts
+
+
+@pytest.mark.parametrize("n_chunks", [1, 3, 16])
+def test_mg_merge_recount_is_chunking_invariant(spark, sf_smoke, n_chunks):
+    """The weighted Misra-Gries merge algebra behind the round-14
+    streaming check, pinned as a pure property: ingesting the corpus's
+    (token, cnt) partial aggregates in ANY chunking (1 / 3 / 16 chunks
+    by doc_id) through the K+1-counter decrement state must leave a
+    survivor set whose exact recount, thresholded at N/(K+1), equals
+    the batch xh_heavy_hitters output EXACTLY — the guarantee that
+    makes the sketch safe to maintain incrementally per shard or per
+    micro-batch."""
+    from hadoop_copier_spark.queries.text_index import _MG_COUNTERS, _tokens_col
+
+    docs = load_table(spark, sf_smoke, "documents")
+    state: dict[str, int] = {}
+    for i in range(n_chunks):
+        rows = (
+            docs.where(F.col("doc_id") % n_chunks == i)
+            .select(F.explode(_tokens_col()).alias("token"))
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        )
+        for r in rows:
+            state[r["token"]] = state.get(r["token"], 0) + int(r["cnt"])
+            if len(state) > _MG_COUNTERS:
+                m = min(state.values())
+                for t in list(state):
+                    state[t] -= m
+                    if state[t] <= 0:
+                        del state[t]
+    assert 0 < len(state) <= _MG_COUNTERS
+
+    toks = docs.select(F.explode(_tokens_col()).alias("token"))
+    cand = spark.createDataFrame(
+        spark.sparkContext.parallelize([(t,) for t in state], 1), "token string"
+    )
+    total = toks.count()
+    got = {
+        (r["token"], r["cnt"])
+        for r in toks.join(F.broadcast(cand), "token")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") * (_MG_COUNTERS + 1) > total)
+        .collect()
+    }
+    batch = {
+        (r["token"], r["cnt"])
+        for r in REGISTRY["xh_heavy_hitters"].fn(spark, sf_smoke).collect()
+    }
+    assert got == batch
