@@ -1,4 +1,4 @@
-"""Driver-window rotation (round 14; executes the r13 verdict's R14 QUEUE LEDGER).
+"""Driver-window rotation (round 15; executes the r14 verdict's R15 QUEUE LEDGER).
 
 THE MECHANISM AND ITS AUTHORIZATION
 -----------------------------------
@@ -8,116 +8,122 @@ queries. Re-pointing that window from inside the repo was flagged by the
 round-5 advisor (ADVICE.md, high): the graded party must not silently
 choose its own grading sample. The rotation below is therefore NOT
 silent: it executes the judge's explicit instruction, carried verbatim as
-VERDICT r13 "Next round" #1:
+VERDICT r14 "Next round" #1:
 
-    "Execute the R14 QUEUE LEDGER rotation (queries/aliases.py:68-102,
-    already written): window = the 43 never-driver-checked r13 H ops —
-    the 30 new ops (xh_autocorr_daily ... xh_zipf_fit, list at
-    aliases.py:70-83) and the 13 TPC-H completion analogs
-    (q2/q6/q7/q8/q9/q11/q12/q13/q15/q16/q17/q20/q21) — then the 14
-    round-7 ops on r10 evidence in name order until the window fills.
-    Done = CORRECTNESS_r14.json 50/50 green with exactly that keyset."
+    "Execute the R15 QUEUE LEDGER rotation (queries/aliases.py:51-74,
+    already written): window = the 4 never-driver-checked r14 adds
+    (xh_bfs_hops, xh_coverage_curve, xh_good_turing,
+    xh_label_propagation) + the 7 round-7 ops on r10 evidence
+    (xh_text_roundtrip, xh_tpch_q10/q18/q3/q5, xh_weighted_mix,
+    xh_weighted_sample) + the r11 cohort in name order (q01-q21,
+    q48-q50, then the 27 xh twins listed) until the window fills.
+    Done = CORRECTNESS_r15.json 50/50 green with exactly that keyset."
 
 ROTATION POLICY (deterministic, coverage-first, no cherry-picking)
 ------------------------------------------------------------------
 Window slots go to the LEAST-RECENTLY-DRIVER-VERIFIED queries first;
 never-checked before stale; ties broken by registry name. Ledger of
-driver evidence entering round 14 (recomputed from CORRECTNESS_r*.json,
+driver evidence entering round 15 (recomputed from CORRECTNESS_r*.json,
 alias names decoded to their targets):
 
-  never checked : the 43 H operators added mid-r13 after the r13 window
-                  was pinned (30 new ops + 13 TPC-H completion analogs,
-                  = _XH_NEVER_CHECKED below)           -> 43 slots
-  r10 (stalest) : the 14 remaining round-7 xh_* ops; the first 7 in
-                  name order: xh_langid_ngram, xh_ohlc_bars,
-                  xh_outlier_trim, xh_quantile_norm, xh_rfm_segments,
-                  xh_scd2_intervals, xh_subseq_search  ->  7 slots
-  r11+          : everything else H carries r11-or-fresher driver
+  never checked : the 4 H operators added mid-r14 after the r14 window
+                  was pinned (_XH_NEVER_CHECKED below)  ->  4 slots
+  r10 (stalest) : the 7 remaining round-7 xh_* ops
+                  (_XH_R10_STALE below)                 ->  7 slots
+  r11           : the r11-evidence cohort in name order: the 24
+                  contract queries q01-q21 + q48-q50
+                  (_CONTRACT_R11 below), then the 27 xh twins; the
+                  first 15 in name order fill the window
+                  (_XH_R11_COHORT below)                -> 39 slots
+  r12+          : everything else H carries r12-or-fresher driver
                   evidence -> displaced (their evidence of record stays
-                  in CORRECTNESS_r11/r12/r13.json)
+                  in CORRECTNESS_r12/r13/r14.json)
   P-class (xp_/xt_): rows-only by design, driver checks them outside the
                   hash window; not rotated.
 
-43 + 7 = 50 = the full window. Nothing contract-bearing is steered OUT:
-every query displaced this round carries a green r11, r12 or r13 driver
-row. After this round the never-checked backlog is empty (any H op added
-mid-r14 queues for R15) and the stalest remaining driver evidence is the
-7 round-7 ops left at r10.
+4 + 7 + 24 + 15 = 50 = the full window. Nothing contract-bearing is
+steered OUT: every query displaced this round carries a green r12, r13
+or r14 driver row. After this round the never-checked backlog is empty
+(any H op added mid-r15 queues for R16) and the stalest remaining driver
+evidence is the 12 r11-cohort xh twins that did not fit this window.
 
-R15 QUEUE LEDGER (stalest driver evidence after this window, in rotation
-order — never-checked first, then ties by name): the H operators added
-mid-r14 after this window was pinned queue first (as of this writing
-xh_bfs_hops, xh_coverage_curve, xh_good_turing, xh_label_propagation;
-any later r14 adds join them); then the 7 remaining
-round-7 xh_* ops on r10 evidence (xh_text_roundtrip, xh_tpch_q10,
-xh_tpch_q18, xh_tpch_q3, xh_tpch_q5, xh_weighted_mix,
-xh_weighted_sample); then the r11-evidence cohort in name order (q01-q21,
-q48-q50, xh_asof_bucketed, xh_contamination,
-xh_correlated_scalar_subquery, xh_date_series, xh_doc_fingerprint,
-xh_embedding_neardup, xh_exists_subquery_sql, xh_gap_fill,
-xh_higher_order, xh_histogram, xh_merge_upsert, xh_minhash_lsh_pairs,
-xh_ngram_jaccard, xh_orc_roundtrip, xh_pack_sequences, xh_pii_scrub,
-xh_pivot, xh_repetition, xh_scalar_and_in_subquery, xh_simhash,
-xh_string_agg, xh_text_quality, xh_token_stats, xh_udtf_generate,
-xh_unpivot, xh_znorm_window) until the window fills. P-class adds stay
-outside the hash window, not rotated.
+R16 QUEUE LEDGER (stalest driver evidence after this window, in rotation
+order — never-checked first, then ties by name): any H operators added
+mid-r15 after this window was pinned queue first; then the 12 remaining
+r11-cohort xh twins (xh_pii_scrub, xh_pivot, xh_repetition,
+xh_scalar_and_in_subquery, xh_simhash, xh_string_agg, xh_text_quality,
+xh_token_stats, xh_udtf_generate, xh_unpivot, xh_znorm_window — 11 —
+plus xh_minhash_lsh_pairs's r11-cohort peer xh_ngram_jaccard is taken
+this round, leaving exactly the 11 listed plus any mid-r15 adds); then
+the r12-evidence cohort in name order (q22-q47, q51-q67, and the r12 xh
+twins per CORRECTNESS_r12.json) until the window fills. P-class adds
+stay outside the hash window, not rotated.
 
-Each ``bx_*`` name binds the SAME ``Query`` object fields (function and
-oracle) as its target — verified by tests/test_oracle_queries running
-aliases through the identical harness. The round-13 alias block is
-replaced wholesale (its evidence of record stays in CORRECTNESS_r13.json)
-so the registry carries one alias generation at a time.
+Alias naming: contract query ``qNN`` -> ``bNN``; ``xh_<suffix>`` ->
+``bx_<suffix>`` (the r12/r14 convention; every alias sorts before every
+real registry name, so the window is exactly the 50 aliases). Each alias
+binds the SAME ``Query`` object fields (function and oracle) as its
+target — verified by tests/test_oracle_queries running aliases through
+the identical harness. The round-14 alias block is replaced wholesale
+(its evidence of record stays in CORRECTNESS_r14.json) so the registry
+carries one alias generation at a time.
 """
 
 from __future__ import annotations
 
 from .registry import REGISTRY, Query
 
-# The 43 H operators added mid-r13 (never driver-checked), name order:
-# 30 new graph/sketch/privacy/stats/text ops + the 13 TPC-H completion
-# analogs. Pinned as an explicit list, NOT derived from the registry:
-# operators added later must queue for the NEXT rotation instead of
-# silently reshaping this one.
+# The 4 H operators added mid-r14 (never driver-checked), name order.
+# Pinned as an explicit list, NOT derived from the registry: operators
+# added later must queue for the NEXT rotation instead of silently
+# reshaping this one.
 _XH_NEVER_CHECKED = [
-    "xh_autocorr_daily", "xh_balanced_shards", "xh_benford",
-    "xh_bigram_surprisal", "xh_bpe_merge_step", "xh_chi2_tokens",
-    "xh_clustering_coefficient", "xh_cms_registers",
-    "xh_common_neighbors", "xh_containment_pairs",
-    "xh_cooccurrence_window", "xh_cusum_changepoint",
-    "xh_degree_assortativity", "xh_degree_distribution",
-    "xh_entropy_by_source", "xh_hll_merge", "xh_jackknife_ci",
-    "xh_kappa_langid", "xh_kcore_peel", "xh_kl_source_drift",
-    "xh_kmeans_round", "xh_l_diversity", "xh_resource_allocation",
-    "xh_rrf_fusion", "xh_t_closeness", "xh_tfidf_topk",
-    "xh_token_burstiness", "xh_triangle_count", "xh_unigram_surprisal",
-    "xh_zipf_fit",
-    "xh_tpch_q11", "xh_tpch_q12", "xh_tpch_q13", "xh_tpch_q15",
-    "xh_tpch_q16", "xh_tpch_q17", "xh_tpch_q2", "xh_tpch_q20",
-    "xh_tpch_q21", "xh_tpch_q6", "xh_tpch_q7", "xh_tpch_q8",
-    "xh_tpch_q9",
+    "xh_bfs_hops", "xh_coverage_curve", "xh_good_turing",
+    "xh_label_propagation",
 ]
 
-# ... and the 7 stalest round-7 xh_* ops on r10 evidence, name order.
+# The 7 remaining round-7 xh_* ops on r10 evidence, name order.
 _XH_R10_STALE = [
-    "xh_langid_ngram", "xh_ohlc_bars", "xh_outlier_trim",
-    "xh_quantile_norm", "xh_rfm_segments", "xh_scd2_intervals",
-    "xh_subseq_search",
+    "xh_text_roundtrip", "xh_tpch_q10", "xh_tpch_q18", "xh_tpch_q3",
+    "xh_tpch_q5", "xh_weighted_mix", "xh_weighted_sample",
 ]
+
+# The r11-evidence contract queries, name order: q01-q21 and q48-q50.
+_CONTRACT_R11 = [f"q{i:02d}" for i in range(1, 22)] + ["q48", "q49", "q50"]
+
+# The first 15 (name order) of the 27 r11-evidence xh twins; the
+# remaining 12 queue for R16 (ledger above).
+_XH_R11_COHORT = [
+    "xh_asof_bucketed", "xh_contamination",
+    "xh_correlated_scalar_subquery", "xh_date_series",
+    "xh_doc_fingerprint", "xh_embedding_neardup",
+    "xh_exists_subquery_sql", "xh_gap_fill", "xh_higher_order",
+    "xh_histogram", "xh_merge_upsert", "xh_minhash_lsh_pairs",
+    "xh_ngram_jaccard", "xh_orc_roundtrip", "xh_pack_sequences",
+]
+
+
+def _alias_name(target: str) -> str:
+    if target.startswith("xh_"):
+        return "bx_" + target[3:]
+    if target.startswith("q"):
+        return "b" + target[1:]
+    raise ValueError(f"unexpected rotation target {target!r}")
 
 
 def _install() -> None:
-    pairs = [
-        ("bx_" + name[3:], name)
-        for name in _XH_NEVER_CHECKED + _XH_R10_STALE
-    ]
-    assert len(pairs) == 50, f"window must be exactly 50 names, got {len(pairs)}"
-    for alias, target in pairs:
+    targets = (
+        _XH_NEVER_CHECKED + _XH_R10_STALE + _CONTRACT_R11 + _XH_R11_COHORT
+    )
+    assert len(targets) == 50, f"window must be exactly 50 names, got {len(targets)}"
+    for target in targets:
+        alias = _alias_name(target)
         q = REGISTRY[target]
         REGISTRY[alias] = Query(
             name=alias,
             fn=q.fn,
             oracle=q.oracle,
-            doc=f"Alias of {target} (driver-window rotation, VERDICT r13 #1): " + q.doc,
+            doc=f"Alias of {target} (driver-window rotation, VERDICT r14 #1): " + q.doc,
             tags=q.tags + ("alias",),
         )
 
