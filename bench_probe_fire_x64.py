@@ -42,6 +42,19 @@ _KEYS = {
 }
 
 
+
+def _q14_bound_rows(ta):
+    """Effective byte-aware row bound for q14's 2-column part slice
+    (p_partkey BIGINT, p_type STRING) -- the probed broadcast candidate."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    return ta._max_broadcast_rows(
+        StructType([
+            StructField("p_partkey", LongType()),
+            StructField("p_type", StringType()),
+        ])
+    )
+
 def main() -> None:
     from hadoop_copier_spark.queries import tpch_analogs as ta
 
@@ -104,8 +117,8 @@ def main() -> None:
                 and all(v is not None for v in mb_rows[0]),
             },
             "part_broadcast_probe": {
-                "bound_rows": ta._PART_BROADCAST_MAX_ROWS,
-                "fired_unhinted_path": n_part > ta._PART_BROADCAST_MAX_ROWS,
+                "bound_rows": _q14_bound_rows(ta),
+                "fired_unhinted_path": n_part > _q14_bound_rows(ta),
                 "wall_sec": q14_wall,
                 "n_rows": len(q14_rows),
             },

@@ -73,6 +73,19 @@ _QUERIES = sorted(
 ) + ["q24", "xh_market_basket"]
 
 
+
+def _q14_bound_rows(ta):
+    """Effective byte-aware row bound for q14's 2-column part slice
+    (p_partkey BIGINT, p_type STRING) -- the probed broadcast candidate."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    return ta._max_broadcast_rows(
+        StructType([
+            StructField("p_partkey", LongType()),
+            StructField("p_type", StringType()),
+        ])
+    )
+
 def replicate(spark, out_dir: str, factor: int) -> str:
     sf_dir = os.path.join(out_dir, f"x{factor}")
     # one shift unit per key family (max key + 1 over the base fixture)
@@ -144,10 +157,10 @@ def main() -> None:
             results[f"x{f}"] = r
             if f == max(FACTORS):
                 probes["part_broadcast_probe"] = {
-                    "bound_rows": ta._PART_BROADCAST_MAX_ROWS,
+                    "bound_rows": _q14_bound_rows(ta),
                     "part_rows_at_max_factor": r["n_part"],
                     "fires_unhinted_path": r["n_part"]
-                    > ta._PART_BROADCAST_MAX_ROWS,
+                    > _q14_bound_rows(ta),
                 }
                 probes["basket_decimal_probe"] = {
                     "bound_orders": ta._BASKET_DECIMAL_AT,

@@ -283,6 +283,47 @@ def test_market_basket_support_and_lift_exact(spark, tmp_path_factory):
         assert dec_rows == bigint_rows, (promote_at, dec_rows, bigint_rows)
 
 
+def test_market_basket_prune_is_exact(spark, sf_oracle, monkeypatch):
+    """VERDICT r14 #5 (A-priori step-1 prune): with the prune forced ON
+    at fixture scale, the result must be row-identical to the exact
+    unpruned expansion — the accept condition (>= TOP complete pairs at
+    co-count >= t) guarantees the global top-50 survives the prune, and
+    the t < 2 fallback is the unpruned plan itself."""
+    from hadoop_copier_spark.queries import tpch_analogs as ta
+
+    full = sorted(map(tuple, ta._market_basket_frame(spark, sf_oracle).collect()))
+    monkeypatch.setattr(ta, "_BASKET_PRUNE_MIN_ORDERS", 0)
+    pruned = sorted(map(tuple, ta._market_basket_frame(spark, sf_oracle).collect()))
+    assert pruned == full
+
+    # and the accept/descend machinery itself: on a corpus where the
+    # independence estimate overshoots (few qualifying pairs), _top_pairs
+    # must still return a frame whose top-TOP equals the exact answer
+    items = (
+        ta.tbl(spark, sf_oracle, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_orders = items.select("l_orderkey").distinct().count()
+    pc = items.groupBy("l_partkey").agg(
+        ta.F.count(ta.F.lit(1)).alias("n_part")
+    ).localCheckpoint(eager=True)
+    got = (
+        ta._top_pairs(items, pc, n_orders, ta._BASKET_TOP)
+        .orderBy(ta.F.col("n_both").desc(), "part_a", "part_b")
+        .limit(ta._BASKET_TOP)
+        .collect()
+    )
+    want = (
+        ta._pair_counts(items)
+        .orderBy(ta.F.col("n_both").desc(), "part_a", "part_b")
+        .limit(ta._BASKET_TOP)
+        .collect()
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
 def test_t_closeness_flags_point_mass_class(spark, tmp_path_factory):
     """Class A/day1 is a point mass on sensitive value 'x' while the
     global distribution is 50/25/25 over x/y/z -> TVD = 0.5, flagged at

