@@ -113,7 +113,17 @@ def _edges(spark, sf_dir, thr=_MIN_COPURCHASE):
     for triangle_count), while the derived checkpoint restores r13
     consumer walls AND keeps the single shared build."""
     w = _weighted_edges(spark, sf_dir)
+    mkey = (spark.sparkContext.applicationId, sf_dir, "materialized")
     if thr <= 1:
+        # ADVICE r14: a thr<=1 consumer (xh_degree_distribution) can
+        # reference the frame twice (unionAll of the u/v selects); if it
+        # is the FIRST graph op in the session the lazy checkpoint would
+        # let both branches recompute the post-shuffle build tail. Force
+        # the checkpoint with one cheap action before handing it out —
+        # the same one-pass rationale as the eager derived frame below.
+        if not _EDGE_CACHE.get(mkey):
+            w.count()
+            _EDGE_CACHE[mkey] = True
         return w.select("u", "v")
     key = (spark.sparkContext.applicationId, sf_dir, thr)
     hit = _EDGE_CACHE.get(key)
@@ -131,6 +141,7 @@ def _edges(spark, sf_dir, thr=_MIN_COPURCHASE):
         .localCheckpoint(eager=True)
     )
     _EDGE_CACHE[key] = out
+    _EDGE_CACHE[mkey] = True  # the eager job materialized the build too
     return out
 
 

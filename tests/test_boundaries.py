@@ -4,6 +4,7 @@ stays silently untested). Each case builds the smallest data that sits ON
 the boundary and asserts which side of it each operator lands."""
 
 import datetime as dt
+import re
 
 from pyspark.sql import functions as F
 
@@ -443,6 +444,10 @@ def test_hll_bucket_is_exact_integer_division(spark):
     assert row["float_bucket"] == 5  # the double path misassigns...
     assert row["exact_bucket"] == h // rem == 4  # ...the exact path does not
 
+    # Source audit (ADVICE r14: behavioral pin + a REGEX absence check,
+    # not an exact occurrence count that breaks on benign refactors):
+    # no float floor-division by _HLL_REM may reappear anywhere — every
+    # bucket extraction must be integer `div`.
     src = inspect.getsource(qc)
-    assert "F.floor(F.col(\"h\") / _HLL_REM)" not in src
-    assert src.count('F.expr(f"h div {_HLL_REM}")') == 3  # registers, merge, rho
+    assert not re.search(r"F\.floor\([^)]*/\s*_HLL_REM", src)
+    assert 'div {_HLL_REM}' in src  # at least one exact-division site
