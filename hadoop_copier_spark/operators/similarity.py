@@ -590,6 +590,45 @@ def _pq_empty_result(df):
     )
 
 
+def _exact_rerank(shortlist, candidates, queries, k, id_col, vec_col):
+    """Exact-cosine rescore of an ADC shortlist (VERDICT r14 #3) — the
+    standard IVF-PQ recall fix: PQ compression ranks the shortlist, but
+    the FINAL top-k comes from full-precision cosine over the ~4k-row
+    per-query shortlist, so quantization error can reorder only
+    candidates that never reach the user.
+
+    Distributed shape: ``shortlist`` is (query_id, neighbor_id) — Q x N
+    rows of pure metadata. Joining it back to ``candidates`` on the id
+    is a build-side-tiny hash join (AQE broadcasts the shortlist from
+    runtime stats), so the full-precision vectors are read MAP-SIDE
+    where they already live and never shuffle; the query vectors ride
+    the same broadcast path as the ADC LUTs; the final window sorts
+    Q x N rows. No new corpus-scale exchange anywhere."""
+    from pyspark.sql import Window
+
+    cv = candidates.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+    )
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    cos = _dbl_dot(F.col("__cv"), F.col("__qv")) / F.sqrt(
+        _dbl_dot(F.col("__cv"), F.col("__cv"))
+        * _dbl_dot(F.col("__qv"), F.col("__qv"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    return (
+        shortlist.join(cv, "neighbor_id")  # unhinted: AQE broadcasts
+        .join(F.broadcast(qv), "query_id")
+        .select("query_id", "neighbor_id", cos.alias("score"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "score")
+    )
+
+
 def _pq_dims(candidates, vec_col, m):
     first = candidates.select(F.size(F.col(vec_col)).alias("d")).first()
     if first is None:
@@ -682,6 +721,7 @@ def ivfpq_ann_topk(
     lloyd_iters: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    rerank_factor: int = 32,
 ) -> DataFrame:
     """IVF-PQ approximate top-k (round 13) — the production composition
     of the two scale levers: the IVF coarse quantizer PRUNES (only the
@@ -703,7 +743,18 @@ def ivfpq_ann_topk(
     for the planted-duplicate bar the tests pin; classical residual
     encoding (quantize v - centroid) is a drop-in refinement inside
     _pq_train_books if tighter tails are ever needed at production SF.
-    NULL vectors drop on both sides; dim must be divisible by ``m``."""
+    NULL vectors drop on both sides; dim must be divisible by ``m``.
+
+    ``rerank_factor`` (VERDICT r14 #3): the ADC ranking keeps the top
+    ``k * rerank_factor`` candidates per query and the FINAL top-k is
+    re-scored with exact full-precision cosine (_exact_rerank) — the
+    standard fix for PQ's quantization tail (random-tail recall@5
+    measured 0.38 without it, bench/ann_results.json r13; 0.94 at the
+    default 32, from the measured sweep over rerank_factor x n_codes —
+    the fixture's random 64-dim tails are near-orthogonal, so 4-bit ADC
+    ranks them noisily and the shortlist must be generous; k*32 rows
+    per query is still pure metadata at any corpus size). Scores are
+    then exact cosines. Set rerank_factor=0 for raw ADC output."""
     from pyspark.sql import Window
 
     candidates = candidates.filter(F.col(vec_col).isNotNull())
@@ -740,9 +791,16 @@ def ivfpq_ann_topk(
     w = Window.partitionBy("query_id").orderBy(
         F.col("__score").desc(), F.col("neighbor_id")
     )
-    return (
+    shortlist_k = k * rerank_factor if rerank_factor and rerank_factor > 0 else k
+    ranked = (
         pairs.select("query_id", "neighbor_id", adc.alias("__score"))
         .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+        .filter(F.col("rank") <= shortlist_k)
         .select("query_id", "neighbor_id", "rank", F.col("__score").alias("score"))
+    )
+    if shortlist_k == k:
+        return ranked
+    return _exact_rerank(
+        ranked.select("query_id", "neighbor_id"),
+        candidates, queries, k, id_col, vec_col,
     )

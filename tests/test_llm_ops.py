@@ -628,7 +628,41 @@ def test_ann_ivfpq_planted_duplicates_and_recall(spark, sf_oracle):
     for r in approx:
         top_a.setdefault(r["query_id"], set()).add(r["neighbor_id"])
     recalls = [len(top_b[q] & top_a.get(q, set())) / len(top_b[q]) for q in top_b]
-    assert sum(recalls) / len(recalls) >= 0.1, recalls
+    # exact re-rank (VERDICT r14 #3) lifts the random-tail recall well
+    # above the raw-ADC 0.1-0.4 floor even on the small sf0.01 corpus
+    assert sum(recalls) / len(recalls) >= 0.5, recalls
+
+
+def test_ann_ivfpq_rerank_scores_are_exact_cosines(spark, sf_oracle):
+    """VERDICT r14 #3: with re-ranking on (the default), every emitted
+    score must be the EXACT full-precision cosine of its pair — not the
+    ADC approximation — and rerank_factor=0 must restore the raw ADC
+    path (whose dot-product scores generally differ)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from hadoop_copier_spark.operators.similarity import ivfpq_ann_topk
+
+    e = spark.read.parquet(f"{sf_oracle}/embeddings.parquet").filter(
+        F.col("embedding").isNotNull()
+    )
+    q = e.filter(F.col("vec_id") < 3)
+    rows = ivfpq_ann_topk(e, q, k=3).collect()
+    assert rows
+    vecs = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in e.filter(F.col("vec_id") < 2000).collect()
+    }
+    for r in rows:
+        a, b = vecs[r["query_id"]], vecs[r["neighbor_id"]]
+        dot = sum(x * y for x, y in zip(a, b))
+        cos = dot / math.sqrt(
+            sum(x * x for x in a) * sum(y * y for y in b)
+        )
+        assert abs(r["score"] - cos) < 1e-9, (r, cos)
+    raw = ivfpq_ann_topk(e, q, k=3, rerank_factor=0).collect()
+    assert len(raw) == len(rows)  # same shape, ADC scores instead
 
 
 def test_kmeans_round_matches_bruteforce(spark, tmp_path):

@@ -662,6 +662,7 @@ _ADJUDICATED_BROADCASTS = {
     ("operators/similarity.py", "q"),           # ANN query vectors
     ("operators/similarity.py", "q0"),
     ("operators/similarity.py", "qkeys"),
+    ("operators/similarity.py", "qv"),          # rerank query vectors
     ("queries/pipeline_ops.py", "bench"),       # contamination benchmark
     ("queries/pipeline_ops.py", "quota_df"),    # per-source quotas
     ("queries/parity.py", "erase"),             # GDPR erasure id list
