@@ -589,6 +589,82 @@ def check_streaming_mg_recount(spark, tmp):
     }
 
 
+def check_stream_static_join(spark, tmp):
+    """Stream-static join (VERDICT r14 #7): the replayed event stream
+    joins the STATIC customer dimension per micro-batch; the final
+    per-segment counts must equal the batch join exactly."""
+    from hadoop_copier_spark.streaming import (
+        replay_events_chunks,
+        stream_static_join_counts,
+    )
+    from hadoop_copier_spark.tables import load_table
+
+    replay = os.path.join(tmp, "replay_ssj")
+    replay_events_chunks(spark, SF, replay, n_chunks=5)
+    customer = load_table(spark, SF, "customer")
+    q = stream_static_join_counts(spark, replay, customer, "rec_ssj")
+    try:
+        q.processAllAvailable()
+        n_batches = int((q.lastProgress or {}).get("batchId", -2)) + 1
+        got = {
+            r["c_mktsegment"]: r["n"]
+            for r in spark.sql("SELECT * FROM rec_ssj").collect()
+        }
+    finally:
+        q.stop()
+    events = load_table(spark, SF, "events")
+    batch = {
+        r["c_mktsegment"]: r["n"]
+        for r in events.join(customer, events.user_id == customer.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    return {
+        "stream_equals_batch": got == batch,
+        "n_segments": len(got),
+        "n_micro_batches": n_batches,
+        "batch_query": "events join customer groupBy c_mktsegment",
+    }
+
+
+def check_stateful_per_key_counts(spark, tmp):
+    """Stateful per-key aggregation (VERDICT r14 #7): running per-user
+    event counts held in update-mode state across micro-batches; the
+    final state must equal the batch groupBy count exactly."""
+    from hadoop_copier_spark.streaming import (
+        replay_events_chunks,
+        stream_running_counts,
+    )
+    from hadoop_copier_spark.tables import load_table
+
+    replay = os.path.join(tmp, "replay_run")
+    replay_events_chunks(spark, SF, replay, n_chunks=5)
+    q = stream_running_counts(spark, replay, "rec_run")
+    try:
+        q.processAllAvailable()
+        n_batches = int((q.lastProgress or {}).get("batchId", -2)) + 1
+        got = {
+            r["user_id"]: r["n"]
+            for r in spark.sql("SELECT * FROM rec_run").collect()
+        }
+    finally:
+        q.stop()
+    batch = {
+        r["user_id"]: r["n"]
+        for r in load_table(spark, SF, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    return {
+        "stream_equals_batch": got == batch,
+        "n_keys": len(got),
+        "n_micro_batches": n_batches,
+        "batch_query": "events groupBy user_id count",
+    }
+
+
 CHECKS = [
     ("tumbling_window_q61", check_tumbling_equals_batch),
     ("sliding_window_q62", check_sliding_equals_batch),
@@ -602,6 +678,8 @@ CHECKS = [
     ("streaming_hll_merge", check_streaming_hll_merge),
     ("streaming_cms_merge", check_streaming_cms_merge),
     ("streaming_mg_recount", check_streaming_mg_recount),
+    ("stream_static_join", check_stream_static_join),
+    ("stateful_per_key_counts", check_stateful_per_key_counts),
 ]
 
 
