@@ -58,10 +58,15 @@ class UnsortableResult(TypeError):
 
 
 def duck_connect(sf_dir: str) -> "duckdb.DuckDBPyConnection":
+    import os
+
     con = duckdb.connect()
     for t in TABLES:
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):  # Spark directory-style output (.sf1)
+            path = f"{path}/*.parquet"
         con.execute(
-            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
         )
     return con
 

@@ -37,6 +37,15 @@ EXTRA_SFS = [
     ("sf0.001", "/root/testdata/sf0.001"),
     ("sf0.1", "/root/testdata/sf0.1"),
 ]
+# VERDICT r14 #6: a fourth H-only block at sf1 (x10-replicated fixtures,
+# make_sf1.py) when the generated set exists — the scale where AQE
+# strategy flips begin
+_SF1_DIR = os.environ.get(
+    "SPARK_GRAFT_SF1_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".sf1"),
+)
+if TRI_SF and os.path.isdir(_SF1_DIR):
+    EXTRA_SFS.append(("sf1", _SF1_DIR))
 
 
 def run_block(spark, sf_dir, include_p, include_aliases):
