@@ -2141,3 +2141,67 @@ def xh_containment_pairs(spark, sf_dir):
         .orderBy(F.col("containment_ppm").desc(), "id_a", "id_b")
         .limit(50)
     )
+
+
+@register(
+    "xh_edit_neardup",
+    oracle="""WITH d AS MATERIALIZED (
+  SELECT doc_id, lower(text) AS t FROM documents),
+b AS MATERIALIZED (
+  SELECT doc_id, t,
+         CAST(length(t) // 16 AS BIGINT) AS lb,
+         substr(t, 1, 12) AS pb
+  FROM d)
+SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+       CAST(levenshtein(a.t, c.t) AS BIGINT) AS dist
+FROM b a JOIN b c ON a.lb = c.lb AND a.pb = c.pb AND a.doc_id < c.doc_id
+WHERE levenshtein(a.t, c.t) <= 3
+ORDER BY id_a, id_b""",
+    tags=("llm", "dedup", "edit-distance", "oracle-twin"),
+)
+def xh_edit_neardup(spark, sf_dir):
+    """Edit-distance near-duplicate audit (round 15): document pairs
+    within Levenshtein distance 3 — the typo/OCR/whitespace-mutation
+    duplicate class that token-level MinHash under-scores (one character
+    edit barely moves a shingle set's Jaccard, but a curation pass wants
+    these pairs surfaced as near-verbatim copies). Both engines compute
+    the classic unit-cost Levenshtein (Spark `levenshtein`, DuckDB
+    `levenshtein`), so distances are exact integers — hash-identical.
+
+    Scale shape: never all-pairs — candidates BLOCK on
+    (length(text) div 16, first-12-chars), the edit-distance analog of
+    LSH banding: an edit of <= 3 chars moves length by <= 3 (same or
+    adjacent band; same band when length mod 16 is away from the
+    boundary — declared recall bound, exactly the single-band MinHash
+    trade) and rarely touches the prefix. The block key is ONE uniform
+    exchange; the within-block self-join is block-bounded (duplicate
+    classes, not the corpus); the O(len^2) distance kernel runs only on
+    blocked pairs, JVM-side. A 10-way replicated corpus (sf1 fixtures)
+    costs C(10,2) per class — quadratic in the CLASS, linear in the
+    corpus."""
+    d = tbl(spark, sf_dir, "documents").select(
+        "doc_id", F.lower("text").alias("t")
+    )
+    b = d.select(
+        "doc_id",
+        "t",
+        F.expr("CAST(length(t) div 16 AS BIGINT)").alias("lb"),
+        F.substring("t", 1, 12).alias("pb"),
+    )
+    a, c = b.alias("a"), b.alias("c")
+    dist = F.levenshtein(F.col("a.t"), F.col("c.t"))
+    return (
+        a.join(
+            c,
+            (F.col("a.lb") == F.col("c.lb"))
+            & (F.col("a.pb") == F.col("c.pb"))
+            & (F.col("a.doc_id") < F.col("c.doc_id")),
+        )
+        .filter(dist <= 3)
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("c.doc_id").alias("id_b"),
+            dist.cast("long").alias("dist"),
+        )
+        .orderBy("id_a", "id_b")
+    )

@@ -1278,3 +1278,92 @@ def xh_kmeans_round(spark, sf_dir):
         )
         .orderBy("cluster", "dim")
     )
+
+
+# Hard-negative mining (round 15): the contrastive-training data op —
+# oracle mirrors _Q59_ORACLE's integer-unit quantization with the
+# label-mismatch constraint in the pair join.
+_HARDNEG_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, CAST(label AS BIGINT) AS label, embedding,
+         (SELECT CAST(SUM({_OU.format(x='t.x')} * {_OU.format(x='t.x')}) AS BIGINT)
+          FROM unnest(embedding) AS t(x)) AS norm2
+  FROM embeddings WHERE embedding IS NOT NULL
+),
+pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         q.label AS q_label, c.label AS n_label,
+         CAST((SELECT CAST(SUM({_OU.format(x='p.l1')} * {_OU.format(x='p.l2')}) AS BIGINT)
+               FROM (SELECT unnest(list_zip(q.embedding, c.embedding), recursive := true)) AS p(l1, l2))
+              AS DOUBLE)
+         / sqrt(CAST(q.norm2 AS DOUBLE) * CAST(c.norm2 AS DOUBLE)) AS cos
+  FROM e q JOIN e c ON c.vec_id <> q.vec_id AND c.label <> q.label
+  WHERE q.vec_id < 10
+),
+ranked AS (
+  SELECT query_id, neighbor_id, q_label, n_label,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank,
+         cos AS score
+  FROM pairs
+)
+SELECT query_id, neighbor_id, rank, score, q_label, n_label FROM ranked
+WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+
+@register(
+    "xh_hard_negatives",
+    oracle=_HARDNEG_ORACLE,
+    tags=("llm", "similarity", "training-data", "oracle-twin"),
+)
+def xh_hard_negatives(spark, sf_dir):
+    """Hard-negative mining for contrastive training (round 15): for
+    each query embedding (vec_id < 10), the 5 most cosine-similar
+    candidates carrying a DIFFERENT label — the "looks similar, isn't"
+    pairs an embedding/contrastive trainer wants as negatives (the
+    in-batch-negatives upgrade every retrieval recipe ships). Same
+    exact-integer-unit cosine discipline as q59 (1e-6 quantized dots in
+    BIGINT, one mirrored IEEE op sequence), so scores are bit-identical
+    to the DuckDB oracle; the label-mismatch test rides the pair join.
+
+    Plan at 100 TB: queries (a fixed tiny set) BROADCAST with their
+    norms; candidates stream map-side through the broadcast join —
+    never shuffled — and the label filter is join-time (prunes before
+    scoring); per-query top-5 is one window over k-bounded rows. The
+    IVF/PQ paths compose for the approximate variant exactly as for
+    plain ANN."""
+    from ..operators.similarity import int_dot, int_norm2
+    from pyspark.sql import Window
+
+    e = tbl(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").cast("long").alias("n_label"),
+        F.col("embedding").alias("__cvec"),
+        int_norm2(F.col("embedding")).alias("__cn2"),
+    )
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").cast("long").alias("q_label"),
+        F.col("embedding").alias("__qvec"),
+        int_norm2(F.col("embedding")).alias("__qn2"),
+    )
+    pairs = c.crossJoin(F.broadcast(q)).filter(
+        (F.col("neighbor_id") != F.col("query_id"))
+        & (F.col("n_label") != F.col("q_label"))
+    )
+    cos = int_dot(F.col("__qvec"), F.col("__cvec")).cast("double") / F.sqrt(
+        F.col("__qn2").cast("double") * F.col("__cn2").cast("double")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    return (
+        pairs.select(
+            "query_id", "neighbor_id", cos.alias("score"), "q_label", "n_label"
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "rank", "score", "q_label", "n_label")
+        .orderBy("query_id", "rank")
+    )

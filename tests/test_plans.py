@@ -417,6 +417,9 @@ def test_no_unplanned_nested_loop_or_cartesian_joins(spark, sf_smoke):
         # 1-row corpus-token-total broadcast onto the <=11-row coverage
         # frame (the burstiness/unigram_surprisal global-scalar shape)
         "xh_coverage_curve",
+        # brute-force cosine with the query side broadcast (the q59
+        # discipline) plus the label-mismatch pair filter
+        "xh_hard_negatives",
     }
     offenders = []
     for name, q in sorted(REGISTRY.items()):
@@ -687,6 +690,7 @@ _ADJUDICATED_BROADCASTS = {
     ("queries/joins.py", "p"),
     ("queries/joins.py", "r"),
     ("queries/joins.py", "s2"),
+    ("queries/llm_ops.py", "q"),                # hard-negative query side
     ("queries/llm_ops.py", "v"),                # 64-row eigenvector frame
     ("queries/quality_checks.py", "dim.withColumn('__m', F.lit(1))"),
     ("queries/tpch_analogs.py", "n"),
