@@ -36,9 +36,13 @@ from .registry import register
 # sf0.001/0.01/0.1 vs 8.9k/116k/1.2M unthresholded).
 _MIN_COPURCHASE = 2
 
-_EDGES_SQL = """li AS (
+# MATERIALIZED is load-bearing: DuckDB re-evaluates non-materialized
+# CTEs per reference, and the graph oracles fan out multiplicatively
+# (triangle's nodes->tri->oe chain re-ran this self-join ~27x at sf1,
+# spilling >80 GB of temp — the round-15 sf1 sweep finding).
+_EDGES_SQL = """li AS MATERIALIZED (
   SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
-e AS (
+e AS MATERIALIZED (
   SELECT a.p AS u, b.p AS v
   FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
   GROUP BY a.p, b.p HAVING COUNT(*) >= {thr})"""
@@ -148,17 +152,17 @@ def _edges(spark, sf_dir, thr=_MIN_COPURCHASE):
 @register(
     "xh_triangle_count",
     oracle=f"""WITH {_EDGES_SQL.format(thr=_MIN_COPURCHASE)},
-dg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+dg AS MATERIALIZED (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
          SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e) t
        GROUP BY node),
-oe AS (SELECT CASE WHEN du.deg < dv.deg
+oe AS MATERIALIZED (SELECT CASE WHEN du.deg < dv.deg
                      OR (du.deg = dv.deg AND e.u < e.v) THEN e.u ELSE e.v
               END AS s,
               CASE WHEN du.deg < dv.deg
                      OR (du.deg = dv.deg AND e.u < e.v) THEN e.v ELSE e.u
               END AS t
        FROM e JOIN dg du ON du.node = e.u JOIN dg dv ON dv.node = e.v),
-tri AS (SELECT w1.s AS a, w1.t AS b, w2.t AS c
+tri AS MATERIALIZED (SELECT w1.s AS a, w1.t AS b, w2.t AS c
         FROM oe w1
         JOIN oe w2 ON w2.s = w1.s AND w2.t <> w1.t
         JOIN oe w3 ON w3.s = w1.t AND w3.t = w2.t),
@@ -553,17 +557,17 @@ def xh_degree_assortativity(spark, sf_dir):
 @register(
     "xh_clustering_coefficient",
     oracle=f"""WITH {_EDGES_SQL.format(thr=_MIN_COPURCHASE)},
-dg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+dg AS MATERIALIZED (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
          SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e) t
        GROUP BY node),
-oe AS (SELECT CASE WHEN du.deg < dv.deg
+oe AS MATERIALIZED (SELECT CASE WHEN du.deg < dv.deg
                      OR (du.deg = dv.deg AND e.u < e.v) THEN e.u ELSE e.v
               END AS s,
               CASE WHEN du.deg < dv.deg
                      OR (du.deg = dv.deg AND e.u < e.v) THEN e.v ELSE e.u
               END AS t
        FROM e JOIN dg du ON du.node = e.u JOIN dg dv ON dv.node = e.v),
-tri AS (SELECT w1.s AS a, w1.t AS b, w2.t AS c
+tri AS MATERIALIZED (SELECT w1.s AS a, w1.t AS b, w2.t AS c
         FROM oe w1
         JOIN oe w2 ON w2.s = w1.s AND w2.t <> w1.t
         JOIN oe w3 ON w3.s = w1.t AND w3.t = w2.t),
