@@ -48,16 +48,15 @@ or r14 driver row. After this round the never-checked backlog is empty
 evidence is the 12 r11-cohort xh twins that did not fit this window.
 
 R16 QUEUE LEDGER (stalest driver evidence after this window, in rotation
-order — never-checked first, then ties by name): any H operators added
-mid-r15 after this window was pinned queue first; then the 12 remaining
-r11-cohort xh twins (xh_pii_scrub, xh_pivot, xh_repetition,
-xh_scalar_and_in_subquery, xh_simhash, xh_string_agg, xh_text_quality,
-xh_token_stats, xh_udtf_generate, xh_unpivot, xh_znorm_window — 11 —
-plus xh_minhash_lsh_pairs's r11-cohort peer xh_ngram_jaccard is taken
-this round, leaving exactly the 11 listed plus any mid-r15 adds); then
-the r12-evidence cohort in name order (q22-q47, q51-q67, and the r12 xh
-twins per CORRECTNESS_r12.json) until the window fills. P-class adds
-stay outside the hash window, not rotated.
+order — never-checked first, then ties by name): the H operators added
+mid-r15 after this window was pinned queue first (as of this writing
+xh_edit_neardup and xh_hard_negatives; any later r15 adds join them);
+then the 11 remaining r11-cohort xh twins (xh_pii_scrub, xh_pivot,
+xh_repetition, xh_scalar_and_in_subquery, xh_simhash, xh_string_agg,
+xh_text_quality, xh_token_stats, xh_udtf_generate, xh_unpivot,
+xh_znorm_window); then the r12-evidence cohort in name order (q22-q47,
+q51-q67, and the r12 xh twins per CORRECTNESS_r12.json) until the
+window fills. P-class adds stay outside the hash window, not rotated.
 
 Alias naming: contract query ``qNN`` -> ``bNN``; ``xh_<suffix>`` ->
 ``bx_<suffix>`` (the r12/r14 convention; every alias sorts before every
