@@ -2189,7 +2189,14 @@ def xh_edit_neardup(spark, sf_dir):
         F.substring("t", 1, 12).alias("pb"),
     )
     a, c = b.alias("a"), b.alias("c")
-    dist = F.levenshtein(F.col("a.t"), F.col("c.t"))
+    # THRESHOLD-banded kernel (Spark's 3-arg levenshtein, -1 past the
+    # bound): the residual join predicate evaluates on every hash-bucket
+    # match INCLUDING the self-pairs the id< conjunct later drops, and
+    # the unbanded DP paid O(len^2) per evaluation — measured 6.4 s vs
+    # 2.4 s at sf0.1 for the same 8 output pairs. The band is O(3*len).
+    # The DuckDB oracle keeps the unbanded spelling (no threshold arg
+    # there); kept pairs and distances are identical by definition.
+    dist = F.levenshtein(F.col("a.t"), F.col("c.t"), 3)
     return (
         a.join(
             c,
@@ -2197,7 +2204,7 @@ def xh_edit_neardup(spark, sf_dir):
             & (F.col("a.pb") == F.col("c.pb"))
             & (F.col("a.doc_id") < F.col("c.doc_id")),
         )
-        .filter(dist <= 3)
+        .filter(dist >= 0)  # banded kernel returns -1 past the bound
         .select(
             F.col("a.doc_id").alias("id_a"),
             F.col("c.doc_id").alias("id_b"),
