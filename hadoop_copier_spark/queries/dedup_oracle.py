@@ -2178,7 +2178,10 @@ def xh_edit_neardup(spark, sf_dir):
     classes, not the corpus); the O(len^2) distance kernel runs only on
     blocked pairs, JVM-side. A 10-way replicated corpus (sf1 fixtures)
     costs C(10,2) per class — quadratic in the CLASS, linear in the
-    corpus."""
+    corpus. Sibling operator: xh_fuzzy_match (entity_resolution.py)
+    applies the same block-then-banded-levenshtein shape to ENTITY
+    names (short strings, brand-blocked); this one audits whole
+    DOCUMENTS for the curation near-dup pass."""
     d = tbl(spark, sf_dir, "documents").select(
         "doc_id", F.lower("text").alias("t")
     )

@@ -300,15 +300,15 @@ def _kcore_oracle() -> str:
     for i in range(1, _KCORE_ROUNDS + 1):
         p = i - 1
         parts.append(
-            f"d{i} AS (SELECT node, COUNT(*) AS deg FROM ("
+            f"d{i} AS MATERIALIZED (SELECT node, COUNT(*) AS deg FROM ("
             f"SELECT u AS node FROM e{p} UNION ALL SELECT v FROM e{p}) t"
             " GROUP BY node)"
         )
         parts.append(
-            f"n{i} AS (SELECT node FROM d{i} WHERE deg >= {_KCORE_K})"
+            f"n{i} AS MATERIALIZED (SELECT node FROM d{i} WHERE deg >= {_KCORE_K})"
         )
         parts.append(
-            f"e{i} AS (SELECT u, v FROM e{p}"
+            f"e{i} AS MATERIALIZED (SELECT u, v FROM e{p}"
             f" WHERE u IN (SELECT node FROM n{i})"
             f" AND v IN (SELECT node FROM n{i}))"
         )
@@ -773,12 +773,12 @@ def _bfs_oracle() -> str:
     for i in range(1, _BFS_ROUNDS + 1):
         p = i - 1
         parts.append(
-            f"f{i} AS (SELECT DISTINCT adj.nbr AS node FROM adj"
+            f"f{i} AS MATERIALIZED (SELECT DISTINCT adj.nbr AS node FROM adj"
             f" JOIN h{p} ON adj.ctr = h{p}.node AND h{p}.hop = {p}"
             f" WHERE adj.nbr NOT IN (SELECT node FROM h{p}))"
         )
         parts.append(
-            f"h{i} AS (SELECT node, hop FROM h{p}"
+            f"h{i} AS MATERIALIZED (SELECT node, hop FROM h{p}"
             f" UNION ALL SELECT node, CAST({i} AS BIGINT) FROM f{i})"
         )
     return (
@@ -871,7 +871,7 @@ def _lpa_oracle() -> str:
     for i in range(1, _LPA_ROUNDS + 1):
         p = i - 1
         parts.append(
-            f"l{i} AS (SELECT node, lbl FROM ("
+            f"l{i} AS MATERIALIZED (SELECT node, lbl FROM ("
             f" SELECT a.nbr AS node, l.lbl, COUNT(*) AS cnt,"
             f" ROW_NUMBER() OVER (PARTITION BY a.nbr"
             f"   ORDER BY COUNT(*) DESC, l.lbl) AS rn"

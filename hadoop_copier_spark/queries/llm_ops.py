@@ -740,16 +740,16 @@ def _pagerank_quantized_oracle() -> str:
         "vert AS MATERIALIZED (SELECT src AS node FROM edges UNION SELECT dst FROM edges)",
         "meta AS MATERIALIZED (SELECT count(*) AS n FROM vert)",
         "deg AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM edges GROUP BY src)",
-        f"r0 AS (SELECT node, (SELECT {_PRQ_TOTAL} // n FROM meta) AS units FROM vert)",
+        f"r0 AS MATERIALIZED (SELECT node, (SELECT {_PRQ_TOTAL} // n FROM meta) AS units FROM vert)",
     ]
     for i in range(1, _PRQ_ROUNDS + 1):
         p = i - 1
         parts.append(
-            f"d{i} AS (SELECT CAST(COALESCE(SUM(r.units), 0) AS BIGINT) AS dmass "
+            f"d{i} AS MATERIALIZED (SELECT CAST(COALESCE(SUM(r.units), 0) AS BIGINT) AS dmass "
             f"FROM r{p} r LEFT JOIN deg ON r.node = deg.src WHERE deg.src IS NULL)"
         )
         parts.append(
-            f"r{i} AS (SELECT v.node, CAST(("
+            f"r{i} AS MATERIALIZED (SELECT v.node, CAST(("
             f"3 * (SELECT {_PRQ_TOTAL} // n FROM meta) "
             f"+ 17 * (COALESCE(c.contrib, 0) + (SELECT dmass FROM d{i}) // (SELECT n FROM meta))"
             f") // 20 AS BIGINT) AS units "
@@ -864,23 +864,23 @@ def _pca_power_oracle() -> str:
          CAST(floor(CAST(embedding[i] AS DOUBLE) * {_PCA_UNIT} + 0.5) AS BIGINT) AS eu
   FROM (SELECT vec_id, embedding, unnest(generate_series(1, len(embedding))) AS i
         FROM embeddings WHERE embedding IS NOT NULL))""",
-        f"v0 AS (SELECT DISTINCT dim, {_PCA_UNIT}::BIGINT AS vu FROM eu)",
+        f"v0 AS MATERIALIZED (SELECT DISTINCT dim, {_PCA_UNIT}::BIGINT AS vu FROM eu)",
     ]
     for i in range(1, _PCA_ROUNDS + 1):
         p = i - 1
         parts.append(
-            f"s{i} AS (SELECT e.vec_id, SUM(e.eu * v.vu) // {_PCA_UNIT} AS s "
+            f"s{i} AS MATERIALIZED (SELECT e.vec_id, SUM(e.eu * v.vu) // {_PCA_UNIT} AS s "
             f"FROM eu e JOIN v{p} v USING (dim) GROUP BY e.vec_id)"
         )
         parts.append(
-            f"w{i} AS (SELECT e.dim, SUM(e.eu::HUGEINT * s.s::HUGEINT) AS w "
+            f"w{i} AS MATERIALIZED (SELECT e.dim, SUM(e.eu::HUGEINT * s.s::HUGEINT) AS w "
             f"FROM eu e JOIN s{i} s USING (vec_id) GROUP BY e.dim)"
         )
         parts.append(
-            f"m{i} AS (SELECT greatest(max(abs(w)), 1) AS m FROM w{i})"
+            f"m{i} AS MATERIALIZED (SELECT greatest(max(abs(w)), 1) AS m FROM w{i})"
         )
         parts.append(
-            f"v{i} AS (SELECT dim, CAST((w * {_PCA_UNIT}) // (SELECT m FROM m{i}) AS BIGINT) AS vu "
+            f"v{i} AS MATERIALIZED (SELECT dim, CAST((w * {_PCA_UNIT}) // (SELECT m FROM m{i}) AS BIGINT) AS vu "
             f"FROM w{i})"
         )
     return (
