@@ -776,3 +776,40 @@ def test_mg_merge_recount_is_chunking_invariant(spark, sf_smoke, n_chunks):
         for r in REGISTRY["xh_heavy_hitters"].fn(spark, sf_smoke).collect()
     }
     assert got == batch
+
+
+def test_edit_neardup_planted_mutations(spark, tmp_path):
+    """Round-15 planted case for xh_edit_neardup: a base doc, an exact
+    copy, and one/three/four-char mutations all sharing the block key
+    (same 12-char prefix, same length band) — every pair within dist 3
+    must surface with its EXACT distance, the dist-4 pairs must be
+    excluded, and a same-prefix doc in a different length band is never
+    compared (the declared banding recall trade). Expected distances
+    recomputed with a pure-Python Levenshtein."""
+    base = "the common prefix " + "abcdefgh " * 6  # 72 chars, band 4
+    rows = [
+        (1, base),
+        (2, base[:-1] + "x"),
+        (3, base[:-3] + "xyz"),
+        (4, base[:-4] + "wxyz"),
+        (5, base),
+        (6, base + "tail far beyond the band " * 3),  # band 9: blocked away
+    ]
+    df = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+            [(i, t, "en", "web", len(t)) for i, t in rows], 2
+        ),
+        schema="doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    root = tmp_path / "editdup"
+    df.write.parquet(f"{root}/documents.parquet")
+    got = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in REGISTRY["xh_edit_neardup"].fn(spark, str(root)).collect()
+    }
+    assert got == {
+        (1, 2): 1, (1, 3): 3, (1, 5): 0,
+        (2, 3): 3, (2, 5): 1,
+        (3, 4): 1, (3, 5): 3,
+    }, got
+    assert not any(6 in p for p in got)  # banding never compares doc 6

@@ -734,3 +734,45 @@ def test_kmeans_round_matches_bruteforce(spark, tmp_path):
     assert got == expect
     # the blob members joined seed 0's cluster, the axis pair seed 4's
     assert assign[8] == assign[9] == 0 and assign[10] == assign[11] == 4
+
+
+def test_hard_negatives_exclude_same_label_and_rank_exactly(spark, sf_oracle, tmp_path):
+    """Round-15 planted case: 1 query (label 0) + 3 same-label decoys
+    (near-identical vectors, must be EXCLUDED) + 3 different-label
+    candidates at known cosines (must rank in exact similarity order
+    with exact-integer-unit scores)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    rows = [
+        # (vec_id, embedding, label)
+        (0, [1.0, 0.0, 0.0, 0.0], 0),      # the query
+        (100, [1.0, 0.001, 0.0, 0.0], 0),  # same label: excluded however close
+        (101, [0.999, 0.0, 0.0, 0.0], 0),
+        (102, [1.0, 0.0, 0.001, 0.0], 0),
+        (200, [1.0, 0.1, 0.0, 0.0], 1),    # cos ~0.995  -> rank 1
+        (201, [1.0, 0.5, 0.0, 0.0], 2),    # cos ~0.894  -> rank 2
+        (202, [0.0, 1.0, 0.0, 0.0], 1),    # cos 0       -> rank 3
+    ]
+    df = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+            [(i, [float(x) for x in v], lb) for i, v, lb in rows], 2
+        ),
+        schema="vec_id bigint, embedding array<float>, label int",
+    )
+    root = tmp_path / "hardneg"
+    df.write.parquet(f"{root}/embeddings.parquet")
+    out = REGISTRY["xh_hard_negatives"].fn(spark, str(root)).collect()
+    got = [(r["rank"], r["neighbor_id"], r["n_label"]) for r in out]
+    assert got == [(1, 200, 1), (2, 201, 2), (3, 202, 1)], got
+    assert all(r["q_label"] == 0 for r in out)
+    # scores are the exact integer-unit cosine of the mirrored op tree
+    for r in out:
+        v = dict((i, v) for i, v, _ in rows)[r["neighbor_id"]]
+        q = [1.0, 0.0, 0.0, 0.0]
+        iu = lambda x: math.floor(x * 1_000_000 + 0.5)
+        dot = sum(iu(a) * iu(b) for a, b in zip(q, v))
+        n2q = sum(iu(a) * iu(a) for a in q)
+        n2v = sum(iu(a) * iu(a) for a in v)
+        assert r["score"] == dot / math.sqrt(n2q * n2v), r
