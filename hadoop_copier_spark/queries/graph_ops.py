@@ -83,6 +83,11 @@ def _weighted_edges(spark, sf_dir):
     hit = _EDGE_CACHE.get(key)
     if hit is not None:
         return hit
+    # ADVICE r15: evict entries from dead sessions on insert (their
+    # checkpoint blocks are gone with the old JVM context anyway) so a
+    # long-lived process that restarts Spark doesn't accumulate them.
+    for stale in [k for k in _EDGE_CACHE if k[0] != key[0]]:
+        del _EDGE_CACHE[stale]
     li = tbl(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
     )

@@ -80,9 +80,15 @@ def _probed_broadcast(df, sf_dir, site):
     decides from runtime sizes (VERDICT r13 #3). The probe count is
     memoized per (applicationId, sf_dir, site) (VERDICT r14 #4)."""
     global _PROBE_JOBS
-    key = (df.sparkSession.sparkContext.applicationId, sf_dir, site)
+    app = df.sparkSession.sparkContext.applicationId
+    key = (app, sf_dir, site)
     n = _PROBE_CACHE.get(key)
     if n is None:
+        # ADVICE r15: entries keyed by dead applicationIds can't collide
+        # but would accumulate across session restarts in a long-lived
+        # process — evict them on insert so the cache stays one-session.
+        for stale in [k for k in _PROBE_CACHE if k[0] != app]:
+            del _PROBE_CACHE[stale]
         n = df.count()
         _PROBE_JOBS += 1
         _PROBE_CACHE[key] = n

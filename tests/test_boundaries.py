@@ -448,6 +448,11 @@ def test_hll_bucket_is_exact_integer_division(spark):
     # not an exact occurrence count that breaks on benign refactors):
     # no float floor-division by _HLL_REM may reappear anywhere — every
     # bucket extraction must be integer `div`.
+    # (ADVICE r15: the old `[^)]*` pattern stopped at the `)` inside
+    # `F.col("h")` and could never match the canonical offender —
+    # tolerate nested parens with a bounded lazy wildcard instead.)
     src = inspect.getsource(qc)
-    assert not re.search(r"F\.floor\([^)]*/\s*_HLL_REM", src)
+    assert not re.search(r"F\.floor\(.{0,80}?/\s*_HLL_REM", src, re.S)
+    assert re.search(r"F\.floor\(.{0,80}?/\s*_HLL_REM",
+                     'F.floor(F.col("h") / _HLL_REM)', re.S)  # pattern self-test
     assert 'div {_HLL_REM}' in src  # at least one exact-division site

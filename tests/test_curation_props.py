@@ -813,3 +813,38 @@ def test_edit_neardup_planted_mutations(spark, tmp_path):
         (3, 4): 1, (3, 5): 3,
     }, got
     assert not any(6 in p for p in got)  # banding never compares doc 6
+
+
+def test_edit_recall_eval_counts_planted_miss_classes(spark, tmp_path):
+    """Round-16 planted case for xh_edit_recall_eval (VERDICT r15 #3):
+    the two DECLARED miss classes of xh_edit_neardup's (length div 16,
+    12-char-prefix) blocking — a prefix-touching edit and a length-band-
+    boundary crossing — must be COUNTED as fn by the audit, never
+    silently dropped, while a same-block tail edit lands as tp. Corpus:
+    base (len 31, band 1), m1 = prefix edit (dist 1, block miss),
+    m2 = +2 chars crossing into band 2 (dist 2, block miss),
+    m3 = tail edit in-block (dist 1, the one tp). All six pairs are
+    within dist 3 (recomputed by hand), exactly one blocks together."""
+    base = "abcdefghijklmnopqrstuvwxyz01234"  # 31 chars, band 1
+    assert len(base) == 31
+    rows = [
+        (1, base),
+        (2, "az" + base[2:]),       # prefix edit: escapes the block
+        (3, base + "zz"),           # len 33 -> band 2: escapes the block
+        (4, base[:-1] + "z"),       # tail edit: same block as base
+    ]
+    df = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+            [(i, t, "en", "web", len(t)) for i, t in rows], 2
+        ),
+        schema="doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    root = tmp_path / "editrecall"
+    df.write.parquet(f"{root}/documents.parquet")
+    [r] = REGISTRY["xh_edit_recall_eval"].fn(spark, str(root)).collect()
+    assert (
+        r["n_docs"], r["n_exact"], r["n_cand"],
+        r["tp"], r["fp"], r["fn"],
+    ) == (4, 6, 1, 1, 0, 5), r.asDict()
+    assert r["precision_ppm"] == 1_000_000
+    assert r["recall_ppm"] == 166_666  # 1e6 div 6: the declared trade, measured

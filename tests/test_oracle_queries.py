@@ -35,12 +35,8 @@ def test_alias_window_fidelity():
     """The driver window (alphabetically-first 50 registry names) must be
     exactly the rotation aliases, each binding the IDENTICAL fn and oracle
     objects as its ledgered target (queries/aliases.py)."""
-    from hadoop_copier_spark.queries.aliases import (
-        _CONTRACT_R11, _XH_NEVER_CHECKED, _XH_R10_STALE, _XH_R11_COHORT,
-        _alias_name,
-    )
+    from hadoop_copier_spark.queries.aliases import LEDGER as ledger, _alias_name
 
-    ledger = _XH_NEVER_CHECKED + _XH_R10_STALE + _CONTRACT_R11 + _XH_R11_COHORT
     assert len(ledger) == 50
     aliases = {n for n, q in REGISTRY.items() if "alias" in q.tags}
     window = set(sorted(REGISTRY)[:50])

@@ -690,7 +690,9 @@ _ADJUDICATED_BROADCASTS = {
     ("queries/joins.py", "p"),
     ("queries/joins.py", "r"),
     ("queries/joins.py", "s2"),
-    ("queries/llm_ops.py", "q"),                # hard-negative query side
+    # (r16: the hard-negative query-side broadcast moved into
+    # operators/similarity.hard_negatives_topk's probe-bounded "q" site,
+    # already adjudicated above as the ANN query-vector broadcast)
     ("queries/llm_ops.py", "v"),                # 64-row eigenvector frame
     ("queries/quality_checks.py", "dim.withColumn('__m', F.lit(1))"),
     ("queries/tpch_analogs.py", "n"),
