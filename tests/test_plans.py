@@ -815,3 +815,41 @@ def test_probe_bound_is_byte_aware():
     # 8 + 32 + 4 = 44 B/row -> ~1.5M rows for 64 MiB; the flat 2M bound
     # (~100 MB for this slice, the ADVICE finding) is no longer possible
     assert ta._max_broadcast_rows(three) * 44 <= ta._PART_BROADCAST_MAX_BYTES
+
+
+def test_probe_caches_evict_dead_sessions(spark, sf_oracle):
+    """ADVICE r15: entries keyed by dead applicationIds must evict on
+    insert (a long-lived process that restarts Spark sessions must not
+    accumulate stale probe counts / checkpoint handles). Planted fake
+    dead-app keys must be gone after the next cache-miss insert in
+    each of the three memoized caches."""
+    from hadoop_copier_spark.operators import similarity as sim
+    from hadoop_copier_spark.queries import graph_ops as go
+    from hadoop_copier_spark.queries import tpch_analogs as ta
+
+    app = spark.sparkContext.applicationId
+    ta._PROBE_CACHE[("dead-app-1", "x", "q99")] = 42
+    for k in [k for k in ta._PROBE_CACHE if k[0] == app and k[1] == sf_oracle]:
+        del ta._PROBE_CACHE[k]
+    REGISTRY["xh_tpch_q14"].fn(spark, sf_oracle)  # miss -> insert -> evict
+    assert ("dead-app-1", "x", "q99") not in ta._PROBE_CACHE
+
+    go._EDGE_CACHE[("dead-app-2", "x")] = "stale-frame"
+    for k in [k for k in go._EDGE_CACHE if k[0] == app and k[1] == sf_oracle]:
+        del go._EDGE_CACHE[k]
+    go._weighted_edges(spark, sf_oracle)
+    assert ("dead-app-2", "x") not in go._EDGE_CACHE
+
+    sim._HARDNEG_PROBE_CACHE[("dead-app-3", 0, "embedding")] = (1, 1)
+    from pyspark.sql import functions as F
+
+    e = spark.read.parquet(f"{sf_oracle}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 3)
+    for k in [k for k in sim._HARDNEG_PROBE_CACHE if k[0] == app]:
+        del sim._HARDNEG_PROBE_CACHE[k]
+    sim.hard_negatives_topk(e, q, k=2).count()
+    assert ("dead-app-3", 0, "embedding") not in sim._HARDNEG_PROBE_CACHE
+    # and the live probe memoized: a second build adds no new key
+    n_keys = len(sim._HARDNEG_PROBE_CACHE)
+    sim.hard_negatives_topk(e, q, k=2).count()
+    assert len(sim._HARDNEG_PROBE_CACHE) == n_keys
