@@ -340,3 +340,25 @@ def test_csv_malformed_matrix_counts_and_failfast(spark, sf_smoke):
     )
     with pytest.raises(Exception, match="(?i)malformed|FAILFAST"):
         ff.cache().count()
+
+
+def test_avro_capability_seam_is_real(spark, sf_smoke, tmp_path):
+    """The source-matrix note (SURVEY / xh_text_roundtrip docstring) says
+    avro support requires the external spark-avro module not deployed in
+    this container. EXERCISE that claim instead of asserting it in prose:
+    writing format('avro') must fail with Spark's own
+    external-data-source guidance. If this environment ever gains the
+    package, this test fails loudly — the signal to implement the avro
+    round-trip and add it to the matrix."""
+    df = spark.read.parquet(f"{sf_smoke}/region.parquet")
+    try:
+        df.write.mode("overwrite").format("avro").save(str(tmp_path / "r.avro"))
+    except Exception as e:
+        msg = str(e)
+        assert "avro" in msg.lower(), msg
+        assert "Failed to find" in msg or "external data source" in msg.lower(), msg
+    else:  # pragma: no cover - environment gained spark-avro
+        raise AssertionError(
+            "spark-avro is now deployed: implement the avro round-trip "
+            "(xh_text_roundtrip's matrix note is stale)"
+        )
