@@ -38,7 +38,17 @@ def main() -> None:
     # warm-up: JVM + parquet footers
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
+    # SPARK_GRAFT_BENCH_WARM=1 adds a SECOND timed pass per query (round
+    # 16): every perf dispute to date — the r15 driver gate violations,
+    # xh_hll_registers, the r14 heavy-hitters case — was first-invocation
+    # whole-stage-codegen compile, adjudicated after the fact with ad-hoc
+    # warm re-measures. The warm pass records the codegen-free wall per
+    # query IN the artifact, so round-over-round drift can be compared
+    # warm-vs-warm. Off by default (doubles runtime); the primary
+    # timings, the gate, and the printed contract line are unchanged.
+    warm_pass = os.environ.get("SPARK_GRAFT_BENCH_WARM", "0") != "0"
     timings: dict[str, float] = {}
+    timings_warm: dict[str, float] = {}
     total = 0.0
     for name, q in sorted(REGISTRY.items()):
         if "alias" in q.tags:
@@ -54,6 +64,10 @@ def main() -> None:
         except Exception as e:  # pragma: no cover - bench robustness
             print(f"bench: {name} FAILED: {e}", file=sys.stderr)
             dt = -1.0
+        if warm_pass and dt > 0:
+            t0 = time.perf_counter()
+            q.fn(spark, sf_dir).count()
+            timings_warm[name] = round(time.perf_counter() - t0, 3)
         timings[name] = round(dt, 3)
         if dt > 0:
             total += dt
@@ -176,6 +190,9 @@ def main() -> None:
         "n_unbaselined": len(unbaselined) if baselines else -1,
         "failed_queries": failed_queries,
     }
+    if timings_warm:
+        full["queries_warm"] = timings_warm
+        full["warm_suite_wall_sec"] = round(sum(timings_warm.values()), 3)
     print(json.dumps(full))
     # The driver records only a 2000-char TAIL of stdout; the full line
     # above (~5 KB of per-query timings) gets left-truncated into invalid
