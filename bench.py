@@ -149,6 +149,7 @@ def main() -> None:
     # violations land IN the artifact — ambient load must not kill a
     # driver bench run, so this reports rather than exits nonzero.
     gate_violations: dict[str, list[float]] = {}
+    gate_retries: dict[str, list[float]] = {}
     baselines: dict[str, float] = {}
     try:
         with open(os.path.join(_REPO, "bench", f"results_sf{sf}.json")) as f:
@@ -159,7 +160,23 @@ def main() -> None:
         for name, dt in timings.items():
             base = baselines.get(name, -1.0)
             if dt > 0 and base > 0 and dt > 2 * base and dt > base + 0.5:
-                gate_violations[name] = [base, dt]
+                # Round 16: every gate violation recorded in rounds
+                # 14-15 turned out to be first-invocation codegen
+                # compile, adjudicated after the fact with ad-hoc warm
+                # re-measures (SCALE.md). Make the gate self-
+                # adjudicating: re-run the offender ONCE warm in the
+                # same session and keep the violation only if the warm
+                # wall still trips. Both walls land in the artifact
+                # (gate_retries) so nothing is hidden.
+                t0 = time.perf_counter()
+                try:
+                    REGISTRY[name].fn(spark, sf_dir).count()
+                    warm = round(time.perf_counter() - t0, 3)
+                except Exception:  # pragma: no cover - bench robustness
+                    warm = -1.0
+                gate_retries[name] = [base, dt, warm]
+                if warm < 0 or (warm > 2 * base and warm > base + 0.5):
+                    gate_violations[name] = [base, warm if warm > 0 else dt]
     # ADVICE r15: a query that fails outright (dt = -1.0) was invisible
     # to the gate — a regression-to-failure must be louder than a 2x
     # slowdown, so failed queries get their own artifact field; and
@@ -187,6 +204,7 @@ def main() -> None:
         "streaming_equals_batch_q61": stream_matches,
         "loadavg_1m_5m_15m": loadavg,
         "gate_violations": gate_violations,
+        "gate_retries": gate_retries,
         "n_unbaselined": len(unbaselined) if baselines else -1,
         "failed_queries": failed_queries,
     }
@@ -227,6 +245,7 @@ def main() -> None:
                 "slowest_queries": slowest,
                 "loadavg_1m_5m_15m": loadavg,
                 "n_gate_violations": len(gate_violations),
+                "n_gate_retries": len(gate_retries),
                 "n_unbaselined": len(unbaselined) if baselines else -1,
                 "full_record": "bench/last_run.json",
             }
