@@ -26,6 +26,10 @@ _REPO = os.path.dirname(os.path.abspath(__file__))
 if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
+from hadoop_copier_spark.memo import (  # noqa: E402
+    clear_memoized_caches,
+    consumed_caches,
+)
 from hadoop_copier_spark.queries import REGISTRY  # noqa: E402
 from hadoop_copier_spark.session import get_spark  # noqa: E402
 
@@ -38,24 +42,39 @@ def main() -> None:
     # warm-up: JVM + parquet footers
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
-    # SPARK_GRAFT_BENCH_WARM=1 adds a SECOND timed pass per query (round
-    # 16): every perf dispute to date — the r15 driver gate violations,
-    # xh_hll_registers, the r14 heavy-hitters case — was first-invocation
-    # whole-stage-codegen compile, adjudicated after the fact with ad-hoc
-    # warm re-measures. The warm pass records the codegen-free wall per
-    # query IN the artifact, so round-over-round drift can be compared
-    # warm-vs-warm. Off by default (doubles runtime); the primary
-    # timings, the gate, and the printed contract line are unchanged.
-    warm_pass = os.environ.get("SPARK_GRAFT_BENCH_WARM", "0") != "0"
+    # The warm pass is a SECOND full loop after the first (VERDICT r16
+    # #2 — ON by default since round 17; SPARK_GRAFT_BENCH_WARM=0 skips
+    # it): every perf dispute to date — the r15 driver gate violations,
+    # xh_hll_registers, the r14 heavy-hitters case, all 20 r16 retry
+    # candidates — was first-invocation whole-stage-codegen compile
+    # plus host tax, adjudicated after the fact with ad-hoc warm
+    # re-measures. The warm loop records the codegen-free wall per
+    # query IN the artifact, and since r17 it is the GATE basis when
+    # the SF baseline file carries warm anchors (queries_warm).
+    #
+    # Warm protocol (must match how baselines were recorded): the
+    # package's memoized caches (memo.py — shared graph edge frame,
+    # broadcast-probe counts) are cleared ONCE at warm-loop start, so
+    # the warm loop re-pays session-scoped builds exactly where the
+    # first pass paid them (the first consumer in sorted order fronts
+    # each build). Warm therefore measures the same work distribution
+    # as the first pass minus JVM codegen compile — a regression in a
+    # memoized stage still lands on its fronting query's warm number
+    # (ADVICE r16 medium: the old in-loop retry measured strictly less
+    # work than baseline for cache-fronting queries).
+    warm_pass = os.environ.get("SPARK_GRAFT_BENCH_WARM", "1") != "0"
     timings: dict[str, float] = {}
     timings_warm: dict[str, float] = {}
     total = 0.0
-    for name, q in sorted(REGISTRY.items()):
-        if "alias" in q.tags:
-            # driver-window aliases (queries/aliases.py) are the same Query
-            # objects under sort-first names — timing them twice would
-            # inflate the suite wall without measuring anything new
-            continue
+    timed = [
+        (name, q)
+        for name, q in sorted(REGISTRY.items())
+        # driver-window aliases (queries/aliases.py) are the same Query
+        # objects under sort-first names — timing them twice would
+        # inflate the suite wall without measuring anything new
+        if "alias" not in q.tags
+    ]
+    for name, q in timed:
         t0 = time.perf_counter()
         try:
             df = q.fn(spark, sf_dir)
@@ -64,13 +83,22 @@ def main() -> None:
         except Exception as e:  # pragma: no cover - bench robustness
             print(f"bench: {name} FAILED: {e}", file=sys.stderr)
             dt = -1.0
-        if warm_pass and dt > 0:
-            t0 = time.perf_counter()
-            q.fn(spark, sf_dir).count()
-            timings_warm[name] = round(time.perf_counter() - t0, 3)
         timings[name] = round(dt, 3)
         if dt > 0:
             total += dt
+    warm_cleared: dict[str, int] = {}
+    if warm_pass:
+        warm_cleared = clear_memoized_caches()
+        for name, q in timed:
+            if timings[name] < 0:
+                continue
+            t0 = time.perf_counter()
+            try:
+                q.fn(spark, sf_dir).count()
+                timings_warm[name] = round(time.perf_counter() - t0, 3)
+            except Exception as e:  # pragma: no cover - bench robustness
+                print(f"bench(warm): {name} FAILED: {e}", file=sys.stderr)
+                timings_warm[name] = -1.0
 
     # BENCH-2: the DuckDB oracle side of the contract suite (q01-q67),
     # one single-threaded connection, fetch into pandas like the driver
@@ -148,35 +176,67 @@ def main() -> None:
     # absolute slop keeps sub-second codegen-compile noise out); the
     # violations land IN the artifact — ambient load must not kill a
     # driver bench run, so this reports rather than exits nonzero.
+    #
+    # VERDICT r16 #2: when the baseline file carries WARM anchors
+    # (queries_warm, recorded under the same cleared-cache warm
+    # protocol) and this run took a warm pass, the gate compares
+    # warm-vs-warm — codegen-compile and host-load tax cancel out, so
+    # a violation means the PLAN regressed, not that the box was busy.
+    # First-pass timings stay in the artifact as the cold diagnostic.
+    # Runs without a warm side on either end keep the legacy
+    # first-pass gate.
     gate_violations: dict[str, list[float]] = {}
     gate_retries: dict[str, list[float]] = {}
+    gate_retry_cleared: dict[str, list[str]] = {}
     baselines: dict[str, float] = {}
+    baselines_warm: dict[str, float] = {}
     try:
         with open(os.path.join(_REPO, "bench", f"results_sf{sf}.json")) as f:
-            baselines = json.load(f).get("queries", {})
+            _bfile = json.load(f)
+        baselines = _bfile.get("queries", {})
+        baselines_warm = _bfile.get("queries_warm", {})
     except OSError:
         pass
-    if baselines:
-        for name, dt in timings.items():
-            base = baselines.get(name, -1.0)
+    warm_gate = bool(baselines_warm) and bool(timings_warm)
+    gate_basis = timings_warm if warm_gate else timings
+    gate_base = baselines_warm if warm_gate else baselines
+    # Which query FRONTS each memoized cache this run (first consumer
+    # in sorted order pays the session-scoped build; its baseline was
+    # recorded fronting the same build, so a gate retry for it must
+    # clear that cache to measure the same work — ADVICE r16 medium).
+    # Retries for consumers that did NOT front the build clear nothing:
+    # their baseline never included it.
+    fronters: dict[str, str] = {}
+    for name, q in timed:
+        for c in consumed_caches(q.fn):
+            fronters.setdefault(c, name)
+    if gate_base:
+        for name, dt in gate_basis.items():
+            base = gate_base.get(name, -1.0)
             if dt > 0 and base > 0 and dt > 2 * base and dt > base + 0.5:
-                # Round 16: every gate violation recorded in rounds
-                # 14-15 turned out to be first-invocation codegen
-                # compile, adjudicated after the fact with ad-hoc warm
-                # re-measures (SCALE.md). Make the gate self-
-                # adjudicating: re-run the offender ONCE warm in the
-                # same session and keep the violation only if the warm
-                # wall still trips. Both walls land in the artifact
-                # (gate_retries) so nothing is hidden.
+                # Self-adjudicating retry (round 16): re-run the
+                # offender ONCE in the same session and keep the
+                # violation only if the retry still trips. Both walls
+                # land in the artifact (gate_retries) so nothing is
+                # hidden; caches the offender FRONTS are cleared first
+                # so the retry measures the work its baseline measured.
+                to_clear = tuple(
+                    c
+                    for c in consumed_caches(REGISTRY[name].fn)
+                    if fronters.get(c) == name
+                )
+                if to_clear:
+                    clear_memoized_caches(only=to_clear)
+                    gate_retry_cleared[name] = list(to_clear)
                 t0 = time.perf_counter()
                 try:
                     REGISTRY[name].fn(spark, sf_dir).count()
-                    warm = round(time.perf_counter() - t0, 3)
+                    retry = round(time.perf_counter() - t0, 3)
                 except Exception:  # pragma: no cover - bench robustness
-                    warm = -1.0
-                gate_retries[name] = [base, dt, warm]
-                if warm < 0 or (warm > 2 * base and warm > base + 0.5):
-                    gate_violations[name] = [base, warm if warm > 0 else dt]
+                    retry = -1.0
+                gate_retries[name] = [base, dt, retry]
+                if retry < 0 or (retry > 2 * base and retry > base + 0.5):
+                    gate_violations[name] = [base, retry if retry > 0 else dt]
     # ADVICE r15: a query that fails outright (dt = -1.0) was invisible
     # to the gate — a regression-to-failure must be louder than a 2x
     # slowdown, so failed queries get their own artifact field; and
@@ -185,8 +245,8 @@ def main() -> None:
     # unbaselined").
     failed_queries = sorted(n for n, dt in timings.items() if dt < 0)
     unbaselined = sorted(
-        n for n in timings if baselines.get(n, -1.0) <= 0
-    ) if baselines else []
+        n for n in timings if gate_base.get(n, -1.0) <= 0
+    ) if gate_base else []
     if failed_queries:
         print(f"bench: FAILED queries: {failed_queries}", file=sys.stderr)
     if gate_violations:
@@ -203,14 +263,19 @@ def main() -> None:
         "streaming_micro_batches": n_batches,
         "streaming_equals_batch_q61": stream_matches,
         "loadavg_1m_5m_15m": loadavg,
+        "gate_basis": "warm" if warm_gate else "first_pass",
         "gate_violations": gate_violations,
         "gate_retries": gate_retries,
-        "n_unbaselined": len(unbaselined) if baselines else -1,
+        "gate_retry_cleared_caches": gate_retry_cleared,
+        "n_unbaselined": len(unbaselined) if gate_base else -1,
         "failed_queries": failed_queries,
     }
     if timings_warm:
         full["queries_warm"] = timings_warm
-        full["warm_suite_wall_sec"] = round(sum(timings_warm.values()), 3)
+        full["warm_suite_wall_sec"] = round(
+            sum(v for v in timings_warm.values() if v > 0), 3
+        )
+        full["warm_cleared_cache_entries"] = warm_cleared
     print(json.dumps(full))
     # The driver records only a 2000-char TAIL of stdout; the full line
     # above (~5 KB of per-query timings) gets left-truncated into invalid

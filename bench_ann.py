@@ -76,6 +76,13 @@ def main() -> None:
         "ivf": lambda: ivf_ann_topk(cand, queries, k=K),
         "pq": lambda: pq_ann_topk(cand, queries, k=K),
         "ivfpq": lambda: ivfpq_ann_topk(cand, queries, k=K),
+        # raw ADC (rerank_factor=0): no exact re-rank, so the recall
+        # delta vs "pq"/"ivfpq" IS the measured compression loss
+        # (ADVICE r16: the reranked default stopped recording it)
+        "pq_raw_adc": lambda: pq_ann_topk(cand, queries, k=K, rerank_factor=0),
+        "ivfpq_raw_adc": lambda: ivfpq_ann_topk(
+            cand, queries, k=K, rerank_factor=0
+        ),
     }
     tops, results = {}, {}
     for name, fn in strategies.items():
@@ -112,7 +119,9 @@ def main() -> None:
         "note": "recall vs exact brute-force cosine top-k; planted 1.001-"
         "scaled duplicates must be found by every strategy (disqualifying "
         "otherwise); random 64-dim tails are near-orthogonal so mid random-"
-        "neighbor recall is expected for pruning/compression paths",
+        "neighbor recall is expected for pruning/compression paths; "
+        "*_raw_adc rows skip the exact re-rank (rerank_factor=0) so the "
+        "recall delta vs the reranked rows is the pure PQ compression loss",
     }
     print(json.dumps(line))
     with open(os.path.join(_REPO, "bench", "ann_results.json"), "w") as f:

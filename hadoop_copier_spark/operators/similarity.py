@@ -835,6 +835,14 @@ _HARDNEG_BROADCAST_MAX_BYTES = 64 << 20
 # session scores the same query set repeatedly), memoized with the
 # _PROBE_CACHE discipline: semanticHash is a driver-side JVM call on the
 # analyzed plan, no job; dead-session keys evict on insert.
+#
+# CONTRACT (ADVICE r16): unlike the broadcast-HINT probes, a hit here
+# selects the PATH (exact broadcast vs approximate IVF), so the cache
+# assumes inputs are immutable per session — the same assumption the
+# engine makes of its parquet fixtures everywhere. If data at the same
+# path is rewritten mid-session with an identical plan hash, evict via
+# hadoop_copier_spark.memo.clear_memoized_caches(("hardneg_probe",))
+# before re-scoring; the bench's warm pass does exactly that.
 _HARDNEG_PROBE_CACHE: dict = {}
 
 

@@ -1,0 +1,56 @@
+"""Pins for hadoop_copier_spark.memo — the memoized-cache registry the
+bench's warm pass and gate retries depend on (ADVICE r16 medium: a gate
+retry must be able to clear exactly the caches the offender fronts, or
+a regression in a cached stage is silently cleared by a warm re-run)."""
+
+from hadoop_copier_spark.memo import clear_memoized_caches, consumed_caches
+from hadoop_copier_spark.operators import similarity
+from hadoop_copier_spark.queries import REGISTRY, graph_ops, tpch_analogs
+
+
+def test_registry_names_every_known_cache():
+    counts = clear_memoized_caches()
+    assert set(counts) == {"graph_edges", "tpch_probes", "hardneg_probe"}
+
+
+def test_clear_only_touches_named_cache():
+    graph_ops._EDGE_CACHE["k"] = "v"
+    tpch_analogs._PROBE_CACHE["k"] = 1
+    similarity._HARDNEG_PROBE_CACHE["k"] = (1, 1)
+    try:
+        out = clear_memoized_caches(only=("graph_edges",))
+        assert out == {"graph_edges": 1}
+        assert not graph_ops._EDGE_CACHE
+        assert tpch_analogs._PROBE_CACHE and similarity._HARDNEG_PROBE_CACHE
+    finally:
+        clear_memoized_caches()
+
+
+def test_consumed_caches_covers_every_cache_using_query():
+    """Every registry query whose module owns a cache must be mapped to
+    it, and the sole hardneg consumer must resolve by name — if a new
+    cache-consuming family appears without a consumed_caches rule, the
+    bench would retry it against a baseline that measured more work."""
+    by_cache = {}
+    for name, q in REGISTRY.items():
+        if "alias" in q.tags:
+            continue
+        for c in consumed_caches(q.fn):
+            by_cache.setdefault(c, []).append(name)
+    assert "xh_bfs_hops" in by_cache["graph_edges"]
+    assert "xh_hard_negatives" in by_cache["hardneg_probe"]
+    assert len(by_cache["hardneg_probe"]) == 1
+    assert by_cache["tpch_probes"]  # the tpch analog family
+    # module-rule sanity: nothing outside the owning modules claims a cache
+    for name in by_cache["graph_edges"]:
+        assert REGISTRY[name].fn.__module__.endswith("queries.graph_ops")
+
+
+def test_clear_then_rebuild_is_lazy(spark, sf_smoke):
+    """Clearing the edge cache mid-session must be safe: next consumer
+    rebuilds lazily and returns the same rows."""
+    before = graph_ops._weighted_edges(spark, sf_smoke).count()
+    cleared = clear_memoized_caches(only=("graph_edges",))
+    assert cleared["graph_edges"] >= 1
+    after = graph_ops._weighted_edges(spark, sf_smoke).count()
+    assert before == after
