@@ -1,0 +1,255 @@
+"""Edit-neardup blocking tuning (VERDICT r16 #4 — the bench_lsh_tuning.py
+discipline applied to xh_edit_neardup's block key): sweep the blocking
+knobs over a PLANTED mutation set and pick the production default from
+measurement, not intuition.
+
+Why planted mutations: the organic fixtures' true Lev<=3 pairs (8 at
+sf0.1) all share prefix and length band, so every config scores organic
+recall 1.0 and the sweep would be blind to the DECLARED miss classes —
+an edit touching the first-P-chars prefix escapes the prefix key, and a
+length change crossing a div-W band boundary escapes the length key
+(xh_edit_recall_eval quantifies these on the production corpus; this
+script quantifies them on mutations CONSTRUCTED to hit them). Each doc
+in a bounded audit subset gets one deterministic mutated copy with 1-3
+unit edits; the mutation class cycles by doc_id so the set covers:
+substitutions at rotating positions (some inside any prefix), front
+insert/delete (always a prefix miss for prefix-only keys), middle
+deletes and tail appends (length changes that cross band boundaries for
+docs near them). Truth = the planted (src, mutant) pairs, all Lev<=3 by
+construction (each unit edit costs exactly 1).
+
+Swept dimensions:
+  * P — prefix key length (production: 12)
+  * W — length band width (production: 16)
+  * probe — "home" (each doc keys on l div W; pairs straddling a
+    boundary MISS) vs "window" (the shorter side probes BOTH l div W
+    and (l+3) div W — <= 2 distinct keys since the partner's length is
+    within [l, l+3]; boundary misses eliminated BY CONSTRUCTION, the
+    xh_edit_recall_eval exact-side trick applied to production)
+  * keys — "pfx" (prefix only) vs "pfx+sfx" (candidates = prefix-key
+    pairs UNION suffix-key pairs; an edit rarely hits both ends, the
+    2-band LSH analog)
+
+Per config: planted-pair recall, candidate volume over the full
+corpus+mutants (the 100 TB cost driver — every candidate pays the
+banded O(3*len) levenshtein verify), verified-pair count, and the wall
+of the full block+verify pass. Chosen default = max recall, then min
+candidate volume (ties to the simpler strategy).
+
+Prints one JSON line; records bench/edit_tuning_results.json (cited
+from SCALE.md). Run: python bench_edit_tuning.py
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_EDIT_NPLANT (mutants, default 500).
+"""
+
+from __future__ import annotations
+
+import itertools
+import json
+import os
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from hadoop_copier_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+N_PLANT = int(os.environ.get("SPARK_GRAFT_EDIT_NPLANT", "500"))
+PLANT_OFFSET = 10_000_000
+SUB_CHARS = "zqxjkv"  # rare letters: substitution always changes the char
+
+
+def mutate(doc_id: int, t: str) -> str:
+    """1-3 deterministic unit edits; class cycles by doc_id.
+
+    Every branch applies exactly n_ed single-char edits, so
+    levenshtein(t, mutant) <= n_ed <= 3 by construction."""
+    n_ed = 1 + doc_id % 3
+    klass = doc_id % 5
+    s = t
+    for i in range(n_ed):
+        c = SUB_CHARS[(doc_id + i) % len(SUB_CHARS)]
+        if klass == 0:  # substitution at a rotating position
+            pos = (doc_id * 7 + i * 13) % max(len(s), 1)
+            s = s[:pos] + c + s[pos + 1:]
+        elif klass == 1:  # front delete: prefix miss, length -1
+            s = s[1:]
+        elif klass == 2:  # front insert: prefix miss, length +1
+            s = c + s
+        elif klass == 3:  # middle delete: length -1
+            pos = (len(s) // 2 + i) % max(len(s), 1)
+            s = s[:pos] + s[pos + 1:]
+        else:  # tail append: length +1, suffix miss
+            s = s + c
+    return s
+
+
+def main() -> None:
+    spark = get_spark(app_name="hcs-edit-tuning")
+    docs = (
+        spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+        .select("doc_id", F.lower("text").alias("t"))
+        .filter(F.col("t").isNotNull())
+    )
+    # bounded planted set: collect ONLY the audit subset (the
+    # xh_edit_recall_eval bounded-subset discipline; a real corpus
+    # would sample). Mutation is driver-side Python over <= N_PLANT
+    # short strings — this is fixture prep, not a production operator.
+    src = {
+        r["doc_id"]: r["t"]
+        for r in docs.filter(F.col("doc_id") < N_PLANT).collect()
+    }
+    mutants = [
+        (int(i) + PLANT_OFFSET, mutate(int(i), t)) for i, t in sorted(src.items())
+    ]
+    mdf = spark.createDataFrame(
+        spark.sparkContext.parallelize(mutants, 4), "doc_id long, t string"
+    )
+    corpus = (
+        docs.unionByName(mdf)
+        .withColumn("l", F.length("t").cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    n_corpus = corpus.count()
+    truth = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+            [(int(i), int(i) + PLANT_OFFSET) for i in sorted(src)], 4
+        ),
+        "id_a long, id_b long",
+    ).localCheckpoint(eager=True)
+    n_truth = truth.count()
+
+    def key_frame(P: int, W: int, probe: str, end: str):
+        """(doc_id, l, band-key, string-key) frame; 'window' probe
+        explodes the LEFT side to both possible partner bands."""
+        kcol = (
+            F.substring("t", 1, P)
+            if end == "pfx"
+            else F.substring(F.reverse(F.col("t")), 1, P)
+        )
+        base = corpus.select("doc_id", "l", kcol.alias("k"))
+        home = base.withColumn("b", F.expr(f"CAST(l div {W} AS BIGINT)"))
+        if probe == "home":
+            return home, home
+        probes = base.select(
+            "doc_id",
+            "l",
+            "k",
+            F.explode(
+                F.array_distinct(
+                    F.array(
+                        F.expr(f"CAST(l div {W} AS BIGINT)"),
+                        F.expr(f"CAST((l + 3) div {W} AS BIGINT)"),
+                    )
+                )
+            ).alias("b"),
+        )
+        return probes, home
+
+    def candidates(P: int, W: int, probe: str, keys: str):
+        """Unordered candidate pair frame for one config."""
+        parts = []
+        for end in ("pfx",) if keys == "pfx" else ("pfx", "sfx"):
+            left, right = key_frame(P, W, probe, end)
+            a = left.alias("a")
+            c = right.alias("c")
+            # 'window' orientation: the SHORTER side probes, so the
+            # pair is emitted where a.l <= c.l (ties by id); 'home' is
+            # symmetric so plain id< suffices.
+            cond = (F.col("a.b") == F.col("c.b")) & (
+                F.col("a.k") == F.col("c.k")
+            )
+            if probe == "window":
+                cond = cond & (
+                    (F.col("a.l") < F.col("c.l"))
+                    | (
+                        (F.col("a.l") == F.col("c.l"))
+                        & (F.col("a.doc_id") < F.col("c.doc_id"))
+                    )
+                )
+            else:
+                cond = cond & (F.col("a.doc_id") < F.col("c.doc_id"))
+            parts.append(
+                a.join(c, cond).select(
+                    F.least("a.doc_id", "c.doc_id").alias("id_a"),
+                    F.greatest("a.doc_id", "c.doc_id").alias("id_b"),
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out.distinct()
+
+    results = []
+    for P, W, probe, keys in itertools.product(
+        (8, 12, 16), (8, 16, 32), ("home", "window"), ("pfx", "pfx+sfx")
+    ):
+        t0 = time.monotonic()
+        cand = candidates(P, W, probe, keys).localCheckpoint(eager=True)
+        n_cand = cand.count()
+        # full production pass: banded verify on the blocked pairs
+        txt = corpus.select("doc_id", "t")
+        verified = (
+            cand.join(txt.withColumnRenamed("doc_id", "id_a"), "id_a")
+            .withColumnRenamed("t", "ta")
+            .join(
+                txt.withColumnRenamed("doc_id", "id_b").withColumnRenamed(
+                    "t", "tb"
+                ),
+                "id_b",
+            )
+            .filter(F.levenshtein("ta", "tb", 3) >= 0)
+            .count()
+        )
+        wall = round(time.monotonic() - t0, 3)
+        tp = truth.join(cand, ["id_a", "id_b"], "left_semi").count()
+        results.append(
+            {
+                "P": P,
+                "W": W,
+                "probe": probe,
+                "keys": keys,
+                "planted_recall": round(tp / max(n_truth, 1), 4),
+                "n_candidates": n_cand,
+                "n_verified_pairs": verified,
+                "wall_sec": wall,
+            }
+        )
+        print(json.dumps(results[-1]), file=sys.stderr)
+
+    best = max(
+        results,
+        key=lambda r: (
+            r["planted_recall"],
+            -r["n_candidates"],
+            r["keys"] == "pfx",  # ties to the simpler strategy
+        ),
+    )
+    prod = next(
+        r
+        for r in results
+        if (r["P"], r["W"], r["probe"], r["keys"]) == (12, 16, "home", "pfx")
+    )
+    line = {
+        "metric": "edit_blocking_tuning",
+        "sf_dir": SF_DIR,
+        "n_corpus": n_corpus,
+        "n_planted_pairs": n_truth,
+        "mutation_classes": "sub@rotating-pos, front-del, front-ins, "
+        "mid-del, tail-append; 1-3 unit edits cycling by doc_id",
+        "production_config": prod,
+        "best_config": best,
+        "configs": results,
+    }
+    print(json.dumps(line))
+    with open(os.path.join(_REPO, "bench", "edit_tuning_results.json"), "w") as f:
+        json.dump(line, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

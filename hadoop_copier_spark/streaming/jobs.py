@@ -27,10 +27,22 @@ def _read_stream(spark: SparkSession, src_dir: str, max_files: int | None = 1) -
     return r.option("recursiveFileLookup", "true").parquet(src_dir)
 
 
-def stream_tumbling_counts(spark: SparkSession, src_dir: str, queryName: str):
+def stream_tumbling_counts(
+    spark: SparkSession,
+    src_dir: str,
+    queryName: str,
+    available_now: bool = False,
+):
     """Tumbling 10-min window count + exact-cents sum per event_type
     (complete mode -> memory sink); final table must equal batch q61,
-    which emits BIGINT cents (integer-units rule)."""
+    which emits BIGINT cents (integer-units rule).
+
+    ``available_now=True`` runs with Trigger.AvailableNow (VERDICT r16
+    #3): the query consumes everything present at start — still one
+    micro-batch per file under maxFilesPerTrigger — then STOPS, so a
+    bench can awaitTermination() and measure pure work with no
+    processAllAvailable poll/idle tax. Default stays the continuous
+    trigger the equivalence tests drive with processAllAvailable."""
     events = _read_stream(spark, src_dir)
     agg = (
         events.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
@@ -47,9 +59,10 @@ def stream_tumbling_counts(spark: SparkSession, src_dir: str, queryName: str):
             "sum_val_cents",
         )
     )
-    return (
-        agg.writeStream.outputMode("complete").format("memory").queryName(queryName).start()
-    )
+    w = agg.writeStream.outputMode("complete").format("memory").queryName(queryName)
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
 
 
 def stream_dedup(spark: SparkSession, src_dir: str, queryName: str):

@@ -297,6 +297,123 @@ def check_exactly_once_foreachbatch(spark, tmp):
     }
 
 
+def check_failed_batch_midwrite_restart(spark, tmp):
+    """VERDICT r16 #8 — failure injection: a foreachBatch micro-batch
+    crashes MID-WRITE (data materialized, manifest commit never lands —
+    the reference's PARTIALLY_FAILED state applied to the streaming
+    sink); restart from the same checkpoint must yield exactly-once
+    committed output whose tumbling aggregate equals batch q61, with the
+    orphaned partial write invisible to snapshot readers. Same logic as
+    tests/test_streaming.py::test_failed_batch_midwrite_restart_exactly_once."""
+    from hadoop_copier_spark.operators.snapshots import (
+        list_versions,
+        read_snapshot,
+    )
+    from hadoop_copier_spark.queries import REGISTRY
+    from hadoop_copier_spark.streaming import EVENTS_SCHEMA, replay_events_chunks
+    from hadoop_copier_spark.streaming.snapshot_sink import (
+        committed_batch_ids,
+        snapshot_batch_writer,
+    )
+
+    src = os.path.join(tmp, "fi_src")
+    table = os.path.join(tmp, "fi_table")
+    chk = os.path.join(tmp, "fi_chk")
+    replay_events_chunks(spark, SF, src, n_chunks=8)
+    inner = snapshot_batch_writer(table)
+    orphan = os.path.join(table, "data", "inflight-crashed")
+    state = {"planted": False}
+
+    def writer(df, batch_id):
+        if batch_id == 3 and not state["planted"]:
+            state["planted"] = True
+            df.write.mode("overwrite").parquet(orphan)
+            raise RuntimeError("planted mid-write failure (batch 3)")
+        inner(df, batch_id)
+
+    def start():
+        stream = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+        )
+        return (
+            stream.writeStream.foreachBatch(writer)
+            .option("checkpointLocation", chk)
+            .start()
+        )
+
+    q = start()
+    died = False
+    try:
+        q.processAllAvailable()
+    except Exception:
+        died = True
+    finally:
+        try:
+            q.stop()
+        except Exception:
+            pass
+    failed_uncommitted = 3 not in committed_batch_ids(table)
+
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    ids = committed_batch_ids(table)
+    contiguous = ids == set(range(max(ids) + 1)) if ids else False
+    one_version_per_batch = len(list_versions(table)) == len(ids)
+    got = {
+        (r["w_start_sec"], r["event_type"]): (r["n"], r["sum_val_cents"])
+        for r in (
+            read_snapshot(spark, table)
+            .groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(
+                    F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast(
+                        "bigint"
+                    )
+                ).alias("sum_val_cents"),
+            )
+            .select(
+                F.unix_timestamp(F.col("w.start")).alias("w_start_sec"),
+                "event_type",
+                "n",
+                "sum_val_cents",
+            )
+            .collect()
+        )
+    }
+    batch = {
+        (r["w_start_sec"], r["event_type"]): (r["n"], r["sum_val_cents"])
+        for r in REGISTRY["q61"].fn(spark, SF).collect()
+    }
+    orphan_invisible = os.path.isdir(orphan) and not any(
+        "inflight-crashed" in f
+        for v in list_versions(table)
+        for f in read_snapshot(spark, table, v).inputFiles()
+    )
+    return {
+        "planted_failure_killed_query": state["planted"] and died,
+        "failed_batch_uncommitted_before_restart": failed_uncommitted,
+        "committed_batch_ids_contiguous": contiguous,
+        "one_version_per_batch": one_version_per_batch,
+        "agg_equals_batch_q61": got == batch,
+        "orphan_partial_write_invisible": orphan_invisible,
+        "pass": state["planted"]
+        and died
+        and failed_uncommitted
+        and contiguous
+        and one_version_per_batch
+        and got == batch
+        and orphan_invisible,
+    }
+
+
 def check_exactly_once_file_sink_midstream_restart(spark, tmp):
     from hadoop_copier_spark.tables import load_table
 
@@ -674,6 +791,7 @@ CHECKS = [
     ("exactly_once_foreachbatch_restart", check_exactly_once_foreachbatch),
     ("exactly_once_file_sink_midstream_restart",
      check_exactly_once_file_sink_midstream_restart),
+    ("failed_batch_midwrite_restart", check_failed_batch_midwrite_restart),
     ("stateful_subseq_matcher", check_subseq_matcher_equals_batch),
     ("streaming_hll_merge", check_streaming_hll_merge),
     ("streaming_cms_merge", check_streaming_cms_merge),

@@ -55,6 +55,27 @@ def test_stream_tumbling_equals_batch(spark, replay_dir):
     assert got == batch
 
 
+def test_stream_tumbling_available_now_equals_batch(spark, replay_dir):
+    """The bench's AvailableNow trigger path (VERDICT r16 #3): same
+    per-file micro-batching, terminates when present data is consumed,
+    result identical to the continuous-trigger run and to batch q61."""
+    q = stream_tumbling_counts(spark, replay_dir, "t_tumb_an", available_now=True)
+    try:
+        assert q.awaitTermination(120), "AvailableNow query did not terminate"
+        got = {
+            (r["w_start_sec"], r["event_type"]): (r["n"], r["sum_val_cents"])
+            for r in _rows(spark, "t_tumb_an")
+        }
+        assert len(q.recentProgress) >= 2  # still micro-batched per file
+    finally:
+        q.stop()
+    batch = {
+        (r["w_start_sec"], r["event_type"]): (r["n"], r["sum_val_cents"])
+        for r in REGISTRY["q61"].fn(spark, SF).collect()
+    }
+    assert got == batch
+
+
 def test_stream_dedup_resent_events_once(spark, tmp_path):
     src = str(tmp_path / "dedup_src")
     e = load_table(spark, SF, "events").limit(100)
@@ -289,6 +310,116 @@ def test_file_sink_exactly_once_across_midstream_restart(spark, tmp_path):
     )
     want = sorted((r["event_id"], r["user_id"], r["value"]) for r in e.collect())
     assert got == want  # no loss, no duplicates, values intact
+
+
+def test_failed_batch_midwrite_restart_exactly_once(spark, tmp_path):
+    """VERDICT r16 #8 — failure injection: a foreachBatch micro-batch
+    CRASHES MID-WRITE (data files materialized, no manifest commit —
+    the reference's PARTIALLY_FAILED state, CopyTaskService.java:108-127,
+    applied to the streaming sink), the query dies, and a restart from
+    the same checkpoint must yield exactly-once committed output whose
+    tumbling aggregate equals batch q61. The orphaned partial write must
+    stay invisible to snapshot readers (manifest-commit atomicity)."""
+    from hadoop_copier_spark.operators.snapshots import (
+        list_versions,
+        read_snapshot,
+    )
+    from hadoop_copier_spark.streaming import replay_events_chunks
+    from hadoop_copier_spark.streaming.snapshot_sink import (
+        committed_batch_ids,
+        snapshot_batch_writer,
+    )
+
+    src = str(tmp_path / "fi_src")
+    table = str(tmp_path / "fi_table")
+    chk = str(tmp_path / "fi_chk")
+    replay_events_chunks(spark, SF, src, n_chunks=8)
+    inner = snapshot_batch_writer(table)
+    orphan = os.path.join(table, "data", "inflight-crashed")
+    state = {"planted": False}
+
+    def writer(df, batch_id):
+        if batch_id == 3 and not state["planted"]:
+            state["planted"] = True
+            # mid-write crash: rows hit the table's data dir, but the
+            # manifest rename (the commit point) never happens
+            df.write.mode("overwrite").parquet(orphan)
+            raise RuntimeError("planted mid-write failure (batch 3)")
+        inner(df, batch_id)
+
+    def start():
+        stream = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+        )
+        return (
+            stream.writeStream.foreachBatch(writer)
+            .option("checkpointLocation", chk)
+            .start()
+        )
+
+    q = start()
+    died = False
+    try:
+        q.processAllAvailable()
+    except Exception:
+        died = True
+    finally:
+        try:
+            q.stop()
+        except Exception:
+            pass
+    assert state["planted"] and died, "planted failure must kill the query"
+    committed_before = committed_batch_ids(table)
+    assert 3 not in committed_before  # failed batch never half-committed
+
+    q = start()  # restart: batch 3 redelivered from the WAL, then drains
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    ids = committed_batch_ids(table)
+    assert ids == set(range(max(ids) + 1))  # contiguous, no gap, no dup
+    assert len(list_versions(table)) == len(ids)  # one version per batch
+    got = {
+        (r["w_start_sec"], r["event_type"]): (r["n"], r["sum_val_cents"])
+        for r in (
+            read_snapshot(spark, table)
+            .groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(
+                    F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast(
+                        "bigint"
+                    )
+                ).alias("sum_val_cents"),
+            )
+            .select(
+                F.unix_timestamp(F.col("w.start")).alias("w_start_sec"),
+                "event_type",
+                "n",
+                "sum_val_cents",
+            )
+            .collect()
+        )
+    }
+    batch = {
+        (r["w_start_sec"], r["event_type"]): (r["n"], r["sum_val_cents"])
+        for r in REGISTRY["q61"].fn(spark, SF).collect()
+    }
+    assert got == batch  # exactly-once: no loss, no duplicated batch
+    # the orphaned partial write exists on disk but no manifest points
+    # at it — snapshot readers never see PARTIALLY_FAILED work
+    assert os.path.isdir(orphan)
+    manifest_files = set()
+    for v in list_versions(table):
+        manifest_files.update(
+            read_snapshot(spark, table, v).inputFiles()
+        )
+    assert not any("inflight-crashed" in f for f in manifest_files)
 
 
 def test_stream_sliding_window_equals_batch(spark, replay_dir):
