@@ -39,6 +39,10 @@ from hadoop_copier_spark.queries import REGISTRY  # noqa: E402
 from hadoop_copier_spark.session import get_spark  # noqa: E402
 
 
+class _SubsetRun(Exception):
+    """Control-flow marker: SPARK_GRAFT_BENCH_ONLY skips a block."""
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -71,12 +75,19 @@ def main() -> None:
     # Non-fronting consumers re-run against the hot cache, exactly as
     # their first run did.
     warm_pass = os.environ.get("SPARK_GRAFT_BENCH_WARM", "1") != "0"
+    # SPARK_GRAFT_BENCH_ONLY="name1,name2" restricts the timed loop to a
+    # subset (gate demos, ad-hoc profiling) and skips the oracle +
+    # streaming blocks; the artifact records the subset so a partial
+    # run can never be mistaken for a full record.
+    only_env = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").strip()
+    only = {s.strip() for s in only_env.split(",") if s.strip()} or None
     timings: dict[str, float] = {}
     timings_warm: dict[str, float] = {}
     total = 0.0
     timed = [
         (name, q)
         for name, q in sorted(REGISTRY.items())
+        if (only is None or name in only)
         # driver-window aliases (queries/aliases.py) are the same Query
         # objects under sort-first names — timing them twice would
         # inflate the suite wall without measuring anything new
@@ -124,6 +135,8 @@ def main() -> None:
     oracle_timings: dict[str, float] = {}
     oracle_total = 0.0
     for name, q in sorted(REGISTRY.items()):
+        if only is not None:
+            break  # subset run: contract oracle wall not meaningful
         if not (name.startswith("q") and q.oracle):
             continue
         t0 = time.perf_counter()
@@ -155,6 +168,8 @@ def main() -> None:
     streaming_wall, n_batches, stream_matches = -1.0, -1, False
     stream_profile: dict = {}
     try:
+        if only is not None:
+            raise _SubsetRun  # subset run: skip the streaming block
         src = replay_events_time_buckets(
             spark, sf_dir, os.path.join(replay_root, "src"), n_chunks=20
         )
@@ -196,6 +211,8 @@ def main() -> None:
         )
         want = sorted(tuple(r) for r in REGISTRY["q61"].fn(spark, sf_dir).collect())
         stream_matches = got == want
+    except _SubsetRun:
+        pass
     except Exception as e:  # pragma: no cover - bench robustness
         print(f"bench(streaming): FAILED: {e}", file=sys.stderr)
     finally:
@@ -306,6 +323,8 @@ def main() -> None:
         "n_unbaselined": len(unbaselined) if gate_base else -1,
         "failed_queries": failed_queries,
     }
+    if only is not None:
+        full["subset"] = sorted(only)
     if timings_warm:
         full["queries_warm"] = timings_warm
         full["warm_suite_wall_sec"] = round(
@@ -319,11 +338,14 @@ def main() -> None:
     # r9 #2). So the LAST line is a compact summary that always fits in
     # the tail; the full per-query record also lands on disk at
     # bench/last_run.json for the artifact trail.
+    # subset runs land in a separate file so a partial record can never
+    # shadow the full-suite artifact trail
+    record_name = "last_run.json" if only is None else "last_run_subset.json"
     try:
-        with open(os.path.join(_REPO, "bench", "last_run.json"), "w") as f:
+        with open(os.path.join(_REPO, "bench", record_name), "w") as f:
             json.dump(full, f)
     except OSError as e:  # pragma: no cover - bench robustness
-        print(f"bench: could not write bench/last_run.json: {e}", file=sys.stderr)
+        print(f"bench: could not write bench/{record_name}: {e}", file=sys.stderr)
     slowest = dict(
         sorted(
             ((k, v) for k, v in timings.items() if v > 0),
@@ -348,7 +370,7 @@ def main() -> None:
                 "n_gate_violations": len(gate_violations),
                 "n_gate_retries": len(gate_retries),
                 "n_unbaselined": len(unbaselined) if baselines else -1,
-                "full_record": "bench/last_run.json",
+                "full_record": f"bench/{record_name}",
             }
         )
     )
