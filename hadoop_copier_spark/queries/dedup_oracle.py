@@ -2143,78 +2143,155 @@ def xh_containment_pairs(spark, sf_dir):
     )
 
 
+def _edit_block_frames(spark, sf_dir, max_id=None):
+    """(probe, home) frames for the production edit-neardup block
+    (round 17 — config CHOSEN FROM MEASUREMENT, VERDICT r16 #4,
+    `bench/edit_tuning_results.json`): the probe side explodes each doc
+    to its <= 2 possible partner length bands (l div 16 and
+    (l+3) div 16 — a dist<=3 partner's length is in [l, l+3], so the
+    SHORTER side's probes cover the partner's home band BY
+    CONSTRUCTION, eliminating the band-boundary miss class the r16
+    home-band block declared), and both sides carry the 12-char prefix
+    AND 12-char suffix keys (candidates = prefix-pass UNION suffix-pass;
+    an edit rarely touches both ends). On the adversarial planted sweep
+    this block measures recall 0.994 vs 0.54 for the r16 single-pass
+    home-band prefix block, at ~2x candidates (1297 vs 668)."""
+    d = tbl(spark, sf_dir, "documents")
+    if max_id is not None:
+        d = d.filter(F.col("doc_id") < max_id)
+    d = d.select("doc_id", F.lower("text").alias("t")).withColumn(
+        "l", F.length("t").cast("long")
+    )
+    keys = [
+        F.substring("t", 1, 12).alias("pb"),
+        F.substring(F.reverse(F.col("t")), 1, 12).alias("sb"),
+    ]
+    home = d.select(
+        F.col("doc_id").alias("id_r"),
+        F.col("t").alias("t_r"),
+        F.col("l").alias("l_r"),
+        F.substring("t", 1, 12).alias("pb_r"),
+        F.substring(F.reverse(F.col("t")), 1, 12).alias("sb_r"),
+        F.expr("CAST(l div 16 AS BIGINT)").alias("bk"),
+    )
+    probe = d.select(
+        "doc_id",
+        "t",
+        "l",
+        *keys,
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    F.expr("CAST(l div 16 AS BIGINT)"),
+                    F.expr("CAST((l + 3) div 16 AS BIGINT)"),
+                )
+            )
+        ).alias("bk"),
+    )
+    return probe, home
+
+
+def _edit_block_pairs(probe, home, verify_dist=None):
+    """Blocked candidate pairs (id_a < id_b) from the two key passes;
+    with ``verify_dist`` set, the banded levenshtein verify runs
+    MAP-SIDE on each pass's join output BEFORE the cross-pass distinct
+    (the xh_fuzzy_match discipline: the dedup exchange carries only
+    integer rows for pairs that already passed, never the texts)."""
+    shorter_first = (F.col("l") < F.col("l_r")) | (
+        (F.col("l") == F.col("l_r")) & (F.col("doc_id") < F.col("id_r"))
+    )
+
+    # exact-duplicate fast path: replicated/boilerplate corpora make
+    # EQUAL texts the dominant blocked pair class (the sf1 fixtures are
+    # the extreme: 10-way verbatim payload replication), and an O(len)
+    # equality check beats the O(threshold*len) banded DP there —
+    # measured 37.5 -> ~17 s warm at sf1 for identical output (lev of
+    # equal strings is 0 by definition; the oracle keeps plain
+    # levenshtein and hash-matches).
+    dist_col = F.when(F.col("t") == F.col("t_r"), F.lit(0).cast("int")).otherwise(
+        F.levenshtein("t", "t_r", verify_dist if verify_dist is not None else 0)
+    )
+
+    def one_pass(key, key_r):
+        j = probe.join(
+            home,
+            (probe["bk"] == home["bk"])
+            & (F.col(key) == F.col(key_r))
+            & shorter_first,
+        )
+        out = j.select(
+            F.least("doc_id", "id_r").alias("id_a"),
+            F.greatest("doc_id", "id_r").alias("id_b"),
+            *(
+                [dist_col.cast("long").alias("dist")]
+                if verify_dist is not None
+                else []
+            ),
+        )
+        if verify_dist is not None:
+            out = out.filter(F.col("dist") >= 0)  # banded kernel: -1 past bound
+        return out
+
+    return one_pass("pb", "pb_r").unionByName(one_pass("sb", "sb_r")).distinct()
+
+
 @register(
     "xh_edit_neardup",
     oracle="""WITH d AS MATERIALIZED (
-  SELECT doc_id, lower(text) AS t FROM documents),
-b AS MATERIALIZED (
-  SELECT doc_id, t,
-         CAST(length(t) // 16 AS BIGINT) AS lb,
-         substr(t, 1, 12) AS pb
-  FROM d)
-SELECT a.doc_id AS id_a, c.doc_id AS id_b,
-       CAST(levenshtein(a.t, c.t) AS BIGINT) AS dist
-FROM b a JOIN b c ON a.lb = c.lb AND a.pb = c.pb AND a.doc_id < c.doc_id
-WHERE levenshtein(a.t, c.t) <= 3
+  SELECT doc_id, lower(text) AS t,
+         CAST(length(lower(text)) AS BIGINT) AS l,
+         substr(lower(text), 1, 12) AS pb,
+         substr(reverse(lower(text)), 1, 12) AS sb
+  FROM documents),
+cand AS (
+  SELECT least(a.doc_id, b.doc_id) AS id_a,
+         greatest(a.doc_id, b.doc_id) AS id_b,
+         a.t AS t_a, b.t AS t_b
+  FROM d a JOIN d b
+    ON b.l // 16 IN (a.l // 16, (a.l + 3) // 16)
+   AND a.pb = b.pb
+   AND (a.l < b.l OR (a.l = b.l AND a.doc_id < b.doc_id))
+  UNION
+  SELECT least(a.doc_id, b.doc_id), greatest(a.doc_id, b.doc_id),
+         a.t, b.t
+  FROM d a JOIN d b
+    ON b.l // 16 IN (a.l // 16, (a.l + 3) // 16)
+   AND a.sb = b.sb
+   AND (a.l < b.l OR (a.l = b.l AND a.doc_id < b.doc_id)))
+SELECT id_a, id_b, CAST(levenshtein(t_a, t_b) AS BIGINT) AS dist
+FROM cand WHERE levenshtein(t_a, t_b) <= 3
 ORDER BY id_a, id_b""",
     tags=("llm", "dedup", "edit-distance", "oracle-twin"),
 )
 def xh_edit_neardup(spark, sf_dir):
-    """Edit-distance near-duplicate audit (round 15): document pairs
-    within Levenshtein distance 3 — the typo/OCR/whitespace-mutation
-    duplicate class that token-level MinHash under-scores (one character
-    edit barely moves a shingle set's Jaccard, but a curation pass wants
-    these pairs surfaced as near-verbatim copies). Both engines compute
-    the classic unit-cost Levenshtein (Spark `levenshtein`, DuckDB
-    `levenshtein`), so distances are exact integers — hash-identical.
+    """Edit-distance near-duplicate audit (round 15; blocking upgraded
+    round 17 FROM MEASUREMENT): document pairs within Levenshtein
+    distance 3 — the typo/OCR/whitespace-mutation duplicate class that
+    token-level MinHash under-scores (one character edit barely moves a
+    shingle set's Jaccard, but a curation pass wants these pairs
+    surfaced as near-verbatim copies). Both engines compute the classic
+    unit-cost Levenshtein (Spark `levenshtein`, DuckDB `levenshtein`),
+    so distances are exact integers — hash-identical.
 
-    Scale shape: never all-pairs — candidates BLOCK on
-    (length(text) div 16, first-12-chars), the edit-distance analog of
-    LSH banding: an edit of <= 3 chars moves length by <= 3 (same or
-    adjacent band; same band when length mod 16 is away from the
-    boundary — declared recall bound, exactly the single-band MinHash
-    trade) and rarely touches the prefix. The block key is ONE uniform
-    exchange; the within-block self-join is block-bounded (duplicate
-    classes, not the corpus); the O(len^2) distance kernel runs only on
-    blocked pairs, JVM-side. A 10-way replicated corpus (sf1 fixtures)
-    costs C(10,2) per class — quadratic in the CLASS, linear in the
-    corpus. Sibling operator: xh_fuzzy_match (entity_resolution.py)
-    applies the same block-then-banded-levenshtein shape to ENTITY
-    names (short strings, brand-blocked); this one audits whole
-    DOCUMENTS for the curation near-dup pass."""
-    d = tbl(spark, sf_dir, "documents").select(
-        "doc_id", F.lower("text").alias("t")
-    )
-    b = d.select(
-        "doc_id",
-        "t",
-        F.expr("CAST(length(t) div 16 AS BIGINT)").alias("lb"),
-        F.substring("t", 1, 12).alias("pb"),
-    )
-    a, c = b.alias("a"), b.alias("c")
-    # THRESHOLD-banded kernel (Spark's 3-arg levenshtein, -1 past the
-    # bound): the residual join predicate evaluates on every hash-bucket
-    # match INCLUDING the self-pairs the id< conjunct later drops, and
-    # the unbanded DP paid O(len^2) per evaluation — measured 6.4 s vs
-    # 2.4 s at sf0.1 for the same 8 output pairs. The band is O(3*len).
-    # The DuckDB oracle keeps the unbanded spelling (no threshold arg
-    # there); kept pairs and distances are identical by definition.
-    dist = F.levenshtein(F.col("a.t"), F.col("c.t"), 3)
-    return (
-        a.join(
-            c,
-            (F.col("a.lb") == F.col("c.lb"))
-            & (F.col("a.pb") == F.col("c.pb"))
-            & (F.col("a.doc_id") < F.col("c.doc_id")),
-        )
-        .filter(dist >= 0)  # banded kernel returns -1 past the bound
-        .select(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("c.doc_id").alias("id_b"),
-            dist.cast("long").alias("dist"),
-        )
-        .orderBy("id_a", "id_b")
-    )
+    Scale shape: never all-pairs — TWO banded equi-join passes
+    (_edit_block_frames/_edit_block_pairs): the shorter side probes its
+    <= 2 possible partner length bands (covers any dist<=3 partner's
+    band by construction — no boundary miss class), keyed by the
+    12-char PREFIX in one pass and the 12-char SUFFIX in the other (an
+    edit rarely touches both ends; the 2-band LSH analog). The swept
+    decision record is `bench/edit_tuning_results.json` (VERDICT r16
+    #4): this block measures planted-recall 0.994 vs 0.54 for the r16
+    single-pass home-band prefix block, at ~2x candidate volume; the
+    REMAINING declared miss class — edits touching both the first and
+    last 12 chars — is pinned as counted-fn by the planted tests and
+    measured on the production corpus by xh_edit_recall_eval. The
+    banded O(3*len) verify runs map-side on each pass's join output, so
+    the cross-pass distinct exchange carries only (id_a, id_b, dist)
+    integer rows; block joins are plain equi joins (uniform exchanges);
+    the within-block quadratic is class-bounded, linear in the corpus
+    (C(10,2) per class on the 10-way sf1 replication)."""
+    probe, home = _edit_block_frames(spark, sf_dir)
+    return _edit_block_pairs(probe, home, verify_dist=3).orderBy("id_a", "id_b")
 
 
 _EDIT_EVAL_MAX_ID = 300  # bounded audit subset (sampled in a real corpus)
@@ -2231,11 +2308,13 @@ ex AS MATERIALIZED (
    AND (a.l < b.l OR (a.l = b.l AND a.doc_id < b.doc_id))
   WHERE levenshtein(a.t, b.t) <= 3),
 cd AS MATERIALIZED (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  SELECT least(a.doc_id, b.doc_id) AS id_a,
+         greatest(a.doc_id, b.doc_id) AS id_b
   FROM d a JOIN d b
-    ON a.l // 16 = b.l // 16
-   AND substr(a.t, 1, 12) = substr(b.t, 1, 12)
-   AND a.doc_id < b.doc_id),
+    ON b.l // 16 IN (a.l // 16, (a.l + 3) // 16)
+   AND (substr(a.t, 1, 12) = substr(b.t, 1, 12)
+        OR substr(reverse(a.t), 1, 12) = substr(reverse(b.t), 1, 12))
+   AND (a.l < b.l OR (a.l = b.l AND a.doc_id < b.doc_id))),
 u AS (
   SELECT COALESCE(e.is_e, FALSE) AS is_exact,
          COALESCE(c.is_c, FALSE) AS is_cand
@@ -2271,17 +2350,19 @@ FROM u"""
 def xh_edit_recall_eval(spark, sf_dir):
     """Blocking-recall audit for the edit-distance near-dup pass
     (round 16; VERDICT r15 #3 — the xh_lsh_recall_eval discipline
-    applied to xh_edit_neardup): that operator's (length div 16,
-    first-12-chars) blocking DECLARES a recall trade — an edit that
-    touches the prefix or crosses a length-band boundary escapes the
-    block — and this op turns the declaration into a NUMBER. On a
+    applied to xh_edit_neardup): the production blocking DECLARES a
+    recall trade, and this op turns the declaration into a NUMBER. On a
     bounded audit subset (doc_id < 300; a uniform sample in a real
     corpus) it computes the EXACT Levenshtein <= 3 pair set and the
     production blocked candidate pair set, then emits one summary row
-    of tp/fp/fn and integer-ppm precision/recall. Recall < 1e6 here
-    quantifies exactly the declared miss classes — the planted
-    prefix-edit / band-boundary tests in tests/test_llm_ops.py pin that
-    BOTH classes are counted as fn, never silently dropped.
+    of tp/fp/fn and integer-ppm precision/recall. Since round 17 the
+    candidate side is the MEASURED window-probe prefix-UNION-suffix
+    block (VERDICT r16 #4, bench/edit_tuning_results.json — this very
+    audit's sweep chose it: planted recall 0.994 vs 0.54 for the r16
+    home-band prefix block), whose one remaining declared miss class —
+    an edit touching BOTH the first and last 12 chars — is pinned as
+    counted-fn by the planted tests in tests/test_curation_props.py,
+    never silently dropped.
 
     Scale shape: subset-bounded by construction. The exact side never
     cross-joins: a dist <= 3 pair differs in length by <= 3, so
@@ -2329,24 +2410,12 @@ def xh_edit_recall_eval(spark, sf_dir):
         )
         .withColumn("is_exact", F.lit(True))
     )
-    # candidate side: the PRODUCTION block key (xh_edit_neardup)
-    blk = d.select(
-        "doc_id",
-        F.expr("CAST(l div 16 AS BIGINT)").alias("lb"),
-        F.substring("t", 1, 12).alias("pb"),
-    )
-    a, c = blk.alias("a"), blk.alias("c")
-    cand = (
-        a.join(
-            c,
-            (F.col("a.lb") == F.col("c.lb"))
-            & (F.col("a.pb") == F.col("c.pb"))
-            & (F.col("a.doc_id") < F.col("c.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("id_a"), F.col("c.doc_id").alias("id_b")
-        )
-        .withColumn("is_cand", F.lit(True))
+    # candidate side: the PRODUCTION block (xh_edit_neardup — since
+    # round 17 the measured window-probe prefix-UNION-suffix block,
+    # bench/edit_tuning_results.json), unverified pairs
+    bprobe, bhome = _edit_block_frames(spark, sf_dir, max_id=_EDIT_EVAL_MAX_ID)
+    cand = _edit_block_pairs(bprobe, bhome).withColumn(
+        "is_cand", F.lit(True)
     )
     u = exact.join(cand, ["id_a", "id_b"], "full_outer").select(
         F.coalesce(F.col("is_exact"), F.lit(False)).alias("is_exact"),

@@ -816,22 +816,25 @@ def test_edit_neardup_planted_mutations(spark, tmp_path):
 
 
 def test_edit_recall_eval_counts_planted_miss_classes(spark, tmp_path):
-    """Round-16 planted case for xh_edit_recall_eval (VERDICT r15 #3):
-    the two DECLARED miss classes of xh_edit_neardup's (length div 16,
-    12-char-prefix) blocking — a prefix-touching edit and a length-band-
-    boundary crossing — must be COUNTED as fn by the audit, never
-    silently dropped, while a same-block tail edit lands as tp. Corpus:
-    base (len 31, band 1), m1 = prefix edit (dist 1, block miss),
-    m2 = +2 chars crossing into band 2 (dist 2, block miss),
-    m3 = tail edit in-block (dist 1, the one tp). All six pairs are
-    within dist 3 (recomputed by hand), exactly one blocks together."""
+    """Planted cases for xh_edit_recall_eval against the ROUND-17
+    measured block (window-probe bands, prefix UNION suffix keys —
+    bench/edit_tuning_results.json): the two r16 miss classes are now
+    CAUGHT — a prefix edit via the suffix pass, a band-boundary length
+    crossing via the shorter side's (l+3)-band probe — while the ONE
+    remaining declared miss class, an edit touching BOTH the first and
+    last 12 chars, must be COUNTED as fn, never silently dropped.
+    Corpus: base (len 31, band 1), m1 = prefix edit (dist 1), m2 = +2
+    tail chars crossing into band 2 (dist 2), m3 = tail edit in-band
+    (dist 1). All six pairs are within dist 3 (recomputed by hand);
+    the pairs among the mutants themselves — (m1,m2) and (m1,m3),
+    which differ at BOTH ends — are the counted misses."""
     base = "abcdefghijklmnopqrstuvwxyz01234"  # 31 chars, band 1
     assert len(base) == 31
     rows = [
         (1, base),
-        (2, "az" + base[2:]),       # prefix edit: escapes the block
-        (3, base + "zz"),           # len 33 -> band 2: escapes the block
-        (4, base[:-1] + "z"),       # tail edit: same block as base
+        (2, "az" + base[2:]),       # prefix edit: caught by SUFFIX pass
+        (3, base + "zz"),           # len 33, band 2: caught by band PROBE
+        (4, base[:-1] + "z"),       # tail edit: caught by prefix pass
     ]
     df = spark.createDataFrame(
         spark.sparkContext.parallelize(
@@ -842,9 +845,13 @@ def test_edit_recall_eval_counts_planted_miss_classes(spark, tmp_path):
     root = tmp_path / "editrecall"
     df.write.parquet(f"{root}/documents.parquet")
     [r] = REGISTRY["xh_edit_recall_eval"].fn(spark, str(root)).collect()
+    # tp: (1,2) suffix pass, (1,3) prefix pass + band probe, (1,4)
+    # prefix pass, (3,4) prefix pass + band probe (dist 3).
+    # fn: (2,3) and (2,4) — prefix AND suffix both edited between the
+    # mutants: the remaining declared miss class, counted.
     assert (
         r["n_docs"], r["n_exact"], r["n_cand"],
         r["tp"], r["fp"], r["fn"],
-    ) == (4, 6, 1, 1, 0, 5), r.asDict()
+    ) == (4, 6, 4, 4, 0, 2), r.asDict()
     assert r["precision_ppm"] == 1_000_000
-    assert r["recall_ppm"] == 166_666  # 1e6 div 6: the declared trade, measured
+    assert r["recall_ppm"] == 666_666  # 4e6 div 6: the remaining trade, measured
