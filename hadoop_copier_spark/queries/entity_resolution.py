@@ -94,10 +94,17 @@ def xh_fuzzy_match(spark, sf_dir):
             # O(len^2) matrix, early-exit when |len_a - len_b| > threshold,
             # returns -1 above it — ~1M candidate pairs per pass make the
             # verify compute-bound, so the band is the win (verified
-            # equivalent to full-levenshtein <= threshold by the oracle)
+            # equivalent to full-levenshtein <= threshold by the oracle).
+            # Equal names take an O(len) equality fast path (lv = 0 by
+            # definition; round 17 — on replicated corpora exact-name
+            # pairs dominate the blocks, measured on the x16 probe in
+            # bench/er_scaling_results.json; oracle keeps plain
+            # levenshtein and hash-matches)
             .withColumn(
                 "lv",
-                F.levenshtein("nm_a", "nm_b", _MAX_LV).cast("bigint"),
+                F.when(F.col("nm_a") == F.col("nm_b"), F.lit(0))
+                .otherwise(F.levenshtein("nm_a", "nm_b", _MAX_LV))
+                .cast("bigint"),
             )
             .filter(F.col("lv") >= 0)
             .select("key_a", "key_b", "br", "lv")
