@@ -46,6 +46,31 @@ def test_consumed_caches_covers_every_cache_using_query():
         assert REGISTRY[name].fn.__module__.endswith("queries.graph_ops")
 
 
+def test_every_module_level_cache_is_registered():
+    """Staleness guard: any module-level ``*_CACHE`` dict added anywhere
+    in the package MUST be wired into memo._caches(), or the bench's
+    warm pass / gate retries silently measure less work than baselines
+    for whatever new family memoizes state (the exact ADVICE r16 hole,
+    kept closed structurally)."""
+    import importlib
+    import pkgutil
+
+    import hadoop_copier_spark as pkg
+    from hadoop_copier_spark.memo import _caches
+
+    registered = {id(c) for c in _caches().values()}
+    unregistered = []
+    for m in pkgutil.walk_packages(pkg.__path__, pkg.__name__ + "."):
+        mod = importlib.import_module(m.name)
+        for attr in dir(mod):
+            if attr.endswith("_CACHE") and isinstance(getattr(mod, attr), dict):
+                if id(getattr(mod, attr)) not in registered:
+                    unregistered.append(f"{m.name}.{attr}")
+    assert not unregistered, (
+        f"module-level caches missing from memo._caches(): {unregistered}"
+    )
+
+
 def test_clear_then_rebuild_is_lazy(spark, sf_smoke):
     """Clearing the edge cache mid-session must be safe: next consumer
     rebuilds lazily and returns the same rows."""
