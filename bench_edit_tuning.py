@@ -222,15 +222,22 @@ def main() -> None:
         )
         print(json.dumps(results[-1]), file=sys.stderr)
 
-    best = max(
-        results,
-        key=lambda r: (
-            r["planted_recall"],
-            -r["n_candidates"],
-            r["keys"] == "pfx",  # ties to the simpler strategy
-        ),
-    )
-    prod = next(
+    # decision rule (the bench_lsh_tuning recall-floor discipline):
+    # among configs within RECALL_FLOOR of the max planted recall, take
+    # the one proposing the fewest candidates — recall first, then the
+    # 100 TB cost driver. max-recall alone would pick P=8 W=8 (0.996,
+    # 2782 candidates); the floor keeps the 0.994 config at less than
+    # half the candidate volume.
+    RECALL_FLOOR = 0.99
+    max_recall = max(r["planted_recall"] for r in results)
+    eligible = [
+        r
+        for r in results
+        if r["planted_recall"] >= min(RECALL_FLOOR, max_recall)
+    ]
+    chosen = min(eligible, key=lambda r: (r["n_candidates"], r["wall_sec"]))
+    best = max(results, key=lambda r: (r["planted_recall"], -r["n_candidates"]))
+    r16_prod = next(
         r
         for r in results
         if (r["P"], r["W"], r["probe"], r["keys"]) == (12, 16, "home", "pfx")
@@ -242,8 +249,10 @@ def main() -> None:
         "n_planted_pairs": n_truth,
         "mutation_classes": "sub@rotating-pos, front-del, front-ins, "
         "mid-del, tail-append; 1-3 unit edits cycling by doc_id",
-        "production_config": prod,
-        "best_config": best,
+        "recall_floor": RECALL_FLOOR,
+        "r16_production_config": r16_prod,
+        "max_recall_config": best,
+        "chosen_production_config": chosen,
         "configs": results,
     }
     print(json.dumps(line))

@@ -2143,19 +2143,28 @@ def xh_containment_pairs(spark, sf_dir):
     )
 
 
+# The production edit-block knobs — the values bench_edit_tuning.py's
+# recorded decision rule chose (recall floor 0.99, then min candidate
+# volume): 16-char end keys + width-8 length bands measure planted
+# recall 0.990 at 779 candidates on the sweep corpus, vs 0.54/668 for
+# the r16 home-band 12-char-prefix block and 0.996/2782 for the
+# max-recall corner.
+_EDIT_KEY_LEN = 16
+_EDIT_BAND_W = 8
+
+
 def _edit_block_frames(spark, sf_dir, max_id=None):
     """(probe, home) frames for the production edit-neardup block
     (round 17 — config CHOSEN FROM MEASUREMENT, VERDICT r16 #4,
     `bench/edit_tuning_results.json`): the probe side explodes each doc
-    to its <= 2 possible partner length bands (l div 16 and
-    (l+3) div 16 — a dist<=3 partner's length is in [l, l+3], so the
+    to its <= 2 possible partner length bands (l div W and
+    (l+3) div W — a dist<=3 partner's length is in [l, l+3], so the
     SHORTER side's probes cover the partner's home band BY
     CONSTRUCTION, eliminating the band-boundary miss class the r16
-    home-band block declared), and both sides carry the 12-char prefix
-    AND 12-char suffix keys (candidates = prefix-pass UNION suffix-pass;
-    an edit rarely touches both ends). On the adversarial planted sweep
-    this block measures recall 0.994 vs 0.54 for the r16 single-pass
-    home-band prefix block, at ~2x candidates (1297 vs 668)."""
+    home-band block declared), and both sides carry K-char PREFIX and
+    SUFFIX keys (candidates = prefix-pass UNION suffix-pass; an edit
+    rarely touches both ends). K/W above, from the sweep's recorded
+    decision rule."""
     d = tbl(spark, sf_dir, "documents")
     if max_id is not None:
         d = d.filter(F.col("doc_id") < max_id)
@@ -2163,16 +2172,16 @@ def _edit_block_frames(spark, sf_dir, max_id=None):
         "l", F.length("t").cast("long")
     )
     keys = [
-        F.substring("t", 1, 12).alias("pb"),
-        F.substring(F.reverse(F.col("t")), 1, 12).alias("sb"),
+        F.substring("t", 1, _EDIT_KEY_LEN).alias("pb"),
+        F.substring(F.reverse(F.col("t")), 1, _EDIT_KEY_LEN).alias("sb"),
     ]
     home = d.select(
         F.col("doc_id").alias("id_r"),
         F.col("t").alias("t_r"),
         F.col("l").alias("l_r"),
-        F.substring("t", 1, 12).alias("pb_r"),
-        F.substring(F.reverse(F.col("t")), 1, 12).alias("sb_r"),
-        F.expr("CAST(l div 16 AS BIGINT)").alias("bk"),
+        F.substring("t", 1, _EDIT_KEY_LEN).alias("pb_r"),
+        F.substring(F.reverse(F.col("t")), 1, _EDIT_KEY_LEN).alias("sb_r"),
+        F.expr(f"CAST(l div {_EDIT_BAND_W} AS BIGINT)").alias("bk"),
     )
     probe = d.select(
         "doc_id",
@@ -2182,8 +2191,8 @@ def _edit_block_frames(spark, sf_dir, max_id=None):
         F.explode(
             F.array_distinct(
                 F.array(
-                    F.expr("CAST(l div 16 AS BIGINT)"),
-                    F.expr("CAST((l + 3) div 16 AS BIGINT)"),
+                    F.expr(f"CAST(l div {_EDIT_BAND_W} AS BIGINT)"),
+                    F.expr(f"CAST((l + 3) div {_EDIT_BAND_W} AS BIGINT)"),
                 )
             )
         ).alias("bk"),
@@ -2237,25 +2246,25 @@ def _edit_block_pairs(probe, home, verify_dist=None):
 
 @register(
     "xh_edit_neardup",
-    oracle="""WITH d AS MATERIALIZED (
+    oracle=f"""WITH d AS MATERIALIZED (
   SELECT doc_id, lower(text) AS t,
          CAST(length(lower(text)) AS BIGINT) AS l,
-         substr(lower(text), 1, 12) AS pb,
-         substr(reverse(lower(text)), 1, 12) AS sb
+         substr(lower(text), 1, {_EDIT_KEY_LEN}) AS pb,
+         substr(reverse(lower(text)), 1, {_EDIT_KEY_LEN}) AS sb
   FROM documents),
 cand AS (
   SELECT least(a.doc_id, b.doc_id) AS id_a,
          greatest(a.doc_id, b.doc_id) AS id_b,
          a.t AS t_a, b.t AS t_b
   FROM d a JOIN d b
-    ON b.l // 16 IN (a.l // 16, (a.l + 3) // 16)
+    ON b.l // {_EDIT_BAND_W} IN (a.l // {_EDIT_BAND_W}, (a.l + 3) // {_EDIT_BAND_W})
    AND a.pb = b.pb
    AND (a.l < b.l OR (a.l = b.l AND a.doc_id < b.doc_id))
   UNION
   SELECT least(a.doc_id, b.doc_id), greatest(a.doc_id, b.doc_id),
          a.t, b.t
   FROM d a JOIN d b
-    ON b.l // 16 IN (a.l // 16, (a.l + 3) // 16)
+    ON b.l // {_EDIT_BAND_W} IN (a.l // {_EDIT_BAND_W}, (a.l + 3) // {_EDIT_BAND_W})
    AND a.sb = b.sb
    AND (a.l < b.l OR (a.l = b.l AND a.doc_id < b.doc_id)))
 SELECT id_a, id_b, CAST(levenshtein(t_a, t_b) AS BIGINT) AS dist
@@ -2280,8 +2289,10 @@ def xh_edit_neardup(spark, sf_dir):
     12-char PREFIX in one pass and the 12-char SUFFIX in the other (an
     edit rarely touches both ends; the 2-band LSH analog). The swept
     decision record is `bench/edit_tuning_results.json` (VERDICT r16
-    #4): this block measures planted-recall 0.994 vs 0.54 for the r16
-    single-pass home-band prefix block, at ~2x candidate volume; the
+    #4, rule: recall floor 0.99 then min candidate volume): this block
+    measures planted-recall 0.990 at 779 candidates vs 0.54 at 668 for
+    the r16 single-pass home-band prefix block (max-recall corner:
+    0.996 at 2782 — 3.6x the candidates for +0.006 recall); the
     REMAINING declared miss class — edits touching both the first and
     last 12 chars — is pinned as counted-fn by the planted tests and
     measured on the production corpus by xh_edit_recall_eval. The
@@ -2311,9 +2322,9 @@ cd AS MATERIALIZED (
   SELECT least(a.doc_id, b.doc_id) AS id_a,
          greatest(a.doc_id, b.doc_id) AS id_b
   FROM d a JOIN d b
-    ON b.l // 16 IN (a.l // 16, (a.l + 3) // 16)
-   AND (substr(a.t, 1, 12) = substr(b.t, 1, 12)
-        OR substr(reverse(a.t), 1, 12) = substr(reverse(b.t), 1, 12))
+    ON b.l // {W} IN (a.l // {W}, (a.l + 3) // {W})
+   AND (substr(a.t, 1, {K}) = substr(b.t, 1, {K})
+        OR substr(reverse(a.t), 1, {K}) = substr(reverse(b.t), 1, {K}))
    AND (a.l < b.l OR (a.l = b.l AND a.doc_id < b.doc_id))),
 u AS (
   SELECT COALESCE(e.is_e, FALSE) AS is_exact,
@@ -2339,7 +2350,7 @@ SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM d) AS n_docs,
                       * 1000000
                       // SUM(CASE WHEN is_exact THEN 1 ELSE 0 END) END AS BIGINT)
            AS recall_ppm
-FROM u"""
+FROM u""".format(W=_EDIT_BAND_W, K=_EDIT_KEY_LEN)
 
 
 @register(
@@ -2358,7 +2369,7 @@ def xh_edit_recall_eval(spark, sf_dir):
     of tp/fp/fn and integer-ppm precision/recall. Since round 17 the
     candidate side is the MEASURED window-probe prefix-UNION-suffix
     block (VERDICT r16 #4, bench/edit_tuning_results.json — this very
-    audit's sweep chose it: planted recall 0.994 vs 0.54 for the r16
+    audit's sweep chose it: planted recall 0.990 vs 0.54 for the r16
     home-band prefix block), whose one remaining declared miss class —
     an edit touching BOTH the first and last 12 chars — is pinned as
     counted-fn by the planted tests in tests/test_curation_props.py,
