@@ -532,3 +532,69 @@ def xp_csv_malformed(spark, sf_dir):
             spark.sparkContext.parallelize(rows, 1), "check string, n long"
         ).orderBy("check")
     )
+
+
+@register("xp_stream_stream_join", oracle=None, tags=("streaming", "join"))
+def xp_stream_stream_join(spark, sf_dir):
+    """P-class: stream-stream watermarked interval join end-to-end
+    (VERDICT r17 #2) — the events table split by even/odd event_id into
+    two time-ordered file replays, consumed as two independent
+    watermarked streams and interval-joined on (user_id, r_ts BETWEEN
+    l_ts AND l_ts + 5 min): the q21 batch shape as Structured Streaming.
+    Returns one summary row: emitted pair count, micro-batch count, and
+    whether the pair set equals the batch interval join of the two
+    halves (the equivalence bit the driver's rows-only check surfaces;
+    tests/test_streaming.py and record_streaming.py assert it directly,
+    plus the late-row drop case).
+
+    Scale shape: both sides carry a 1 h event-time watermark and the
+    join bounds r_ts to a 5-minute range, so the state store holds only
+    watermark+range worth of rows per side — bounded state regardless of
+    stream length. Each side shuffles once on user_id; late input below
+    the watermark is dropped at the source, never joined."""
+    from ..streaming import replay_events_split_buckets, stream_interval_join
+    from ..tables import load_table
+
+    out = scratch_dir("xp_stream_stream_join")
+    # one-shuffle-job split writer (the 100 TB replay shape); 8 state
+    # partitions: at test scale 32 state stores per side per micro-batch
+    # is pure task overhead (measured 14 -> 7.5 s at sf0.1)
+    left_dir, right_dir = replay_events_split_buckets(spark, sf_dir, out, n_chunks=2)
+    q = stream_interval_join(
+        spark, left_dir, right_dir, "xp_ssj_sink", shuffle_partitions=8
+    )
+    try:
+        q.processAllAvailable()
+        n_batches = int((q.lastProgress or {}).get("batchId", -2)) + 1
+        got = {
+            (r["l_id"], r["r_id"])
+            for r in spark.sql("SELECT * FROM xp_ssj_sink").collect()
+        }
+    finally:
+        q.stop()
+    e = load_table(spark, sf_dir, "events")
+    left = e.filter(F.col("event_id") % 2 == 0).select(
+        F.col("event_id").alias("l_id"),
+        F.col("user_id").alias("l_user"),
+        F.col("ts").alias("l_ts"),
+    )
+    right = e.filter(F.col("event_id") % 2 != 0).select(
+        F.col("event_id").alias("r_id"),
+        F.col("user_id").alias("r_user"),
+        F.col("ts").alias("r_ts"),
+    )
+    batch = {
+        (r["l_id"], r["r_id"])
+        for r in left.join(
+            right,
+            (F.col("l_user") == F.col("r_user"))
+            & (F.col("r_ts") >= F.col("l_ts"))
+            & (F.col("r_ts") <= F.col("l_ts") + F.expr("INTERVAL 5 MINUTES")),
+            "inner",
+        ).collect()
+    }
+    rows = [(len(got), n_batches, got == batch)]
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1),
+        "n_pairs long, n_micro_batches long, equals_batch boolean",
+    )

@@ -782,6 +782,107 @@ def check_stateful_per_key_counts(spark, tmp):
     }
 
 
+def check_stream_stream_interval_join(spark, tmp):
+    """Stream-stream watermarked interval join (VERDICT r17 #2): two
+    event streams (the events table split by even/odd event_id, each
+    replayed time-ordered) joined on user_id with r_ts BETWEEN l_ts AND
+    l_ts + 5 min — the q21 batch shape. Two assertions:
+
+    1. equivalence: after processAllAvailable the memory sink's pair set
+       equals the batch interval join of the two halves exactly;
+    2. late-row drop: on a hand-built two-batch feed, a matching pair
+       delivered BELOW the watermark (batch 1 advanced both sides to
+       T0+3h -> watermark T0+2h; batch 2 delivers a pair at T0+10min)
+       is dropped, while the on-time batch-1 pair is emitted."""
+    import datetime as dt
+
+    from hadoop_copier_spark.streaming import (
+        EVENTS_SCHEMA,
+        replay_events_split,
+        stream_interval_join,
+    )
+    from hadoop_copier_spark.tables import load_table
+
+    # -- 1. equivalence over the replayed even/odd split --------------
+    left_dir, right_dir = replay_events_split(
+        spark, SF, os.path.join(tmp, "replay_ssj2"), n_chunks=3
+    )
+    q = stream_interval_join(spark, left_dir, right_dir, "rec_ssj2")
+    try:
+        q.processAllAvailable()
+        n_batches = int((q.lastProgress or {}).get("batchId", -2)) + 1
+        got = {
+            (r["l_id"], r["r_id"])
+            for r in spark.sql("SELECT * FROM rec_ssj2").collect()
+        }
+    finally:
+        q.stop()
+    e = load_table(spark, SF, "events")
+    left = e.filter(F.col("event_id") % 2 == 0).select(
+        F.col("event_id").alias("l_id"),
+        F.col("user_id").alias("l_user"),
+        F.col("ts").alias("l_ts"),
+    )
+    right = e.filter(F.col("event_id") % 2 != 0).select(
+        F.col("event_id").alias("r_id"),
+        F.col("user_id").alias("r_user"),
+        F.col("ts").alias("r_ts"),
+    )
+    batch = {
+        (r["l_id"], r["r_id"])
+        for r in left.join(
+            right,
+            (F.col("l_user") == F.col("r_user"))
+            & (F.col("r_ts") >= F.col("l_ts"))
+            & (F.col("r_ts") <= F.col("l_ts") + F.expr("INTERVAL 5 MINUTES")),
+            "inner",
+        ).collect()
+    }
+    equals_batch = got == batch and len(batch) > 0
+
+    # -- 2. late-row drop ---------------------------------------------
+    late_l = os.path.join(tmp, "ssj_late_l")
+    late_r = os.path.join(tmp, "ssj_late_r")
+    t0 = dt.datetime(2024, 6, 1, 10, 0, 0)
+
+    def mk(rows, d, sub):
+        spark.createDataFrame(
+            spark.sparkContext.parallelize(rows, 1), schema=EVENTS_SCHEMA
+        ).coalesce(1).write.mode("overwrite").parquet(os.path.join(d, sub))
+
+    # batch 1: on-time pair (2,3) for user 5 + T0+3h advancers both sides
+    mk([(2, t0, 5, "click", 1.0, "{}"),
+        (4, t0 + dt.timedelta(hours=3), 99, "click", 1.0, "{}")], late_l, "b1")
+    mk([(3, t0 + dt.timedelta(minutes=2), 5, "click", 1.0, "{}"),
+        (5, t0 + dt.timedelta(hours=3), 98, "click", 1.0, "{}")], late_r, "b1")
+    q2 = stream_interval_join(spark, late_l, late_r, "rec_ssj2_late")
+    try:
+        q2.processAllAvailable()
+        # batch 2: matching pair at T0+10/12 min — below the T0+2h watermark
+        mk([(6, t0 + dt.timedelta(minutes=10), 7, "click", 1.0, "{}")], late_l, "b2")
+        mk([(7, t0 + dt.timedelta(minutes=12), 7, "click", 1.0, "{}")], late_r, "b2")
+        q2.processAllAvailable()
+        late_pairs = {
+            (r["l_id"], r["r_id"])
+            for r in spark.sql("SELECT * FROM rec_ssj2_late").collect()
+        }
+    finally:
+        q2.stop()
+    ontime_emitted = (2, 3) in late_pairs
+    late_dropped = (6, 7) not in late_pairs
+
+    return {
+        "stream_equals_batch": equals_batch,
+        "n_pairs": len(got),
+        "n_micro_batches": n_batches,
+        "batch_query": "q21 shape: even(events) x odd(events) ON user_id, "
+        "r_ts BETWEEN l_ts AND l_ts + 5 min",
+        "ontime_pair_emitted": ontime_emitted,
+        "late_pair_dropped": late_dropped,
+        "pass": equals_batch and ontime_emitted and late_dropped,
+    }
+
+
 CHECKS = [
     ("tumbling_window_q61", check_tumbling_equals_batch),
     ("sliding_window_q62", check_sliding_equals_batch),
@@ -798,6 +899,7 @@ CHECKS = [
     ("streaming_mg_recount", check_streaming_mg_recount),
     ("stream_static_join", check_stream_static_join),
     ("stateful_per_key_counts", check_stateful_per_key_counts),
+    ("stream_stream_interval_join", check_stream_stream_interval_join),
 ]
 
 

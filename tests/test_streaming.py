@@ -177,6 +177,88 @@ def test_stream_stream_join_equals_batch(spark, replay_dir):
     assert batch, "fixture produced no click->purchase pairs; test is vacuous"
 
 
+def test_stream_interval_join_equals_batch(spark, tmp_path):
+    """Two independent watermarked streams (events split even/odd by
+    event_id, each a time-ordered replay) interval-joined on (user_id,
+    r_ts BETWEEN l_ts AND l_ts + 5 min) — the q21 batch shape as a
+    stream-stream join (VERDICT r17 #2) — equals the batch join."""
+    from hadoop_copier_spark.streaming import replay_events_split, stream_interval_join
+
+    left_dir, right_dir = replay_events_split(
+        spark, SF, str(tmp_path / "ssj_split"), n_chunks=3
+    )
+    q = stream_interval_join(spark, left_dir, right_dir, "t_ssj2")
+    try:
+        q.processAllAvailable()
+        got = {(r["l_id"], r["r_id"]) for r in _rows(spark, "t_ssj2")}
+    finally:
+        q.stop()
+    e = load_table(spark, SF, "events")
+    left = e.filter(F.col("event_id") % 2 == 0).select(
+        F.col("event_id").alias("l_id"),
+        F.col("user_id").alias("l_user"),
+        F.col("ts").alias("l_ts"),
+    )
+    right = e.filter(F.col("event_id") % 2 != 0).select(
+        F.col("event_id").alias("r_id"),
+        F.col("user_id").alias("r_user"),
+        F.col("ts").alias("r_ts"),
+    )
+    batch = {
+        (r["l_id"], r["r_id"])
+        for r in left.join(
+            right,
+            (F.col("l_user") == F.col("r_user"))
+            & (F.col("r_ts") >= F.col("l_ts"))
+            & (F.col("r_ts") <= F.col("l_ts") + F.expr("INTERVAL 5 MINUTES")),
+            "inner",
+        ).collect()
+    }
+    assert got == batch
+    assert batch, "fixture produced no even/odd interval pairs; test is vacuous"
+
+
+def test_stream_interval_join_drops_late_row(spark, tmp_path):
+    """A matching pair delivered below the watermark is dropped: batch 1
+    emits the on-time pair and advances both sides to T0+3h (watermark
+    T0+2h); batch 2's pair at T0+10min never appears."""
+    from hadoop_copier_spark.streaming import stream_interval_join
+
+    late_l = str(tmp_path / "ssj_late_l")
+    late_r = str(tmp_path / "ssj_late_r")
+    t0 = dt.datetime(2024, 6, 1, 10, 0, 0)
+
+    def mk(rows, d, sub):
+        spark.createDataFrame(
+            spark.sparkContext.parallelize(rows, 1), schema=EVENTS_SCHEMA
+        ).coalesce(1).write.mode("overwrite").parquet(os.path.join(d, sub))
+
+    mk([(2, t0, 5, "click", 1.0, "{}"),
+        (4, t0 + dt.timedelta(hours=3), 99, "click", 1.0, "{}")], late_l, "b1")
+    mk([(3, t0 + dt.timedelta(minutes=2), 5, "click", 1.0, "{}"),
+        (5, t0 + dt.timedelta(hours=3), 98, "click", 1.0, "{}")], late_r, "b1")
+    q = stream_interval_join(spark, late_l, late_r, "t_ssj2_late")
+    try:
+        q.processAllAvailable()
+        mk([(6, t0 + dt.timedelta(minutes=10), 7, "click", 1.0, "{}")], late_l, "b2")
+        mk([(7, t0 + dt.timedelta(minutes=12), 7, "click", 1.0, "{}")], late_r, "b2")
+        q.processAllAvailable()
+        got = {(r["l_id"], r["r_id"]) for r in _rows(spark, "t_ssj2_late")}
+    finally:
+        q.stop()
+    assert (2, 3) in got, "on-time pair must be emitted"
+    assert (6, 7) not in got, "below-watermark pair must be dropped"
+
+
+def test_xp_stream_stream_join_reports_equivalence(spark):
+    """The P registry entry's summary row must assert equals_batch=True
+    (the driver's rows-only check surfaces this frame)."""
+    row = REGISTRY["xp_stream_stream_join"].fn(spark, SF).collect()[0]
+    assert row["equals_batch"] is True
+    assert row["n_pairs"] > 0
+    assert row["n_micro_batches"] >= 2
+
+
 def test_watermark_drops_late_event(spark, tmp_path):
     """Append-mode windowed agg with a 10-min watermark: an event arriving
     far below the watermark is dropped from state-finalized windows."""
