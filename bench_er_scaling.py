@@ -12,8 +12,12 @@ quadratic term grows with scale^2 — the worst case for a blocked
 matcher, which is the point: the probe records how each key bounds it.
 
 Strategies:
-  * 1tok (production): (brand, first name token) UNION (brand, last
-    token) — high recall, block size ~ brand x token frequency.
+  * 1tok (production until r17): (brand, first name token) UNION
+    (brand, last token) — high recall, block size ~ brand x token
+    frequency. Production since r18 is PassJoin + exact-group collapse
+    (bench_er_tuning.py decision rule; VERDICT r17 #3), recorded here
+    as a third per-scale row — its fuzzy join sees only distinct
+    (name, brand) reps, so candidate volume is FLAT under replication.
   * 2tok (the tightening knob): (brand, tokens 1+2) UNION (brand, last
     two tokens) — each pass's key gains a token, cutting expected
     block size by the second token's selectivity (~8x on TPC-H names);
@@ -160,6 +164,50 @@ def main() -> None:
                 }
             )
             print(json.dumps(results[-1]), file=sys.stderr)
+
+        # production since round 18 (VERDICT r17 #3): exact-group
+        # COLLAPSE + PassJoin segment blocking — the replication
+        # quadratic vanishes because the fuzzy join runs over DISTINCT
+        # (name, brand) reps only; verified pairs are weighted g_a*g_b
+        from hadoop_copier_spark.queries.entity_resolution import (
+            passjoin_candidates,
+        )
+
+        t0 = time.monotonic()
+        groups = p.groupBy("nm", "br").agg(F.count(F.lit(1)).alias("g"))
+        reps = groups.select(F.xxhash64("nm", "br").alias("k"), "nm", "br")
+        n_reps = reps.count()
+        raw = passjoin_candidates(reps, raw=True)
+        n_raw = raw.count()
+        verified = (
+            raw.withColumn(
+                "lv", F.levenshtein("nm_a", "nm_b", _MAX_LV).cast("bigint")
+            )
+            .filter(F.col("lv") >= 1)
+            .select("key_a", "key_b", "br", "lv")
+            .distinct()
+        )
+        n_verified = verified.count()
+        wall = round(time.monotonic() - t0, 3)
+        results.append(
+            {
+                "scale": scale,
+                "n_rows": n_rows,
+                "strategy": "passjoin+collapse (production r18)",
+                "n_distinct_reps": n_reps,
+                "passes": [
+                    {
+                        "key": "brand+segment_j+content+partner_len over "
+                        "distinct (name, brand) reps",
+                        "n_candidate_pairs": n_raw,
+                    }
+                ],
+                "total_candidate_pairs": n_raw,
+                "n_verified_pairs": n_verified,
+                "wall_sec": wall,
+            }
+        )
+        print(json.dumps(results[-1]), file=sys.stderr)
 
     line = {
         "metric": "er_blocking_scaling",
