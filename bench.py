@@ -32,8 +32,9 @@ if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
 from hadoop_copier_spark.memo import (  # noqa: E402
-    clear_memoized_caches,
     consumed_caches,
+    evict_cache_keys,
+    snapshot_cache_keys,
 )
 from hadoop_copier_spark.queries import REGISTRY  # noqa: E402
 from hadoop_copier_spark.session import get_spark  # noqa: E402
@@ -47,6 +48,13 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     spark = get_spark(app_name="hcs-bench", cpus=cpus, shuffle_partitions=int(cpus))
+    # ADVICE r17: n_batches/work_ms_sum below are read from
+    # q.recentProgress, whose buffer is capped by
+    # spark.sql.streaming.numRecentProgressUpdates (default 100) — with
+    # a replay chunk count above that, batches would silently drop and
+    # sched_gap_ms would inflate by the dropped work. Raise the cap well
+    # past any n_chunks this bench uses so the profile stays complete.
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "1000")
 
     # warm-up: JVM + parquet footers
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
@@ -66,13 +74,14 @@ def main() -> None:
     # and rejected: Spark's codegen cache holds ~100 plans, so a
     # second full loop over 250 queries re-pays compile and measured
     # 227 s where the interleaved warm measures ~160 s of pure work).
-    # ADVICE r16 (medium): before the warm re-run of a query that
-    # FRONTS a memoized cache (memo.py — the first consumer in sorted
-    # order pays the shared edge build / probe jobs), that cache is
-    # cleared, so the warm number keeps paying the memoized stage the
-    # query's first run paid — a regression in a cached stage can no
-    # longer hide behind a warm re-run that measures less work.
-    # Non-fronting consumers re-run against the hot cache, exactly as
+    # ADVICE r16 (medium) / ADVICE r17: before the warm re-run, the
+    # exact cache KEYS the query's own first run inserted (memo.py
+    # snapshot diff) are evicted, so the warm number re-pays precisely
+    # the memoized stages the first run paid — a regression in a cached
+    # stage can no longer hide behind a warm re-run that measures less
+    # work, including per-site tpch_probes entries the old one-fronter-
+    # per-cache-NAME protocol missed. Queries whose first run HIT the
+    # caches built nothing, evict nothing, and re-run hot — exactly as
     # their first run did.
     warm_pass = os.environ.get("SPARK_GRAFT_BENCH_WARM", "1") != "0"
     # SPARK_GRAFT_BENCH_ONLY="name1,name2" restricts the timed loop to a
@@ -93,14 +102,15 @@ def main() -> None:
         # inflate the suite wall without measuring anything new
         if "alias" not in q.tags
     ]
-    # Which query FRONTS each memoized cache this run (first consumer
-    # in sorted order); used by the warm re-run and the gate retry.
-    fronters: dict[str, str] = {}
+    # Which cache KEYS each query's first run inserted (snapshot diff
+    # around the first timed run, memoized-cache consumers only); the
+    # warm re-run and any gate retry evict exactly these, so both
+    # measure the same memoized work the first run measured.
+    built_keys: dict[str, dict[str, set]] = {}
+    warm_evicted: dict[str, dict[str, int]] = {}
     for name, q in timed:
-        for c in consumed_caches(q.fn):
-            fronters.setdefault(c, name)
-    warm_cleared: dict[str, list[str]] = {}
-    for name, q in timed:
+        consumes = consumed_caches(q.fn)
+        pre = snapshot_cache_keys() if consumes else None
         t0 = time.perf_counter()
         try:
             df = q.fn(spark, sf_dir)
@@ -112,13 +122,15 @@ def main() -> None:
         timings[name] = round(dt, 3)
         if dt > 0:
             total += dt
+        if consumes and dt > 0:
+            post = snapshot_cache_keys()
+            added = {c: post[c] - pre[c] for c in consumes if post[c] - pre[c]}
+            if added:
+                built_keys[name] = added
         if warm_pass and dt > 0:
-            to_clear = tuple(
-                c for c in consumed_caches(q.fn) if fronters.get(c) == name
-            )
-            if to_clear:
-                clear_memoized_caches(only=to_clear)
-                warm_cleared[name] = list(to_clear)
+            evicted = evict_cache_keys(built_keys.get(name, {}))
+            if evicted:
+                warm_evicted[name] = evicted
             t0 = time.perf_counter()
             try:
                 q.fn(spark, sf_dir).count()
@@ -245,7 +257,7 @@ def main() -> None:
     # first-pass gate.
     gate_violations: dict[str, list[float]] = {}
     gate_retries: dict[str, list[float]] = {}
-    gate_retry_cleared: dict[str, list[str]] = {}
+    gate_retry_cleared: dict[str, dict[str, int]] = {}
     baselines: dict[str, float] = {}
     baselines_warm: dict[str, float] = {}
     try:
@@ -258,10 +270,11 @@ def main() -> None:
     warm_gate = bool(baselines_warm) and bool(timings_warm)
     gate_basis = timings_warm if warm_gate else timings
     gate_base = baselines_warm if warm_gate else baselines
-    # A gate retry for a cache-FRONTING query must clear that cache to
-    # measure the work its baseline recorded (ADVICE r16 medium);
-    # retries for consumers that did not front the build clear nothing:
-    # their baseline never included it.
+    # A gate retry must evict the cache KEYS the offender's own first
+    # run built, to measure the work its baseline recorded (ADVICE r16
+    # medium; per-key since r18 — ADVICE r17); retries for consumers
+    # whose first run hit the caches evict nothing: their baseline
+    # never included the build.
     if gate_base:
         for name, dt in gate_basis.items():
             base = gate_base.get(name, -1.0)
@@ -272,14 +285,9 @@ def main() -> None:
                 # land in the artifact (gate_retries) so nothing is
                 # hidden; caches the offender FRONTS are cleared first
                 # so the retry measures the work its baseline measured.
-                to_clear = tuple(
-                    c
-                    for c in consumed_caches(REGISTRY[name].fn)
-                    if fronters.get(c) == name
-                )
-                if to_clear:
-                    clear_memoized_caches(only=to_clear)
-                    gate_retry_cleared[name] = list(to_clear)
+                evicted = evict_cache_keys(built_keys.get(name, {}))
+                if evicted:
+                    gate_retry_cleared[name] = evicted
                 t0 = time.perf_counter()
                 try:
                     REGISTRY[name].fn(spark, sf_dir).count()
@@ -296,11 +304,17 @@ def main() -> None:
     # file, so SFs without one record -1 (not "every query is
     # unbaselined").
     failed_queries = sorted(n for n, dt in timings.items() if dt < 0)
+    # ADVICE r17: a warm re-run that fails records -1.0 in queries_warm
+    # and the warm gate skips dt <= 0 — a warm-only regression-to-failure
+    # must land in the ARTIFACT, not just on stderr.
+    failed_queries_warm = sorted(n for n, dt in timings_warm.items() if dt < 0)
     unbaselined = sorted(
         n for n in timings if gate_base.get(n, -1.0) <= 0
     ) if gate_base else []
     if failed_queries:
         print(f"bench: FAILED queries: {failed_queries}", file=sys.stderr)
+    if failed_queries_warm:
+        print(f"bench: FAILED warm re-runs: {failed_queries_warm}", file=sys.stderr)
     if gate_violations:
         print(f"bench: 2x gate violations: {gate_violations}", file=sys.stderr)
     full = {
@@ -330,7 +344,10 @@ def main() -> None:
         full["warm_suite_wall_sec"] = round(
             sum(v for v in timings_warm.values() if v > 0), 3
         )
-        full["warm_cleared_caches_by_fronter"] = warm_cleared
+        # {query: {cache: n_keys}} — the keys each warm re-run re-paid
+        # (per-key protocol, ADVICE r17; was one fronter per cache name)
+        full["warm_evicted_cache_keys"] = warm_evicted
+        full["failed_queries_warm"] = failed_queries_warm
     print(json.dumps(full))
     # The driver records only a 2000-char TAIL of stdout; the full line
     # above (~5 KB of per-query timings) gets left-truncated into invalid

@@ -226,7 +226,7 @@ def main() -> None:
     # among configs within RECALL_FLOOR of the max planted recall, take
     # the one proposing the fewest candidates — recall first, then the
     # 100 TB cost driver. max-recall alone would pick P=8 W=8 (0.996,
-    # 2782 candidates); the floor keeps the 0.994 config at less than
+    # 2782 candidates); the floor keeps the chosen 0.990 config at less than
     # half the candidate volume.
     RECALL_FLOOR = 0.99
     max_recall = max(r["planted_recall"] for r in results)

@@ -830,19 +830,23 @@ def ivfpq_ann_topk(
 # to the one frame this operator ships to every executor.
 _HARDNEG_BROADCAST_MAX_BYTES = 64 << 20
 
-# (applicationId, queries-plan semanticHash, vec_col) -> (n, dim).
-# The probe is one bounded agg job (~0.4 s at sf0.1 — real money when a
-# session scores the same query set repeatedly), memoized with the
-# _PROBE_CACHE discipline: semanticHash is a driver-side JVM call on the
-# analyzed plan, no job; dead-session keys evict on insert.
+# (applicationId, queries-plan semanticHash, vec_col, input-files
+# fingerprint) -> (n, dim). The probe is one bounded agg job (~0.4 s at
+# sf0.1 — real money when a session scores the same query set
+# repeatedly), memoized with the _PROBE_CACHE discipline: semanticHash
+# and inputFiles() are driver-side JVM calls on the analyzed plan, no
+# job; dead-session keys evict on insert.
 #
-# CONTRACT (ADVICE r16): unlike the broadcast-HINT probes, a hit here
-# selects the PATH (exact broadcast vs approximate IVF), so the cache
-# assumes inputs are immutable per session — the same assumption the
-# engine makes of its parquet fixtures everywhere. If data at the same
-# path is rewritten mid-session with an identical plan hash, evict via
-# hadoop_copier_spark.memo.clear_memoized_caches(("hardneg_probe",))
-# before re-scoring; the bench's warm pass does exactly that.
+# Unlike the broadcast-HINT probes, a hit here selects the PATH (exact
+# broadcast vs approximate IVF), so the key carries a DATA-VERSION
+# signal beyond the plan hash (VERDICT r17 #4, closing ADVICE r16): the
+# sorted tuple of the plan's leaf input files. A mid-session rewrite of
+# the same path produces new part-file names (parquet writers always
+# fresh-name parts), so the fingerprint changes and the probe re-fires
+# even though the plan — and therefore semanticHash — is identical;
+# pinned by test_hardneg_probe_refires_on_input_rewrite. Frames with no
+# file lineage (local createDataFrame) fingerprint as () and rely on
+# semanticHash alone, as before.
 _HARDNEG_PROBE_CACHE: dict = {}
 
 
@@ -904,10 +908,11 @@ def hard_negatives_topk(
         int_norm2(F.col(vec_col)).alias("__qn2"),
     )
     # ONE probe job for both count and dim, memoized per
-    # (session, query-plan) so repeated scoring of the same query set
-    # pays the job once
+    # (session, query-plan, input-files fingerprint) so repeated scoring
+    # of the same query set pays the job once while a same-path rewrite
+    # (new part-file names) re-fires it
     app = queries.sparkSession.sparkContext.applicationId
-    key = (app, queries.semanticHash(), vec_col)
+    key = (app, queries.semanticHash(), vec_col, tuple(sorted(queries.inputFiles())))
     hit = _HARDNEG_PROBE_CACHE.get(key)
     if hit is None:
         for stale in [k for k in _HARDNEG_PROBE_CACHE if k[0] != app]:

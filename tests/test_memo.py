@@ -79,3 +79,47 @@ def test_clear_then_rebuild_is_lazy(spark, sf_smoke):
     assert cleared["graph_edges"] >= 1
     after = graph_ops._weighted_edges(spark, sf_smoke).count()
     assert before == after
+
+
+def test_per_key_eviction_only_removes_own_keys():
+    """ADVICE r17: tpch_probes holds one entry per (session, sf_dir,
+    site), each built by the FIRST query using that site — whole-cache
+    clears keyed on one fronter per cache NAME let a later site-builder's
+    warm re-run measure less work than its first run. The per-key
+    protocol: snapshot diffs attribute keys to their builder, and
+    eviction removes exactly those — other queries' keys survive."""
+    from hadoop_copier_spark.memo import (
+        clear_memoized_caches,
+        evict_cache_keys,
+        snapshot_cache_keys,
+    )
+
+    clear_memoized_caches()
+    try:
+        pre = snapshot_cache_keys()
+        tpch_analogs._PROBE_CACHE[("app", "sf", "site_a")] = 1
+        tpch_analogs._PROBE_CACHE[("app", "sf", "site_b")] = 2
+        mid = snapshot_cache_keys()
+        built_q1 = {c: mid[c] - pre[c] for c in mid if mid[c] - pre[c]}
+        assert built_q1 == {
+            "tpch_probes": {("app", "sf", "site_a"), ("app", "sf", "site_b")}
+        }
+        # a second query builds a third site + an unrelated cache entry
+        tpch_analogs._PROBE_CACHE[("app", "sf", "site_c")] = 3
+        graph_ops._EDGE_CACHE[("app", "sf")] = "edges"
+        post = snapshot_cache_keys()
+        built_q2 = {c: post[c] - mid[c] for c in post if post[c] - mid[c]}
+
+        # q2's warm re-run evicts ONLY its own keys
+        out = evict_cache_keys(built_q2)
+        assert out == {"tpch_probes": 1, "graph_edges": 1}
+        assert ("app", "sf", "site_c") not in tpch_analogs._PROBE_CACHE
+        assert ("app", "sf", "site_a") in tpch_analogs._PROBE_CACHE
+        assert ("app", "sf", "site_b") in tpch_analogs._PROBE_CACHE
+
+        # q1's retry evicts its two sites; double-evicting is a no-op
+        assert evict_cache_keys(built_q1) == {"tpch_probes": 2}
+        assert evict_cache_keys(built_q1) == {}
+        assert not tpch_analogs._PROBE_CACHE
+    finally:
+        clear_memoized_caches()
