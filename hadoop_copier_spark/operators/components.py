@@ -47,11 +47,20 @@ def connected_components(
     dst: str = "dst",
     nodes: Optional[DataFrame] = None,
     max_iter: int = 50,
+    stats: Optional[dict] = None,
 ) -> DataFrame:
     """Return (node, component) where component = MIN node id reachable
     from `node` over the undirected edge set. `nodes` (optional, single
     column named like `src`) adds isolated vertices, which label
-    themselves."""
+    themselves.
+
+    ``stats`` (optional out-param, round 18 — bench_cc_scaling.py's
+    instrumentation hook): filled with {"rounds": int,
+    "changed_per_round": [int, ...], "n_edges_sym": int, "n_nodes": int}
+    so a probe can RECORD the O(log diameter) convergence claim and the
+    per-round exchange volumes instead of asserting them in prose. The
+    two extra count() jobs run only when stats is requested; the
+    production path (stats=None) is unchanged."""
     sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     # materialize once: every round joins against sym, and without this the
     # whole upstream edge derivation (e.g. tokenize + Jaccard verify) would
@@ -67,6 +76,11 @@ def connected_components(
     labels = (
         lab.distinct().select(F.col("u").alias("node"), F.col("u").alias("comp"))
     ).localCheckpoint()
+    if stats is not None:
+        stats["n_edges_sym"] = sym.count()
+        stats["n_nodes"] = labels.count()
+        stats["rounds"] = 0
+        stats["changed_per_round"] = []
 
     for _ in range(max_iter):
         # (1) neighbor step: pull the min label across incoming edges
@@ -108,6 +122,9 @@ def connected_components(
         superseded = labels
         labels = jumped
         release_local_checkpoint(superseded)  # free last round's blocks now
+        if stats is not None:
+            stats["rounds"] += 1
+            stats["changed_per_round"].append(changed)
         if changed == 0:
             break
     release_local_checkpoint(sym)  # returned labels no longer need the edges
@@ -115,10 +132,12 @@ def connected_components(
 
 
 def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
-                   nodes: Optional[DataFrame] = None) -> DataFrame:
+                   nodes: Optional[DataFrame] = None,
+                   stats: Optional[dict] = None) -> DataFrame:
     """Cluster near-dup pairs: (doc_id, cluster_id) with cluster_id the
     minimum doc id of the duplicate cluster (the canonical doc to keep).
     Feed it the output of near_dup_pairs(); singleton docs (no pair) keep
-    themselves when `nodes` supplies the full id set."""
-    cc = connected_components(pairs, src=id_a, dst=id_b, nodes=nodes)
+    themselves when `nodes` supplies the full id set. ``stats`` passes
+    through to connected_components (probe instrumentation)."""
+    cc = connected_components(pairs, src=id_a, dst=id_b, nodes=nodes, stats=stats)
     return cc.select(F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id"))

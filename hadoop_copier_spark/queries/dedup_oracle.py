@@ -1972,6 +1972,30 @@ LEFT JOIN (SELECT id_a AS doc_id FROM near
 GROUP BY r.u ORDER BY doc_id"""
 
 
+def _multi_signal_edges(spark, sf_dir):
+    """The multi-signal dedup edge set, factored out (round 18) so
+    bench_cc_scaling.py can probe the SAME edges the production query
+    consolidates. Returns (chg, near, pairs): the checkpointed
+    content-hash frame (doc_id, ch, keep, n — reused by the provenance
+    flags), the checkpointed verified LSH near-dup pairs, and the
+    exact-star ∪ near edge union the CC runs on."""
+    d = tbl(spark, sf_dir, "documents")
+    ch = d.select("doc_id", F.md5("text").alias("ch"))
+    grp = ch.groupBy("ch").agg(
+        F.min("doc_id").alias("keep"), F.count(F.lit(1)).alias("n")
+    )
+    chg = ch.join(grp, "ch").localCheckpoint(eager=True)  # reused 3x
+    exact = chg.filter(F.col("doc_id") != F.col("keep")).select(
+        F.col("keep").alias("id_a"), F.col("doc_id").alias("id_b")
+    )
+    near = (
+        xh_minhash_lsh_pairs(spark, sf_dir)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)  # feeds the union AND the flag probe
+    )
+    return chg, near, exact.unionByName(near).distinct()
+
+
 @register(
     "xh_multi_signal_dedup",
     oracle=_multi_signal_oracle(),
@@ -2003,20 +2027,7 @@ def xh_multi_signal_dedup(spark, sf_dir):
     from ..operators.components import dedup_clusters
 
     d = tbl(spark, sf_dir, "documents")
-    ch = d.select("doc_id", F.md5("text").alias("ch"))
-    grp = ch.groupBy("ch").agg(
-        F.min("doc_id").alias("keep"), F.count(F.lit(1)).alias("n")
-    )
-    chg = ch.join(grp, "ch").localCheckpoint(eager=True)  # reused 3x
-    exact = chg.filter(F.col("doc_id") != F.col("keep")).select(
-        F.col("keep").alias("id_a"), F.col("doc_id").alias("id_b")
-    )
-    near = (
-        xh_minhash_lsh_pairs(spark, sf_dir)
-        .select("id_a", "id_b")
-        .localCheckpoint(eager=True)  # feeds the union AND the flag probe
-    )
-    pairs = exact.unionByName(near).distinct()
+    chg, near, pairs = _multi_signal_edges(spark, sf_dir)
     clusters = dedup_clusters(pairs, nodes=d.select("doc_id"))
     near_docs = (
         near.select(F.col("id_a").alias("doc_id"))
@@ -2286,7 +2297,8 @@ def xh_edit_neardup(spark, sf_dir):
     (_edit_block_frames/_edit_block_pairs): the shorter side probes its
     <= 2 possible partner length bands (covers any dist<=3 partner's
     band by construction — no boundary miss class), keyed by the
-    12-char PREFIX in one pass and the 12-char SUFFIX in the other (an
+    16-char (_EDIT_KEY_LEN) PREFIX in one pass and the 16-char SUFFIX
+    in the other (an
     edit rarely touches both ends; the 2-band LSH analog). The swept
     decision record is `bench/edit_tuning_results.json` (VERDICT r16
     #4, rule: recall floor 0.99 then min candidate volume): this block
@@ -2294,7 +2306,7 @@ def xh_edit_neardup(spark, sf_dir):
     the r16 single-pass home-band prefix block (max-recall corner:
     0.996 at 2782 — 3.6x the candidates for +0.006 recall); the
     REMAINING declared miss class — edits touching both the first and
-    last 12 chars — is pinned as counted-fn by the planted tests and
+    last _EDIT_KEY_LEN=16 chars — is pinned as counted-fn by the planted tests and
     measured on the production corpus by xh_edit_recall_eval. The
     banded O(3*len) verify runs map-side on each pass's join output, so
     the cross-pass distinct exchange carries only (id_a, id_b, dist)
@@ -2371,7 +2383,7 @@ def xh_edit_recall_eval(spark, sf_dir):
     block (VERDICT r16 #4, bench/edit_tuning_results.json — this very
     audit's sweep chose it: planted recall 0.990 vs 0.54 for the r16
     home-band prefix block), whose one remaining declared miss class —
-    an edit touching BOTH the first and last 12 chars — is pinned as
+    an edit touching BOTH the first and last _EDIT_KEY_LEN=16 chars — is pinned as
     counted-fn by the planted tests in tests/test_curation_props.py,
     never silently dropped.
 
@@ -2385,10 +2397,21 @@ def xh_edit_recall_eval(spark, sf_dir):
     block-key equi join. Empty-set conventions: precision/recall
     define to 1e6 on an empty denominator (vacuously perfect),
     mirrored in both engines."""
+    return _edit_recall_frame(spark, sf_dir, max_id=_EDIT_EVAL_MAX_ID)
+
+
+def _edit_recall_frame(spark, sf_dir, max_id=None):
+    """xh_edit_recall_eval's body with a parametrizable audit bound
+    (round 18, VERDICT r17 #5): bench_edit_organic.py runs it with
+    max_id=None — the FULL corpus at sf0.1 and sf1 — to record the
+    block's ORGANIC miss rate next to the planted sweep number in
+    bench/edit_tuning_results.json. The registered query keeps the
+    doc_id < 300 subset (its DuckDB oracle mirrors that bound)."""
+    d = tbl(spark, sf_dir, "documents")
+    if max_id is not None:
+        d = d.filter(F.col("doc_id") < max_id)
     d = (
-        tbl(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") < _EDIT_EVAL_MAX_ID)
-        .select("doc_id", F.lower("text").alias("t"))
+        d.select("doc_id", F.lower("text").alias("t"))
         .withColumn("l", F.length("t").cast("long"))
         .localCheckpoint(eager=True)
     )
@@ -2424,7 +2447,7 @@ def xh_edit_recall_eval(spark, sf_dir):
     # candidate side: the PRODUCTION block (xh_edit_neardup — since
     # round 17 the measured window-probe prefix-UNION-suffix block,
     # bench/edit_tuning_results.json), unverified pairs
-    bprobe, bhome = _edit_block_frames(spark, sf_dir, max_id=_EDIT_EVAL_MAX_ID)
+    bprobe, bhome = _edit_block_frames(spark, sf_dir, max_id=max_id)
     cand = _edit_block_pairs(bprobe, bhome).withColumn(
         "is_cand", F.lit(True)
     )

@@ -813,3 +813,77 @@ def test_hard_negatives_forced_ivf_path(spark, sf_oracle):
     ]
     rows = pruned.collect()
     assert rows and all(r["q_label"] != r["n_label"] for r in rows)
+
+
+def test_hardneg_probe_refires_on_input_rewrite(spark, tmp_path):
+    """VERDICT r17 #4: _HARDNEG_PROBE_CACHE keys on an input-files
+    fingerprint beyond (app, semanticHash, vec_col), so a mid-session
+    rewrite of the SAME path — which produces an IDENTICAL plan hash but
+    new part-file names — re-fires the probe instead of returning the
+    stale (n, dim) that steered path selection. The old documented
+    immutability caveat is gone; this pins its replacement."""
+    from hadoop_copier_spark.operators.similarity import (
+        _HARDNEG_PROBE_CACHE,
+        hard_negatives_topk,
+    )
+
+    def mk(n):
+        return spark.createDataFrame(
+            spark.sparkContext.parallelize(
+                [(i, [float(i % 7), 1.0], i % 2) for i in range(n)], 1
+            ),
+            "vec_id bigint, embedding array<float>, label int",
+        )
+
+    path = str(tmp_path / "q.parquet")
+    mk(3).write.mode("overwrite").parquet(path)
+    cands = mk(8)
+    _HARDNEG_PROBE_CACHE.clear()
+
+    q1 = spark.read.parquet(path)
+    hard_negatives_topk(cands, q1, k=2).collect()
+    keys1 = set(_HARDNEG_PROBE_CACHE)
+    assert len(keys1) == 1
+    assert _HARDNEG_PROBE_CACHE[next(iter(keys1))][0] == 3
+
+    # same plan, same files: HIT — no new key
+    hard_negatives_topk(cands, spark.read.parquet(path), k=2).collect()
+    assert set(_HARDNEG_PROBE_CACHE) == keys1
+
+    # rewrite the same path with a different row count: the plan (and
+    # its semanticHash) is indistinguishable, only the files changed
+    mk(5).write.mode("overwrite").parquet(path)
+    q2 = spark.read.parquet(path)
+    assert q2.semanticHash() == q1.semanticHash()
+    hard_negatives_topk(cands, q2, k=2).collect()
+    new = set(_HARDNEG_PROBE_CACHE) - keys1
+    assert len(new) == 1, "probe did not re-fire on same-path rewrite"
+    assert _HARDNEG_PROBE_CACHE[new.pop()][0] == 5
+
+
+def test_connected_components_stats_hook_and_log_d_rounds(spark):
+    """Round 18 (VERDICT r17 #6): the stats out-param records rounds /
+    node / edge counts / per-round changed trail, and on the docstring's
+    pathological chain the pointer-jumping CC converges in O(log d)
+    rounds — a 255-edge path must close in far fewer than the 255 rounds
+    plain Hash-Min propagation needs (the double pointer-jump shrinks
+    label-chain depth ~4x per round). Production path (stats=None) is
+    exercised by every other CC test and stays unchanged."""
+    from pyspark.sql import functions as F
+
+    from hadoop_copier_spark.operators.components import connected_components
+
+    d = 255
+    edges = spark.range(d).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    stats = {}
+    labels = connected_components(edges, stats=stats).collect()
+    assert all(r["comp"] == 0 for r in labels) and len(labels) == d + 1
+    assert stats["n_nodes"] == d + 1
+    assert stats["n_edges_sym"] == 2 * d
+    assert stats["rounds"] == len(stats["changed_per_round"])
+    assert stats["changed_per_round"][-1] == 0  # converged, not max_iter
+    assert stats["rounds"] <= 12, (
+        f"O(log d) regression: {stats['rounds']} rounds for diameter {d}"
+    )
