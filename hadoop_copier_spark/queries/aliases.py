@@ -54,8 +54,10 @@ recount, VERDICT r17).
 R19 QUEUE LEDGER (stalest driver evidence after this window, in rotation
 order — never-checked first, then ties by name): any H operators added
 mid-r18 after this window is pinned queue first (as of this writing:
-none — the r18 stream-stream join lands as P-class, outside the hash
-window); then the r14-cohort tail — the 17 remaining r14-evidence xh
+ONE — `xh_subseq_blocked`, the round-18 skew-bounded twin, which has
+quad-SF local-sweep evidence but no driver row yet; the r18
+stream-stream join lands as P-class, outside the hash window); then
+the r14-cohort tail — the 17 remaining r14-evidence xh
 twins in name order (xh_token_burstiness, xh_tpch_q11, xh_tpch_q12,
 xh_tpch_q13, xh_tpch_q15, xh_tpch_q16, xh_tpch_q17, xh_tpch_q2,
 xh_tpch_q20, xh_tpch_q21, xh_tpch_q6, xh_tpch_q7, xh_tpch_q8,

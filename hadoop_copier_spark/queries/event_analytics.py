@@ -434,9 +434,10 @@ _SSQ_LEADS = ",\n         ".join(
 )
 
 
-@register(
-    "xh_subseq_search",
-    oracle=f"""WITH e AS (
+# Shared by xh_subseq_search and its round-18 skew-bounded twin
+# xh_subseq_blocked: both compute the SAME top-20, so both hash-check
+# against this one brute-per-user-window oracle.
+_SSQ_ORACLE = f"""WITH e AS (
   SELECT user_id, event_id, ts, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v
   FROM events WHERE value IS NOT NULL
 ),
@@ -456,7 +457,12 @@ d AS (
 )
 SELECT user_id, event_id,
        CAST(FLOOR(dist * 1000000.0 + 0.5) AS BIGINT) AS dist_u6
-FROM d ORDER BY dist_u6, user_id, event_id LIMIT {_SSQ_TOP}""",
+FROM d ORDER BY dist_u6, user_id, event_id LIMIT {_SSQ_TOP}"""
+
+
+@register(
+    "xh_subseq_search",
+    oracle=_SSQ_ORACLE,
     tags=("events", "timeseries", "similarity"),
 )
 def xh_subseq_search(spark, sf_dir):
@@ -492,6 +498,15 @@ def xh_subseq_search(spark, sf_dir):
     w = e.select("user_id", "event_id", *cols).filter(
         F.col(f"v{_SSQ_M - 1}").isNotNull()
     )
+    return _ssq_distance_topk(w)
+
+
+def _ssq_distance_topk(w):
+    """The z-normalized distance + global top-k tail shared by
+    xh_subseq_search and xh_subseq_blocked: input is any frame with
+    (user_id, event_id, v0..v{m-1}) — one row per candidate window —
+    and every arithmetic op is the deterministic IEEE sequence the
+    docstring pins (mirrored in _SSQ_ORACLE)."""
     total = F.col("v0")
     for i in range(1, _SSQ_M):
         total = total + F.col(f"v{i}")
@@ -516,6 +531,132 @@ def xh_subseq_search(spark, sf_dir):
         )
         .orderBy("dist_u6", "user_id", "event_id")
         .limit(_SSQ_TOP)
+    )
+
+
+def _ssq_blocked_windows(e, block_span_sec: int, block_rows: int):
+    """Candidate length-m windows via OVERLAPPED ROW-BLOCKING — the
+    skew mitigation xh_subseq_search's docstring promised at extreme
+    single-user scale (round 18; SCALE.md's former documented-not-
+    implemented item). No task ever sorts one user's whole series:
+
+    1. time-block: tb = epoch_sec div block_span_sec. Per-(user, tb)
+       row counts are one bounded aggregate; a per-user running sum
+       over tb (a window over BLOCK COUNTS, ~series_span/span rows per
+       user, never over events) yields each block's global offset.
+    2. exact global sequence index: grn = offset + row_number within
+       (user, tb) — the per-partition sort is bounded by the max event
+       count in one (user, time-block), i.e. peak rate x span: the
+       physical-sort knob.
+    3. re-block by ROW: rb = (grn-1) div block_rows, and the first m-1
+       rows of each row-block are DUPLICATED into the previous block
+       (flagged). Every m-row consecutive run starts in some block and
+       extends at most m-1 rows past its end, so it lies entirely in
+       that block's augmented set — requires block_rows >= m-1
+       (asserted). Blocks are exactly block_rows + m-1 rows: the
+       window-compute knob, independent of time distribution.
+    4. lead() within (user, rb) ordered by grn; windows STARTING on a
+       duplicated overlap row are dropped (their originals start the
+       same window in the next block) — each window emitted exactly
+       once.
+
+    Output rows are identical to the plain per-user window path; only
+    the physical partitioning differs."""
+    assert block_rows >= _SSQ_M - 1, "overlap cannot span >1 block"
+    v = cents("value")
+    base = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.col("ts").cast("long").alias("es"),
+        v.alias("v"),
+    ).withColumn("tb", (F.col("es") / F.lit(block_span_sec)).cast("long"))
+    cnt = base.groupBy("user_id", "tb").agg(F.count(F.lit(1)).alias("c"))
+    off_w = (
+        W.partitionBy("user_id")
+        .orderBy("tb")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    offs = cnt.select(
+        "user_id", "tb", F.coalesce(F.sum("c").over(off_w), F.lit(0)).alias("off")
+    )
+    # join + row_number share the (user_id, tb) hash exchange
+    ranked = (
+        base.join(offs, ["user_id", "tb"])
+        .withColumn(
+            "grn",
+            F.col("off")
+            + F.row_number().over(
+                W.partitionBy("user_id", "tb").orderBy("ts", "event_id")
+            ),
+        )
+        .select("user_id", "event_id", "v", "grn")
+    )
+    # one-pass block assignment via explode (a union of two filtered
+    # selects would re-execute the whole ranking pipeline per branch):
+    # every row owns its block; the first m-1 rows of each block are
+    # ALSO emitted into the previous block with own=false
+    rb = ((F.col("grn") - 1) / F.lit(block_rows)).cast("long")
+    own_entry = F.struct(rb.alias("rb"), F.lit(True).alias("own"))
+    head_entry = F.struct((rb - 1).alias("rb"), F.lit(False).alias("own"))
+    is_head = ((F.col("grn") - 1) % F.lit(block_rows) < _SSQ_M - 1) & (rb > 0)
+    aug = ranked.select(
+        "user_id",
+        "event_id",
+        "v",
+        "grn",
+        F.explode(
+            F.when(is_head, F.array(own_entry, head_entry)).otherwise(
+                F.array(own_entry)
+            )
+        ).alias("__a"),
+    ).select(
+        "user_id", "event_id", "v", "grn",
+        F.col("__a.rb").alias("rb"), F.col("__a.own").alias("own"),
+    )
+    bwin = W.partitionBy("user_id", "rb").orderBy("grn")
+    cols = [F.col("v").alias("v0")] + [
+        F.lead("v", i).over(bwin).alias(f"v{i}") for i in range(1, _SSQ_M)
+    ]
+    return (
+        aug.select("user_id", "event_id", "own", *cols)
+        .filter(F.col("own") & F.col(f"v{_SSQ_M - 1}").isNotNull())
+        .drop("own")
+    )
+
+
+@register(
+    "xh_subseq_blocked",
+    oracle=_SSQ_ORACLE,
+    tags=("events", "timeseries", "similarity", "skew"),
+)
+def xh_subseq_blocked(spark, sf_dir):
+    """Skew-bounded twin of xh_subseq_search (round 18): the SAME
+    top-20 z-normalized subsequence matches — same oracle, hash-checked
+    — computed with overlapped row-blocking (_ssq_blocked_windows)
+    instead of one window partition per user, so NO task ever holds a
+    whole user's series. xh_subseq_search's per-user window puts each
+    series in one task (windows are not AQE-splittable): fine when
+    users are uniform, a straggler when one user owns millions of
+    events. Here the largest partition is bounded by
+    min(peak-rate x block_span_sec, block_rows + m-1) regardless of
+    how big any single series grows — measured in
+    bench/subseq_skew_results.json (planted hot-user corpus: the
+    per-user-window plan's straggler task vs this plan's bounded
+    tasks). The cost of the bound: one extra bounded aggregate + a
+    (m-1)/block_rows row duplication (~0.01% at the default 65,536).
+
+    Exactness argument: global per-user sequence indexes are
+    reconstructed from per-block offsets (distributed two-phase
+    ranking), every m-row run lies fully inside one augmented block
+    (the m-1 overlap), and duplicate window starts are dropped by the
+    ownership flag — so the candidate window SET, and therefore the
+    IEEE distance arithmetic and the top-20, is row-identical to the
+    plain path (pinned exact-equality in tests/test_event_analytics.py
+    down to block_rows=8 boundary crossings)."""
+    e = tbl(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    return _ssq_distance_topk(
+        _ssq_blocked_windows(e, block_span_sec=86400, block_rows=65536)
     )
 
 

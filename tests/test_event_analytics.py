@@ -459,3 +459,91 @@ def test_cusum_changepoint_level_shift(spark, tmp_path_factory):
     assert got == expect
     assert got[0][0] == 10  # the peak sits on the shift boundary
     assert all(r["n_days"] == n and r["total_events"] == t for r in out)
+
+
+def test_subseq_blocked_equals_plain_across_boundaries(spark, tmp_path):
+    """Round 18: the overlapped row-blocking path must produce the
+    IDENTICAL candidate-window set as the per-user window path, down to
+    block boundaries. Fixture: one hot user with 100 events crossing
+    many blocks at block_rows=8 (the minimum legal: m-1=7 overlap rows)
+    AND a tiny block_span that splits the series into uneven time
+    blocks, plus a second user as a collision check. Every length-8 run
+    crossing a row-block boundary must still surface — compared as full
+    window sets (pre-top-k), then as the registered query's top-20."""
+    import datetime
+
+    from hadoop_copier_spark.queries.event_analytics import (
+        _SSQ_M,
+        _ssq_blocked_windows,
+        _ssq_distance_topk,
+    )
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    rng_vals = [((i * 37) % 101) / 7.0 + (i % 9) for i in range(100)]
+    for i, v in enumerate(rng_vals):
+        # bursty timestamps: 0-4 events per second -> uneven time blocks
+        rows.append(
+            (i, t0 + datetime.timedelta(seconds=i // 3, microseconds=i), 1,
+             "tick", float(v), "{}")
+        )
+    for i in range(30):
+        rows.append(
+            (1000 + i, t0 + datetime.timedelta(seconds=i * 2), 2,
+             "tick", float((i * 13) % 17), "{}")
+        )
+    df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 4),
+        schema="event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string",
+    )
+    root = tmp_path / "subseq_blocked"
+    df.write.parquet(f"{root}/events.parquet")
+
+    e = spark.read.parquet(f"{root}/events.parquet").filter(
+        F.col("value").isNotNull()
+    )
+    from hadoop_copier_spark.queries.base import cents
+
+    win = W.partitionBy("user_id").orderBy("ts", "event_id")
+    v = cents("value")
+    plain = (
+        e.select(
+            "user_id", "event_id", v.alias("v0"),
+            *[F.lead(v, i).over(win).alias(f"v{i}") for i in range(1, _SSQ_M)],
+        )
+        .filter(F.col(f"v{_SSQ_M - 1}").isNotNull())
+    )
+    blocked = _ssq_blocked_windows(e, block_span_sec=5, block_rows=8)
+    key = lambda r: (r["user_id"], r["event_id"])
+    p = sorted(map(tuple, plain.collect()))
+    b = sorted(map(tuple, blocked.collect()))
+    assert p == b and len(p) == (100 - 7) + (30 - 7)
+
+    top_plain = _ssq_distance_topk(plain).collect()
+    top_blocked = _ssq_distance_topk(blocked).collect()
+    assert list(map(tuple, top_plain)) == list(map(tuple, top_blocked))
+
+    # registered query vs its twin on the same fixture
+    got_a = REGISTRY["xh_subseq_search"].fn(spark, str(root)).collect()
+    got_b = REGISTRY["xh_subseq_blocked"].fn(spark, str(root)).collect()
+    assert list(map(tuple, got_a)) == list(map(tuple, got_b))
+
+
+def test_subseq_blocked_rejects_undersized_blocks(spark, sf_oracle):
+    """block_rows < m-1 would let a window span three row-blocks and
+    silently vanish — the helper must refuse, not approximate."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from hadoop_copier_spark.queries.event_analytics import (
+        _ssq_blocked_windows,
+    )
+
+    e = spark.read.parquet(f"{sf_oracle}/events.parquet").filter(
+        F.col("value").isNotNull()
+    )
+    with pytest.raises(AssertionError):
+        _ssq_blocked_windows(e, block_span_sec=86400, block_rows=6)

@@ -392,6 +392,12 @@ def test_no_unplanned_nested_loop_or_cartesian_joins(spark, sf_smoke):
         # whole point is that the fact never shuffles; the build side is
         # provably a single row (operators/bloom.py)
         "xh_bloom_prune",
+        # PassJoin segment enumeration (round 18): two declared bounded
+        # broadcast crosses — the 3-row segment-index dim and the 75-row
+        # (delta-len, j, shift) dim — expand each DISTINCT name into its
+        # probe keys; both build sides are compile-time constants
+        # (entity_resolution.passjoin_candidates)
+        "xh_fuzzy_match",
         # 1-row corpus-token-total broadcast onto the per-(source, token)
         # frame (the unigram_surprisal shape)
         "xh_kl_source_drift",
