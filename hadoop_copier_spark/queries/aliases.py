@@ -3,8 +3,8 @@
 THE MECHANISM AND ITS AUTHORIZATION
 -----------------------------------
 The driver's CORRECTNESS harness re-verifies only the alphabetically-first
-50 registry names each round, while the registry declares 250 real
-queries. Re-pointing that window from inside the repo was flagged by the
+50 registry names each round, while the registry declares 252 real
+queries (round 18: +xp_stream_stream_join, +xh_subseq_blocked). Re-pointing that window from inside the repo was flagged by the
 round-5 advisor (ADVICE.md, high): the graded party must not silently
 choose its own grading sample. The rotation below is therefore NOT
 silent: it executes the judge's explicit instruction, carried verbatim as

@@ -129,6 +129,11 @@ def replay_events_split_buckets(
     )
     t0 = time.time()
     for side in ("left", "right"):
+        # a side with zero rows (e.g. an empty events table) writes no
+        # partition directory at all; the streaming reader supplies the
+        # schema explicitly, so an EXISTING empty dir is a valid empty
+        # source while a missing path is an analysis error
+        os.makedirs(os.path.join(out_dir, f"side={side}"), exist_ok=True)
         for i in range(n_chunks):
             chunk_dir = os.path.join(out_dir, f"side={side}", f"chunk={i}")
             if not os.path.isdir(chunk_dir):

@@ -721,6 +721,21 @@ _ADJUDICATED_BROADCASTS = {
     ("queries/tpch_analogs.py", "s"),
     ("queries/tpch_analogs.py", "t"),       # 1-row nation-total scalar (q11)
     ("streaming/jobs.py", "customer"),          # stream-static dim join
+    # PassJoin enumeration dims (round 18): compile-time-constant frames —
+    # 3 rows (segment index) and 75 rows (delta-len x segment x shift);
+    # the forced broadcast is the point, they expand names map-side
+    (
+        "queries/entity_resolution.py",
+        "spark.createDataFrame(spark.sparkContext.parallelize("
+        "[(j,) for j in range(1, _PJ_NSEG + 1)], 1), 'j int')",
+    ),
+    (
+        "queries/entity_resolution.py",
+        "spark.createDataFrame(spark.sparkContext.parallelize("
+        "[(dl, j, sh) for dl in range(-_PJ_TAU, _PJ_TAU + 1) "
+        "for j in range(1, _PJ_NSEG + 1) "
+        "for sh in range(-_PJ_TAU, _PJ_TAU + 1)], 1), 'dl int, j int, sh int')",
+    ),
 }
 
 
