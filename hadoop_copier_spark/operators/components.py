@@ -73,9 +73,13 @@ def connected_components(
     lab = sym.select("u")
     if nodes is not None:
         lab = lab.union(nodes.select(F.col(nodes.columns[0]).alias("u")))
+    # lazy: the initial-sum probe below materializes it in the same job
     labels = (
         lab.distinct().select(F.col("u").alias("node"), F.col("u").alias("comp"))
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
+    prev_sum = labels.agg(
+        F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
+    ).collect()[0]["s"]
     if stats is not None:
         stats["n_edges_sym"] = sym.count()
         stats["n_nodes"] = labels.count()
@@ -108,25 +112,40 @@ def connected_components(
             )
         # Lazy checkpoint: the convergence probe below is the round's ONE
         # Spark job — it fully materializes the checkpoint as a side effect
-        # (a full count, not limit(1): an incremental limit scan could
-        # persist only some partitions and leave the lineage live). Eager
-        # checkpoint + separate probe was 2 jobs/round; per-round job count
-        # is what dominates wall time on small graphs.
+        # (a global aggregate touches every partition; an incremental
+        # limit scan could persist only some partitions and leave the
+        # lineage live). Eager checkpoint + separate probe was 2
+        # jobs/round; per-round job count is what dominates wall time on
+        # small graphs.
+        #
+        # r18 (guide §2.4): convergence is read off SUM(comp) instead of
+        # joining the new labels back onto the old ones. Hash-Min labels
+        # are monotone non-increasing per node (every update is
+        # least(comp, ...)), so the label SUM strictly decreases exactly
+        # when any label changed — equal sums <=> fixpoint. That drops a
+        # whole (node)-keyed join of two full label sets from every
+        # round. DECIMAL(38,0) keeps the sum exact at any scale (SUM of
+        # 2^63-bounded ids over arbitrarily many rows cannot wrap).
         jumped = jumped.localCheckpoint(eager=False)
-        changed = (
-            jumped.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .count()
-        )
+        cur_sum = jumped.agg(
+            F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+        if stats is not None:
+            # instrumentation-only extra job: the recorded per-round
+            # changed counts keep their meaning for the scaling probes
+            stats["rounds"] += 1
+            stats["changed_per_round"].append(
+                jumped.alias("n")
+                .join(labels.alias("o"), "node")
+                .filter(F.col("n.comp") != F.col("o.comp"))
+                .count()
+            )
         superseded = labels
         labels = jumped
         release_local_checkpoint(superseded)  # free last round's blocks now
-        if stats is not None:
-            stats["rounds"] += 1
-            stats["changed_per_round"].append(changed)
-        if changed == 0:
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     release_local_checkpoint(sym)  # returned labels no longer need the edges
     return labels
 

@@ -69,62 +69,89 @@ def pagerank(
     )
     if nodes is not None:
         vert = vert.union(nodes.select(F.col(nodes.columns[0]).alias("node")))
-    vert = vert.distinct().localCheckpoint()
+    # lazy: the count() below materializes it in the same job (r18 —
+    # one setup job instead of eager-checkpoint + count)
+    vert = vert.distinct().localCheckpoint(eager=False)
     n = vert.count()
     if n == 0:
         release_local_checkpoint(e)
         release_local_checkpoint(vert)
         return vert.select("node", F.lit(0.0).alias("rank"))
 
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     # Zero-weight SELF-edges seed every vertex into the contribution
     # aggregate, so new ranks come straight off groupBy(dst) — no
     # per-round "left join the vertex set back in" (one whole join stage
-    # per round removed). Pre-partitioning links on src / dangling on
-    # node lets each round's join reuse the checkpointed partitioning
-    # instead of re-exchanging the edge set every iteration.
+    # per round removed). r18 (guide §2.3/§2.4): the link frame builds
+    # with ONE exchange — out-degree comes from a window over the
+    # (real ∪ self)-edge union partitioned by src, whose output is
+    # ALREADY hash-partitioned on src, replacing the old
+    # groupBy(deg) exchange + join + explicit repartition("src") (3
+    # exchanges -> 1); each round's join then reuses the checkpointed
+    # partitioning instead of re-exchanging the edge set per iteration.
+    # The self-edge row (exactly one per vertex) additionally carries
+    # dst_has_out = whether its vertex has any real out-edge, so the
+    # dangling FLAG rides the per-round groupBy into the new rank state
+    # and the per-round dangling mass is a filter+aggregate on ranks —
+    # the old per-round ranks⋈dangling join stage is gone.
+    from pyspark.sql.window import Window
+
+    w_src = Window.partitionBy("src")
     links = (
-        e.join(deg, "src")
-        .select("src", "dst", (F.lit(1.0) / F.col("outdeg")).alias("inv_deg"))
+        e.select("src", "dst", F.lit(1).alias("is_edge"))
         .union(
             vert.select(
                 F.col("node").alias("src"),
                 F.col("node").alias("dst"),
-                F.lit(0.0).alias("inv_deg"),
+                F.lit(0).alias("is_edge"),
             )
         )
-        .repartition("src")
-        .localCheckpoint()
-    )
-    # nodes with NO out-edges: their rank is the dangling mass each round
-    dangling = (
-        vert.join(deg.select(F.col("src").alias("node")), "node", "left_anti")
-        .repartition("node")
+        .withColumn("outdeg", F.sum("is_edge").over(w_src))
+        .select(
+            "src",
+            "dst",
+            F.when(F.col("is_edge") == 1, F.lit(1.0) / F.col("outdeg"))
+            .otherwise(F.lit(0.0))
+            .alias("inv_deg"),
+            F.when(F.col("is_edge") == 0, F.col("outdeg") > 0).alias("dst_has_out"),
+        )
         .localCheckpoint()
     )
 
-    release_local_checkpoint(e)  # links/dangling/vert now self-contained
+    release_local_checkpoint(e)  # links/vert now self-contained
 
+    # the initial rank state is a NARROW filter+project of the
+    # checkpointed links (the self-edge rows — exactly one per vertex):
+    # no checkpoint of its own, no setup job (r18); round-1 consumers
+    # re-derive it from the checkpoint blocks at projection cost
+    ranks = links.where(F.col("dst_has_out").isNotNull()).select(
+        F.col("dst").alias("node"),
+        F.lit(1.0 / n).alias("rank"),
+        F.col("dst_has_out").alias("has_out"),
+    )
     # one O(metadata) setup probe: a graph with NO dangling nodes (e.g.
-    # any symmetrized graph) never pays the per-round rank/dangling join
-    # or the 1-row scalar attach at all
-    has_dangling = dangling.limit(1).count() > 0
-
-    ranks = vert.select("node", F.lit(1.0 / n).alias("rank")).localCheckpoint()
+    # any symmetrized graph) never pays the per-round dangling
+    # filter+aggregate or the 1-row scalar attach at all
+    has_dangling = ranks.where(~F.col("has_out")).limit(1).count() > 0
     teleport = (1.0 - damping) / n
     lazy_rounds = []
 
     for _ in range(max_iter):
         contrib = (
             links.join(ranks, links.src == ranks.node)
-            .select("dst", (F.col("rank") * F.col("inv_deg")).alias("c"))
+            .select(
+                "dst",
+                (F.col("rank") * F.col("inv_deg")).alias("c"),
+                "dst_has_out",
+            )
             .groupBy("dst")
-            .agg(F.sum("c").alias("contrib"))
+            .agg(
+                F.sum("c").alias("contrib"),
+                F.max("dst_has_out").alias("has_out"),  # self-edge row only
+            )
         )
         if has_dangling:
-            dang = (
-                ranks.join(dangling, "node")
-                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dmass"))
+            dang = ranks.where(~F.col("has_out")).agg(
+                F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dmass")
             )
             stepped = contrib.join(F.broadcast(dang)).select(  # 1-row build
                 F.col("dst").alias("node"),
@@ -132,11 +159,13 @@ def pagerank(
                     F.lit(teleport)
                     + F.lit(damping) * (F.col("contrib") + F.col("dmass") / n)
                 ).alias("rank"),
+                "has_out",
             )
         else:
             stepped = contrib.select(
                 F.col("dst").alias("node"),
                 (F.lit(teleport) + F.lit(damping) * F.col("contrib")).alias("rank"),
+                "has_out",
             )
         new = stepped.localCheckpoint(eager=False)
         if tol > 0.0:
@@ -171,9 +200,13 @@ def pagerank(
         ranks = ranks.localCheckpoint()
         for f in lazy_rounds:
             release_local_checkpoint(f)
-    for frame in (links, dangling, vert):
+    if max_iter == 0:
+        # zero-round call: the un-checkpointed initial state still reads
+        # the links blocks — pin it before they are released below
+        ranks = ranks.localCheckpoint()
+    for frame in (links, vert):
         release_local_checkpoint(frame)
-    return ranks
+    return ranks.select("node", "rank")
 
 
 def pagerank_quantized(
@@ -222,39 +255,76 @@ def pagerank_quantized(
     )
     if nodes is not None:
         vert = vert.union(nodes.select(F.col(nodes.columns[0]).alias("node")))
-    vert = vert.distinct().localCheckpoint()
+    # lazy: the count() below materializes it in the same job (r18)
+    vert = vert.distinct().localCheckpoint(eager=False)
     n = vert.count()
     if n == 0:
         release_local_checkpoint(e)
         release_local_checkpoint(vert)
         return vert.select("node", F.lit(0).cast("long").alias("rank_units"))
 
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    links = e.join(deg, "src").repartition("src").localCheckpoint()
-    dangling = (
-        vert.join(deg.select(F.col("src").alias("node")), "node", "left_anti")
-        .repartition("node")
+    # r18 (guide §2.3/§2.4, mirroring :func:`pagerank`): ONE exchange
+    # builds the link frame — out-degree from a window over the
+    # (real ∪ self)-edge union partitioned by src (output already
+    # hash-partitioned on src; replaces groupBy + join + repartition),
+    # zero-contribution SELF-edges replace the per-round vert-union seed
+    # (identical integer sums: COALESCE(contrib, 0) ≡ sum with a 0 term),
+    # and the self-edge row carries the dangling flag into each round's
+    # groupBy so the dangling mass is a filter+aggregate on the rank
+    # state, not a per-round join. Every value is the same BIGINT the
+    # unrolled-CTE oracle computes — only the plan changed.
+    from pyspark.sql.window import Window
+
+    w_src = Window.partitionBy("src")
+    links = (
+        e.select("src", "dst", F.lit(1).alias("is_edge"))
+        .union(
+            vert.select(
+                F.col("node").alias("src"),
+                F.col("node").alias("dst"),
+                F.lit(0).alias("is_edge"),
+            )
+        )
+        .withColumn("outdeg", F.sum("is_edge").over(w_src))
+        .select(
+            "src",
+            "dst",
+            "is_edge",
+            "outdeg",
+            F.when(F.col("is_edge") == 0, F.col("outdeg") > 0).alias("dst_has_out"),
+        )
         .localCheckpoint()
     )
     release_local_checkpoint(e)
 
     base = total_units // n
-    ranks = vert.select(
-        "node", F.lit(base).cast("long").alias("rank_units")
-    ).localCheckpoint()
+    # initial rank state: a narrow filter+project of the checkpointed
+    # links' self-edge rows — no checkpoint, no setup job (r18)
+    ranks = links.where(F.col("dst_has_out").isNotNull()).select(
+        F.col("dst").alias("node"),
+        F.lit(base).cast("long").alias("rank_units"),
+        F.col("dst_has_out").alias("has_out"),
+    )
     lazy_rounds = []
     for _ in range(rounds):
         contrib = (
             links.join(ranks, links.src == ranks.node)
             .select(
-                F.col("dst").alias("node"),
-                F.expr("rank_units div outdeg").alias("c"),
+                F.col("dst").alias("nnode"),
+                F.when(F.col("is_edge") == 1, F.expr("rank_units div outdeg"))
+                .otherwise(F.lit(0))
+                .cast("long")
+                .alias("c"),
+                "dst_has_out",
             )
-            .unionByName(vert.select("node", F.lit(0).cast("long").alias("c")))
-            .groupBy("node")
-            .agg(F.sum("c").alias("contrib"))
+            .groupBy("nnode")
+            .agg(
+                F.sum("c").alias("contrib"),
+                F.max("dst_has_out").alias("has_out"),  # self-edge row only
+            )
+            .withColumnRenamed("nnode", "node")
         )
-        dang = ranks.join(dangling, "node").agg(
+        dang = ranks.where(~F.col("has_out")).agg(
             F.coalesce(F.sum("rank_units"), F.lit(0)).cast("long").alias("dmass")
         )
         stepped = contrib.join(F.broadcast(dang)).select(  # 1-row build side
@@ -262,6 +332,7 @@ def pagerank_quantized(
             F.expr(
                 f"CAST(({3 * base} + 17 * (contrib + (dmass div {n}))) div 20 AS BIGINT)"
             ).alias("rank_units"),
+            "has_out",
         )
         new = stepped.localCheckpoint(eager=False)
         lazy_rounds.append(new)
@@ -270,6 +341,10 @@ def pagerank_quantized(
         ranks = ranks.localCheckpoint()  # ONE job materializes the chain
         for f in lazy_rounds:
             release_local_checkpoint(f)
-    for frame in (links, dangling, vert):
+    else:
+        # zero-round call: the un-checkpointed initial state still reads
+        # the links blocks — pin it before they are released below
+        ranks = ranks.localCheckpoint()
+    for frame in (links, vert):
         release_local_checkpoint(frame)
-    return ranks
+    return ranks.select("node", "rank_units")

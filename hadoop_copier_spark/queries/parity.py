@@ -566,10 +566,14 @@ def xp_stream_stream_join(spark, sf_dir):
     try:
         q.processAllAvailable()
         n_batches = int((q.lastProgress or {}).get("batchId", -2)) + 1
-        got = {
-            (r["l_id"], r["r_id"])
-            for r in spark.sql("SELECT * FROM xp_ssj_sink").collect()
-        }
+        # r18 (guide §5): the pair sets stay DISTRIBUTED — the old
+        # spelling collected both the sink and the batch join to driver
+        # Python sets, which is exactly the driver-materialization shape
+        # a 100 TB pair set forbids. Set equality = two anti joins both
+        # empty (pairs are unique by construction: event_id is unique
+        # per side, inner join of distinct keys). Same emitted row.
+        got = spark.sql("SELECT l_id, r_id FROM xp_ssj_sink")
+        n_pairs = got.count()
     finally:
         q.stop()
     e = load_table(spark, sf_dir, "events")
@@ -583,17 +587,17 @@ def xp_stream_stream_join(spark, sf_dir):
         F.col("user_id").alias("r_user"),
         F.col("ts").alias("r_ts"),
     )
-    batch = {
-        (r["l_id"], r["r_id"])
-        for r in left.join(
-            right,
-            (F.col("l_user") == F.col("r_user"))
-            & (F.col("r_ts") >= F.col("l_ts"))
-            & (F.col("r_ts") <= F.col("l_ts") + F.expr("INTERVAL 5 MINUTES")),
-            "inner",
-        ).collect()
-    }
-    rows = [(len(got), n_batches, got == batch)]
+    batch = left.join(
+        right,
+        (F.col("l_user") == F.col("r_user"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr("INTERVAL 5 MINUTES")),
+        "inner",
+    ).select("l_id", "r_id")
+    keys = ["l_id", "r_id"]
+    missing = batch.join(got, keys, "left_anti").limit(1).count()
+    extra = got.join(batch, keys, "left_anti").limit(1).count()
+    rows = [(n_pairs, n_batches, missing == 0 and extra == 0)]
     return spark.createDataFrame(
         spark.sparkContext.parallelize(rows, 1),
         "n_pairs long, n_micro_batches long, equals_batch boolean",
