@@ -36,11 +36,18 @@ def global_prefix_sum(
     value_col: str | Column,
     order_cols: list,
     out_col: str = "cum",
+    totals: dict | None = None,
 ) -> DataFrame:
     """``df`` + a BIGINT ``out_col`` = running sum of ``value_col`` in the
     total order given by ``order_cols`` (must be a TOTAL order — include a
     unique tiebreak column, or ties make the result partition-dependent).
-    Row order of the output is unspecified (sort downstream as needed)."""
+    Row order of the output is unspecified (sort downstream as needed).
+
+    ``totals`` (optional out-param, r18): filled with {"total": <grand
+    sum as an exact Python int>} — the per-partition sums this operator
+    already collects add up to the corpus total, so a caller that needs
+    it (budget thresholds, ppm denominators) reads it here for FREE
+    instead of running its own full-scan aggregate job."""
     spark = df.sparkSession
     n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     v = F.col(value_col) if isinstance(value_col, str) else value_col
@@ -48,12 +55,16 @@ def global_prefix_sum(
     parted = base.repartitionByRange(n_parts, *order_cols).sortWithinPartitions(
         *order_cols
     )
+    # lazy checkpoint (r18): the psums collect right below is the FIRST
+    # job over this frame — it materializes the checkpoint, which pins
+    # the sampled range boundaries for every later job exactly as the
+    # old eager spelling did, one job cheaper.
     idx = (
         parted.withColumn("__mid", F.monotonically_increasing_id())
         .withColumn("__pid", F.shiftright(F.col("__mid"), 33).cast("int"))
         .withColumn("__lidx", F.col("__mid") % F.lit(1 << 33))
         .drop("__mid")
-        .localCheckpoint()  # pin the sampled range boundaries across jobs
+        .localCheckpoint(eager=False)
     )
     psums = sorted(
         (r["__pid"], r["s"] or 0)
@@ -63,6 +74,8 @@ def global_prefix_sum(
     for pid, s in psums:
         offsets[pid] = acc
         acc += s
+    if totals is not None:
+        totals["total"] = acc
     if offsets:
         off = F.element_at(
             F.create_map(*[F.lit(x) for po in offsets.items() for x in po]),
@@ -101,12 +114,15 @@ def grouped_rank(
     n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     keys = [*group_cols, *order_cols]
     parted = df.repartitionByRange(n_parts, *keys).sortWithinPartitions(*keys)
+    # lazy checkpoint (r18): materialized — and the sampled range
+    # boundaries pinned — by the counts collect below (see
+    # global_prefix_sum), one job cheaper than the eager spelling
     idx = (
         parted.withColumn("__mid", F.monotonically_increasing_id())
         .withColumn("__pid", F.shiftright(F.col("__mid"), 33).cast("int"))
         .withColumn("__lidx", F.col("__mid") % F.lit(1 << 33))
         .drop("__mid")
-        .localCheckpoint()  # pin the sampled range boundaries across jobs
+        .localCheckpoint(eager=False)
     )
     counts = sorted(
         (

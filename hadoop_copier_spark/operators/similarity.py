@@ -308,19 +308,36 @@ def _make_assign_udf(centroids: list, top_n: int = 1):
     return assign
 
 
+def _seed_vectors(df: DataFrame, id_col: str, vec_col: str, n: int) -> list:
+    """First ``n`` vectors by id as driver-side float lists — the one
+    bounded seed collect shared by the k-means/PQ trainers (r18: callers
+    that need several seed sets collect once at the max size and slice,
+    instead of paying one collect job per trainer)."""
+    rows = df.orderBy(id_col).limit(n).select(vec_col).collect()
+    return [[float(x) for x in r[vec_col]] for r in rows]
+
+
 def _fit_centroids(
-    df: DataFrame, id_col: str, vec_col: str, n_clusters: int, lloyd_iters: int
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_clusters: int,
+    lloyd_iters: int,
+    seeds: list | None = None,
 ) -> list:
     """Deterministic coarse k-means shared by ivf_ann_topk and
     semantic_dedup: seed from the first n_clusters vectors by id, then
     ``lloyd_iters`` fully-distributed refinement passes (assign via the
     broadcast matmul UDF, recompute centroids as per-dimension means).
     Only the C x dim centroid table ever reaches the driver — metadata,
-    not data. Returns [] on an empty frame."""
-    seed_rows = (
-        df.orderBy(id_col).limit(n_clusters).select(vec_col).collect()
-    )  # C x dim floats — driver-side metadata only
-    centroids = [[float(x) for x in r[vec_col]] for r in seed_rows]
+    not data. Returns [] on an empty frame. ``seeds`` (optional)
+    supplies an already-collected seed list (>= n_clusters rows or
+    however many exist) so composed callers skip the collect job."""
+    centroids = (
+        seeds[:n_clusters]
+        if seeds is not None
+        else _seed_vectors(df, id_col, vec_col, n_clusters)
+    )
     if not centroids:
         return []
     for _ in range(lloyd_iters):
@@ -465,21 +482,21 @@ def semantic_dedup(
     )
 
 
-def _pq_train_books(candidates, id_col, vec_col, m, sub, n_codes, lloyd_iters):
+def _pq_train_books(
+    candidates, id_col, vec_col, m, sub, n_codes, lloyd_iters, seeds=None
+):
     """Train per-subspace PQ codebooks on the candidate frame. Seeds are
-    the first n_codes vectors by id (one bounded collect); each Lloyd
+    the first n_codes vectors by id (one bounded collect — or the
+    caller's already-collected list via ``seeds``, r18); each Lloyd
     pass assigns via ONE vectorized matmul UDF and recomputes centroids
     through a uniform (sub, code, dim) partial agg — only the
     m x K x subdim codebook table (metadata) reaches the driver.
     Returns a list of m numpy (K x sub) arrays."""
     import numpy as np
 
-    seed_rows = (
-        candidates.orderBy(id_col).limit(n_codes).select(vec_col).collect()
-    )
-    seeds = np.asarray(
-        [[float(x) for x in r[vec_col]] for r in seed_rows], dtype=np.float64
-    )  # S x dim, S <= n_codes
+    if seeds is None:
+        seeds = _seed_vectors(candidates, id_col, vec_col, n_codes)
+    seeds = np.asarray(seeds[:n_codes], dtype=np.float64)  # S x dim, S <= n_codes
     books = [seeds[:, j * sub:(j + 1) * sub].copy() for j in range(m)]
     for _ in range(lloyd_iters):
         enc = _pq_encode_udf(books, m, sub)
@@ -629,16 +646,6 @@ def _exact_rerank(shortlist, candidates, queries, k, id_col, vec_col):
     )
 
 
-def _pq_dims(candidates, vec_col, m):
-    first = candidates.select(F.size(F.col(vec_col)).alias("d")).first()
-    if first is None:
-        return None, None
-    dim = int(first["d"])
-    if dim % m:
-        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
-    return dim, dim // m
-
-
 def pq_ann_topk(
     candidates: DataFrame,
     queries: DataFrame,
@@ -689,12 +696,18 @@ def pq_ann_topk(
 
     candidates = candidates.filter(F.col(vec_col).isNotNull())
     queries = queries.filter(F.col(vec_col).isNotNull())
-    dim, sub = _pq_dims(candidates, vec_col, m)
-    if dim is None:
+    # r18: dims come from the training seed collect itself — the old
+    # separate first() probe was one whole Spark job per invocation
+    seeds = _seed_vectors(candidates, id_col, vec_col, n_codes)
+    if not seeds:
         return _pq_empty_result(candidates)
+    dim = len(seeds[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    sub = dim // m
 
     books = _pq_train_books(
-        candidates, id_col, vec_col, m, sub, n_codes, lloyd_iters
+        candidates, id_col, vec_col, m, sub, n_codes, lloyd_iters, seeds=seeds
     )
     enc = _pq_encode_udf(books, m, sub)
     index = candidates.select(
@@ -778,16 +791,27 @@ def ivfpq_ann_topk(
 
     candidates = candidates.filter(F.col(vec_col).isNotNull())
     queries = queries.filter(F.col(vec_col).isNotNull())
-    dim, sub = _pq_dims(candidates, vec_col, m)
-    if dim is None:
+    # r18: ONE bounded seed collect serves the dim probe, the IVF
+    # centroid seeds AND the PQ codebook seeds (identical prefixes of
+    # the same ordered frame) — was three separate driver jobs
+    seeds = _seed_vectors(
+        candidates, id_col, vec_col, max(n_clusters, n_codes)
+    )
+    if not seeds:
         return _pq_empty_result(candidates)
+    dim = len(seeds[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    sub = dim // m
 
-    centroids = _fit_centroids(candidates, id_col, vec_col, n_clusters, lloyd_iters)
+    centroids = _fit_centroids(
+        candidates, id_col, vec_col, n_clusters, lloyd_iters, seeds=seeds
+    )
     if not centroids:
         return _pq_empty_result(candidates)
     assign = _make_assign_udf(centroids, max(1, n_probe))
     books = _pq_train_books(
-        candidates, id_col, vec_col, m, sub, n_codes, lloyd_iters
+        candidates, id_col, vec_col, m, sub, n_codes, lloyd_iters, seeds=seeds
     )
     enc = _pq_encode_udf(books, m, sub)
     index = candidates.select(

@@ -1116,14 +1116,18 @@ def xh_token_budget_select(spark, sf_dir):
         whitespace_token_count(F.col("text")).cast("long").alias("n_tokens"),
         quality_score(F.col("text")).alias("__q"),
     )
-    total = scored.agg(F.sum("n_tokens")).collect()[0][0] or 0  # 1-row metadata
-    budget = int(total) // _BUDGET_DENOM
+    # r18: the corpus token total is the grand sum global_prefix_sum
+    # already collects (same longs, exact Python-int sum) — the old
+    # separate agg re-ran the full tokenize+quality scan for one scalar
+    totals: dict = {}
     cum = global_prefix_sum(
         scored,
         "n_tokens",
         [F.col("__q").desc(), F.col("doc_id")],
         out_col="cum_tokens",
+        totals=totals,
     )
+    budget = int(totals["total"]) // _BUDGET_DENOM
     return (
         cum.select(
             "doc_id",

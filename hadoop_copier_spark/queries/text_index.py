@@ -1341,17 +1341,21 @@ def xh_coverage_curve(spark, sf_dir):
         .withColumn("neg_cnt", -F.col("cnt"))
     )
     ranked = grouped_rank(c, ["__grp"], ["neg_cnt", "token"], out_col="rk")
-    cum = global_prefix_sum(ranked, "cnt", ["rk"], out_col="cum")
-    tot = c.agg(F.sum("cnt").cast("long").alias("total"))
+    # r18: the corpus token total is the grand sum global_prefix_sum
+    # already collects (exact Python-int sum of the same longs) — the
+    # old separate c.agg(SUM(cnt)) re-ran the tokenize+groupBy subtree
+    # for one scalar, plus a 1-row broadcast join to attach it
+    totals: dict = {}
+    cum = global_prefix_sum(ranked, "cnt", ["rk"], out_col="cum", totals=totals)
+    total = totals["total"]
     return (
         cum.where(F.col("rk").isin(*_COVERAGE_KS))
-        .join(F.broadcast(tot))  # 1-row corpus token total
         .select(
             F.col("rk").alias("top_k"),
             F.col("cum").alias("tokens_covered"),
             F.expr(
                 "CAST(CAST(cum AS DECIMAL(38,0)) * 1000000"
-                " div total AS BIGINT)"
+                f" div CAST({total} AS BIGINT) AS BIGINT)"
             ).alias("coverage_ppm"),
         )
         .orderBy("top_k")

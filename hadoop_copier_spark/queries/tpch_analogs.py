@@ -628,11 +628,13 @@ def _market_basket_frame(spark, sf_dir, promote_at=_BASKET_DECIMAL_AT):
     li = tbl(spark, sf_dir, "lineitem")
     # one distinct exchange, materialized once: FOUR consumers (both pair
     # sides, the marginals, the order count) read the basket-item frame
-    # from executor storage instead of re-running scan+distinct each
+    # from executor storage instead of re-running scan+distinct each.
+    # r18: lazy checkpoint — the n_orders probe right below materializes
+    # it in the SAME job (was: eager-checkpoint job + count job).
     items = (
         li.select("l_orderkey", "l_partkey")
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     n_orders = items.select("l_orderkey").distinct().count()
     pc = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_part"))
