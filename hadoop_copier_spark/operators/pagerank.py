@@ -6,16 +6,21 @@ well-linked pages is likelier to be worth training on than an orphan).
 Expressed as DataFrame joins, the same iterative design language as
 operators/components.py (Hash-Min CC):
 
-* edges are normalized ONCE into (src, dst, inv_deg = 1/outdeg(src)) and
-  localCheckpoint'ed — every round joins against this frozen frame, so
-  the (possibly expensive) upstream edge derivation never re-executes;
+* edges are normalized ONCE into (src, dst, inv_deg = 1/outdeg(src)) —
+  out-degree via a window over the (real ∪ self)-edge union partitioned
+  by src, so the build is ONE exchange whose output is already
+  hash-partitioned on src (r18) — and localCheckpoint'ed: every round
+  joins against this frozen frame, so the (possibly expensive) upstream
+  edge derivation never re-executes;
 * each round is contrib = ranks x edges (equi join on src, shuffles on
-  the join key) -> groupBy(dst).sum (one exchange, map-side partial),
-  then the dangling mass — rank parked on nodes with no out-edges — is
-  ONE aggregate scalar attached via a 1-ROW broadcast (the
-  xh_heavy_hitters global-total shape: the nested-loop join's build side
-  is provably a single row, so it is the optimal plan, and the round
-  stays fully lazy until its single convergence-probe action);
+  the join key) -> groupBy(dst).sum (one exchange, map-side partial);
+  the dangling mass — rank parked on nodes with no out-edges — is a
+  filter+aggregate over the rank state (each self-edge row carries its
+  vertex's has-out flag through the groupBy, r18) attached via a 1-ROW
+  broadcast (the xh_heavy_hitters global-total shape: the nested-loop
+  join's build side is provably a single row, so it is the optimal
+  plan, and the round stays fully lazy until its single
+  convergence-probe action);
 * rank state is one (node, rank) table per round, localCheckpoint
   (eager=False) so the L1-delta convergence probe materializes it as the
   round's ONE Spark job; superseded checkpoint blocks are freed

@@ -804,15 +804,27 @@ def ivfpq_ann_topk(
         raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
     sub = dim // m
 
-    centroids = _fit_centroids(
-        candidates, id_col, vec_col, n_clusters, lloyd_iters, seeds=seeds
-    )
+    # r18 (guide §2.6): the IVF Lloyd pass and the PQ Lloyd pass are
+    # INDEPENDENT jobs over the same candidates — submit them from two
+    # driver threads so the second job's tasks back-fill executors freed
+    # by the first's tail instead of running strictly after it. Results
+    # are identical (each trains from its own seed slice; no shared
+    # mutable state).
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fut_c = pool.submit(
+            _fit_centroids,
+            candidates, id_col, vec_col, n_clusters, lloyd_iters, seeds,
+        )
+        fut_b = pool.submit(
+            _pq_train_books,
+            candidates, id_col, vec_col, m, sub, n_codes, lloyd_iters, seeds,
+        )
+        centroids, books = fut_c.result(), fut_b.result()
     if not centroids:
         return _pq_empty_result(candidates)
     assign = _make_assign_udf(centroids, max(1, n_probe))
-    books = _pq_train_books(
-        candidates, id_col, vec_col, m, sub, n_codes, lloyd_iters, seeds=seeds
-    )
     enc = _pq_encode_udf(books, m, sub)
     index = candidates.select(
         F.col(id_col).alias("neighbor_id"),

@@ -569,11 +569,11 @@ def xp_stream_stream_join(spark, sf_dir):
         # r18 (guide §5): the pair sets stay DISTRIBUTED — the old
         # spelling collected both the sink and the batch join to driver
         # Python sets, which is exactly the driver-materialization shape
-        # a 100 TB pair set forbids. Set equality = two anti joins both
-        # empty (pairs are unique by construction: event_id is unique
-        # per side, inner join of distinct keys). Same emitted row.
+        # a 100 TB pair set forbids. ONE full-outer join + aggregate
+        # yields pair count and both mismatch directions in a single
+        # job (pairs are unique by construction: event_id is unique per
+        # side, inner join of distinct keys). Same emitted row.
         got = spark.sql("SELECT l_id, r_id FROM xp_ssj_sink")
-        n_pairs = got.count()
     finally:
         q.stop()
     e = load_table(spark, sf_dir, "events")
@@ -594,10 +594,31 @@ def xp_stream_stream_join(spark, sf_dir):
         & (F.col("r_ts") <= F.col("l_ts") + F.expr("INTERVAL 5 MINUTES")),
         "inner",
     ).select("l_id", "r_id")
-    keys = ["l_id", "r_id"]
-    missing = batch.join(got, keys, "left_anti").limit(1).count()
-    extra = got.join(batch, keys, "left_anti").limit(1).count()
-    rows = [(n_pairs, n_batches, missing == 0 and extra == 0)]
+    stats = (
+        got.select("l_id", "r_id", F.lit(1).alias("__g"))
+        .join(
+            batch.select("l_id", "r_id", F.lit(1).alias("__b")),
+            ["l_id", "r_id"],
+            "full_outer",
+        )
+        .agg(
+            F.coalesce(F.sum("__g"), F.lit(0)).alias("n_pairs"),
+            F.coalesce(
+                F.sum(F.when(F.col("__g").isNull(), 1)), F.lit(0)
+            ).alias("missing"),
+            F.coalesce(
+                F.sum(F.when(F.col("__b").isNull(), 1)), F.lit(0)
+            ).alias("extra"),
+        )
+        .collect()[0]
+    )
+    rows = [
+        (
+            int(stats["n_pairs"]),
+            n_batches,
+            int(stats["missing"]) == 0 and int(stats["extra"]) == 0,
+        )
+    ]
     return spark.createDataFrame(
         spark.sparkContext.parallelize(rows, 1),
         "n_pairs long, n_micro_batches long, equals_batch boolean",
