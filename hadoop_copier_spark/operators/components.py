@@ -77,9 +77,26 @@ def connected_components(
     labels = (
         lab.distinct().select(F.col("u").alias("node"), F.col("u").alias("comp"))
     ).localCheckpoint(eager=False)
-    prev_sum = labels.agg(
-        F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
-    ).collect()[0]["s"]
+    # ADVICE r18 (medium): the SUM(comp) convergence probe is only exact
+    # for integral ids — casting a string doc id to decimal yields NULL,
+    # every round's sum is NULL, and None == None would end the loop
+    # after round 1 with unconverged labels. This generic operator
+    # accepts any orderable id type, so non-integral ids take the
+    # type-agnostic join-based changed-count probe instead (the pre-r18
+    # spelling; one extra join per round, correctness first).
+    from pyspark.sql import types as T
+
+    _sum_probe = isinstance(
+        labels.schema["comp"].dataType,
+        (T.ByteType, T.ShortType, T.IntegerType, T.LongType),
+    )
+    prev_sum = (
+        labels.agg(
+            F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+        if _sum_probe
+        else None
+    )
     if stats is not None:
         stats["n_edges_sym"] = sym.count()
         stats["n_nodes"] = labels.count()
@@ -127,15 +144,30 @@ def connected_components(
         # round. DECIMAL(38,0) keeps the sum exact at any scale (SUM of
         # 2^63-bounded ids over arbitrarily many rows cannot wrap).
         jumped = jumped.localCheckpoint(eager=False)
-        cur_sum = jumped.agg(
-            F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
-        ).collect()[0]["s"]
+        if _sum_probe:
+            changed = None
+            cur_sum = jumped.agg(
+                F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
+            ).collect()[0]["s"]
+        else:
+            # type-agnostic fallback: count changed labels directly (this
+            # one join-job both materializes the checkpoint and decides
+            # convergence — same job count as the sum probe)
+            changed = (
+                jumped.alias("n")
+                .join(labels.alias("o"), "node")
+                .filter(F.col("n.comp") != F.col("o.comp"))
+                .count()
+            )
+            cur_sum = None
         if stats is not None:
             # instrumentation-only extra job: the recorded per-round
             # changed counts keep their meaning for the scaling probes
             stats["rounds"] += 1
             stats["changed_per_round"].append(
-                jumped.alias("n")
+                changed
+                if changed is not None
+                else jumped.alias("n")
                 .join(labels.alias("o"), "node")
                 .filter(F.col("n.comp") != F.col("o.comp"))
                 .count()
@@ -143,7 +175,7 @@ def connected_components(
         superseded = labels
         labels = jumped
         release_local_checkpoint(superseded)  # free last round's blocks now
-        if cur_sum == prev_sum:
+        if (cur_sum == prev_sum) if _sum_probe else (changed == 0):
             break
         prev_sum = cur_sum
     release_local_checkpoint(sym)  # returned labels no longer need the edges

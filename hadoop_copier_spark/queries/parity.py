@@ -594,10 +594,15 @@ def xp_stream_stream_join(spark, sf_dir):
         & (F.col("r_ts") <= F.col("l_ts") + F.expr("INTERVAL 5 MINUTES")),
         "inner",
     ).select("l_id", "r_id")
+    # ADVICE r18 (low): distinct both sides first so the aggregate keeps
+    # the old Python-set SEMANTICS — a replayed/duplicated sink pair must
+    # neither inflate n_pairs nor escape the mismatch counters. The
+    # distinct's exchange is keyed exactly like the join, so it reuses
+    # the same partitioning (no extra corpus-scale shuffle).
     stats = (
-        got.select("l_id", "r_id", F.lit(1).alias("__g"))
+        got.select("l_id", "r_id").distinct().withColumn("__g", F.lit(1))
         .join(
-            batch.select("l_id", "r_id", F.lit(1).alias("__b")),
+            batch.select("l_id", "r_id").distinct().withColumn("__b", F.lit(1)),
             ["l_id", "r_id"],
             "full_outer",
         )

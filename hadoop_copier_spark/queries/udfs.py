@@ -138,7 +138,10 @@ def q67(spark, sf_dir):
 
     import numpy as np
 
-    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # ADVICE r18 (low): two-arg get — on deployments where the conf is
+    # unset at the SQLConf level the no-default form raises (same
+    # defensive pattern as operators/prefix.py)
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     e = (
         tbl(spark, sf_dir, "events")
         .select("event_id", "user_id", "value")

@@ -338,6 +338,30 @@ def test_connected_components_hand_graph(spark):
                    10: 10, 11: 10, 12: 10, 99: 99}
 
 
+def test_connected_components_string_ids(spark):
+    """ADVICE r18 (medium): the SUM(comp) convergence probe is integral-
+    only — string ids cast to decimal as NULL, which would break the loop
+    after round 1 with unconverged labels. Non-integral ids must take the
+    join-based changed-count probe and still converge to exact minima
+    (the chain needs >1 round, so a silent round-1 exit is caught)."""
+    from hadoop_copier_spark.operators.components import connected_components
+
+    edges = spark.createDataFrame(
+        [("d1", "d2"), ("d2", "d3"), ("d3", "d4"), ("d4", "d5"),
+         ("d5", "d6"), ("d6", "d7"), ("d7", "d8"), ("d8", "d9"),  # chain
+         ("x1", "x2"), ("x2", "x3")],
+        "src string, dst string",
+    )
+    nodes = spark.createDataFrame([("zzz",)], "id string").select("id")
+    got = {
+        r["node"]: r["comp"]
+        for r in connected_components(edges, nodes=nodes).collect()
+    }
+    assert got == {f"d{i}": "d1" for i in range(1, 10)} | {
+        "x1": "x1", "x2": "x1", "x3": "x1", "zzz": "zzz"
+    }
+
+
 def test_dedup_clusters_match_union_find(spark, sf_oracle):
     """h_dedup_clusters vs a driver-side union-find over the same pair set
     (independent of both the Spark propagation and the SQL oracle)."""

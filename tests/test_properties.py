@@ -398,6 +398,36 @@ def test_global_prefix_sum_matches_brute_force(spark, rows, descending):
     assert got == expect
 
 
+def test_prefix_operators_deterministic_across_repeated_actions(spark):
+    """ADVICE r18 (low): the lazy localCheckpoint inside the prefix
+    operators is only correct because the internal metadata collect is
+    the FIRST job over the stamped frame and touches every partition,
+    pinning the monotonically_increasing_id values. This pins the
+    OBSERVABLE consequence: the returned frame (and its rank twin) must
+    yield byte-identical results on every subsequent action — including
+    partial-scan actions (limit) interleaved between full collects,
+    which would corrupt the offsets if the checkpoint were ever left
+    unmaterialized at return time."""
+    from hadoop_copier_spark.operators.prefix import global_prefix_sum, grouped_rank
+
+    df = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+            [(i, i % 7, (i * 37) % 23 - 11) for i in range(200)], 8
+        ),
+        "id long, g long, v long",
+    )
+    ps = global_prefix_sum(df, "v", [F.col("v"), F.col("id")], out_col="cum")
+    first = sorted(tuple(r) for r in ps.collect())
+    ps.limit(3).collect()  # partial-scan action between full collects
+    assert sorted(tuple(r) for r in ps.collect()) == first
+    assert sorted(tuple(r) for r in ps.collect()) == first
+
+    rk = grouped_rank(df, ["g"], [F.col("v"), F.col("id")])
+    first_rk = sorted(tuple(r) for r in rk.collect())
+    rk.limit(3).collect()
+    assert sorted(tuple(r) for r in rk.collect()) == first_rk
+
+
 # ---------------------------------------------------------------------------
 # bounded two-level grouped top-K ≡ per-group window row_number (round 11)
 
