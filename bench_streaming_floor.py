@@ -132,8 +132,14 @@ def main() -> None:
             src = replay_events_time_buckets(
                 spark, sf_dir, os.path.join(replay_root, "src"), n_chunks=20)
             rec["replay_write"] = round(time.perf_counter() - t0, 3)
+            b6_parts = os.environ.get("SPARK_GRAFT_B6_PARTS")
+            if b6_parts:
+                old = spark.conf.get("spark.sql.shuffle.partitions")
+                spark.conf.set("spark.sql.shuffle.partitions", b6_parts)
             t0 = time.perf_counter()
             q = stream_tumbling_counts(spark, src, f"floor6_{rep}", available_now=True)
+            if b6_parts:
+                spark.conf.set("spark.sql.shuffle.partitions", old)
             q.awaitTermination()
             rec["stream_run"] = round(time.perf_counter() - t0, 3)
             prog = list(q.recentProgress or [])

@@ -556,26 +556,13 @@ def xp_stream_stream_join(spark, sf_dir):
     from ..tables import load_table
 
     out = scratch_dir("xp_stream_stream_join")
-    # one-shuffle-job split writer (the 100 TB replay shape); 8 state
+    # one-shuffle-job split writer (the 100 TB replay shape); 4 state
     # partitions: at test scale 32 state stores per side per micro-batch
-    # is pure task overhead (measured 14 -> 7.5 s at sf0.1)
+    # is pure task overhead (r18 measured 14 -> 7.5 s at sf0.1 for 8;
+    # the r19 quiet-host alternating sweep measured stream-phase walls
+    # 8: 3.0-3.2 s / 4: 2.7-2.9 s / 2: 2.9 s, so 4 — per-user join state
+    # is watermark+range bounded, never partition-count bound)
     left_dir, right_dir = replay_events_split_buckets(spark, sf_dir, out, n_chunks=2)
-    q = stream_interval_join(
-        spark, left_dir, right_dir, "xp_ssj_sink", shuffle_partitions=8
-    )
-    try:
-        q.processAllAvailable()
-        n_batches = int((q.lastProgress or {}).get("batchId", -2)) + 1
-        # r18 (guide §5): the pair sets stay DISTRIBUTED — the old
-        # spelling collected both the sink and the batch join to driver
-        # Python sets, which is exactly the driver-materialization shape
-        # a 100 TB pair set forbids. ONE full-outer join + aggregate
-        # yields pair count and both mismatch directions in a single
-        # job (pairs are unique by construction: event_id is unique per
-        # side, inner join of distinct keys). Same emitted row.
-        got = spark.sql("SELECT l_id, r_id FROM xp_ssj_sink")
-    finally:
-        q.stop()
     e = load_table(spark, sf_dir, "events")
     left = e.filter(F.col("event_id") % 2 == 0).select(
         F.col("event_id").alias("l_id"),
@@ -594,18 +581,42 @@ def xp_stream_stream_join(spark, sf_dir):
         & (F.col("r_ts") <= F.col("l_ts") + F.expr("INTERVAL 5 MINUTES")),
         "inner",
     ).select("l_id", "r_id")
-    # ADVICE r18 (low): distinct both sides first so the aggregate keeps
-    # the old Python-set SEMANTICS — a replayed/duplicated sink pair must
-    # neither inflate n_pairs nor escape the mismatch counters. The
-    # distinct's exchange is keyed exactly like the join, so it reuses
-    # the same partitioning (no extra corpus-scale shuffle).
+    # ADVICE r18 (low): distinct both sides before the equivalence
+    # aggregate so it keeps the old Python-set SEMANTICS — a replayed/
+    # duplicated sink pair must neither inflate n_pairs nor escape the
+    # mismatch counters. The distinct's exchange is keyed exactly like
+    # the join, so it reuses the same partitioning.
+    bdist = batch.select("l_id", "r_id").distinct().withColumn("__b", F.lit(1))
+    q = stream_interval_join(
+        spark, left_dir, right_dir, "xp_ssj_sink", shuffle_partitions=4
+    )
+    try:
+        # r19 (guide §2.6): the batch side of the equivalence check is a
+        # pure function of the events table, independent of the stream —
+        # materialize it from a second driver thread WHILE the
+        # micro-batches run (its tasks back-fill the executor between
+        # batch jobs), so the final aggregate pays only the tiny
+        # pair-set join. Identical rows: the checkpoint is the same
+        # distinct frame the aggregate consumed before.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            fut = pool.submit(lambda: bdist.localCheckpoint(eager=True))
+            q.processAllAvailable()
+            n_batches = int((q.lastProgress or {}).get("batchId", -2)) + 1
+            # r18 (guide §5): the pair sets stay DISTRIBUTED — the old
+            # spelling collected both the sink and the batch join to
+            # driver Python sets, which is exactly the driver-
+            # materialization shape a 100 TB pair set forbids. ONE
+            # full-outer join + aggregate yields pair count and both
+            # mismatch directions in a single job.
+            got = spark.sql("SELECT l_id, r_id FROM xp_ssj_sink")
+            bmat = fut.result()
+    finally:
+        q.stop()
     stats = (
         got.select("l_id", "r_id").distinct().withColumn("__g", F.lit(1))
-        .join(
-            batch.select("l_id", "r_id").distinct().withColumn("__b", F.lit(1)),
-            ["l_id", "r_id"],
-            "full_outer",
-        )
+        .join(bmat, ["l_id", "r_id"], "full_outer")
         .agg(
             F.coalesce(F.sum("__g"), F.lit(0)).alias("n_pairs"),
             F.coalesce(
@@ -617,6 +628,10 @@ def xp_stream_stream_join(spark, sf_dir):
         )
         .collect()[0]
     )
+    # free the equivalence intermediate's blocks now, not at GC time
+    from ..operators.components import release_local_checkpoint
+
+    release_local_checkpoint(bmat)
     rows = [
         (
             int(stats["n_pairs"]),

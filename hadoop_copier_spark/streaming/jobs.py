@@ -32,6 +32,7 @@ def stream_tumbling_counts(
     src_dir: str,
     queryName: str,
     available_now: bool = False,
+    shuffle_partitions: int | None = None,
 ):
     """Tumbling 10-min window count + exact-cents sum per event_type
     (complete mode -> memory sink); final table must equal batch q61,
@@ -42,7 +43,17 @@ def stream_tumbling_counts(
     micro-batch per file under maxFilesPerTrigger — then STOPS, so a
     bench can awaitTermination() and measure pure work with no
     processAllAvailable poll/idle tax. Default stays the continuous
-    trigger the equivalence tests drive with processAllAvailable."""
+    trigger the equivalence tests drive with processAllAvailable.
+
+    ``shuffle_partitions`` bounds the STATE partition count, exactly like
+    stream_interval_join's knob (r18 build): the aggregation state here is
+    domain-bounded — one row per (10-min window, event_type), a few
+    hundred keys over any corpus — so per-batch cost is state-store
+    open/commit count, not data. r19 measured at sf0.1/local[32]:
+    32 stores/batch -> 14-17 s for 20 batches; 8 -> 7.9-9.0 s; 4 -> 7.0 s
+    (same 20 micro-batches, same final table). Default None keeps the
+    session conf — the input-side scan stays parallel either way (the
+    map stage before the state exchange is sized by the file split)."""
     events = _read_stream(spark, src_dir)
     agg = (
         events.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
@@ -62,7 +73,16 @@ def stream_tumbling_counts(
     w = agg.writeStream.outputMode("complete").format("memory").queryName(queryName)
     if available_now:
         w = w.trigger(availableNow=True)
-    return w.start()
+    if shuffle_partitions is None:
+        return w.start()
+    # state-partition count binds from the session conf at first-batch
+    # planning; restore AFTER start (same pattern as stream_interval_join)
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        return w.start()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
 def stream_dedup(spark: SparkSession, src_dir: str, queryName: str):
