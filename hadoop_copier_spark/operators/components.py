@@ -5,13 +5,16 @@ doc id in the component is the canonical representative.
 
 Algorithm: Hash-Min label propagation with pointer jumping (path
 compression). Each round does
-  (1) neighbor step   comp[u] <- min(comp[u], min_{v in N(u)} comp[v])
+  (1) neighbor step   comp[u] <- min over N(u) ∪ {u} of comp[.]
+                      (a self-edge per vertex folds the node's own label
+                      into the min, so this is ONE join + aggregate)
   (2) jumping step    comp[u] <- min(comp[u], comp[comp[u]])
-Pointer jumping halves label-chain depth per round, so convergence is
-O(log diameter) rounds instead of O(diameter) for plain propagation — the
-difference between ~40 and ~2^40 for a pathological chain. This is the
-MapReduce-CC family of Kiveris et al., "Connected Components in MapReduce
-and Beyond" (SoCC'14), expressed as DataFrame joins.
+Pointer jumping shrinks label-chain depth ~3x per round (one neighbor
+hop + one compression), so convergence is O(log diameter) rounds instead
+of O(diameter) for plain propagation — the difference between ~40 and
+~2^40 for a pathological chain. This is the MapReduce-CC family of
+Kiveris et al., "Connected Components in MapReduce and Beyond"
+(SoCC'14), expressed as DataFrame joins.
 
 At 100 TB: labels and edges are both shuffled on their join keys each
 round; edge count, not node count, dominates. State per round is one
@@ -62,9 +65,11 @@ def connected_components(
     two extra count() jobs run only when stats is requested; the
     production path (stats=None) is unchanged."""
     sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-    # materialize once: every round joins against sym, and without this the
-    # whole upstream edge derivation (e.g. tokenize + Jaccard verify) would
-    # re-execute per round
+    # materialize once, EAGERLY: everything below (vertex frame, self-edge
+    # union, initial labels) derives from sym, and the upstream edge
+    # derivation (e.g. tokenize + Jaccard verify, or a whole minhash
+    # pipeline) must execute exactly once — lazy spellings here were
+    # measured re-running it per derived frame (r19).
     sym = (
         sym.union(sym.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .distinct()
@@ -73,9 +78,22 @@ def connected_components(
     lab = sym.select("u")
     if nodes is not None:
         lab = lab.union(nodes.select(F.col(nodes.columns[0]).alias("u")))
-    # lazy: the initial-sum probe below materializes it in the same job
-    labels = (
-        lab.distinct().select(F.col("u").alias("node"), F.col("u").alias("comp"))
+    # one distinct vertex frame (over the CHECKPOINTED edges — cheap)
+    # feeds both the self-edge rows and the initial label state; lazy,
+    # materialized by the initial probe job below
+    verts = lab.distinct().localCheckpoint(eager=False)
+    # r19 (guide §2.4): fold the per-round left-join fixup into the edge
+    # set — a (u, u) self-edge per vertex makes the neighbor min INCLUDE
+    # the node's own label, so each round's neighbor step is one join +
+    # one aggregate instead of join + aggregate + left-join-with-
+    # coalesce. Rows added: one per vertex, dwarfed by the edge set.
+    # Every round joins against sym_all, so it is checkpointed; lazy —
+    # round 1 materializes it from the two cached inputs.
+    sym_all = sym.unionByName(
+        verts.select("u", F.col("u").alias("v"))
+    ).localCheckpoint(eager=False)
+    labels = verts.select(
+        F.col("u").alias("node"), F.col("u").alias("comp")
     ).localCheckpoint(eager=False)
     # ADVICE r18 (medium): the SUM(comp) convergence probe is only exact
     # for integral ids — casting a string doc id to decimal yields NULL,
@@ -98,35 +116,38 @@ def connected_components(
         else None
     )
     if stats is not None:
+        # n_edges_sym keeps its pre-r19 meaning: REAL symmetric edges,
+        # excluding the self-edge rows the fold added
         stats["n_edges_sym"] = sym.count()
         stats["n_nodes"] = labels.count()
         stats["rounds"] = 0
         stats["changed_per_round"] = []
 
     for _ in range(max_iter):
-        # (1) neighbor step: pull the min label across incoming edges
-        nbr = (
-            sym.join(labels, sym.v == labels.node)
-            .groupBy("u")
-            .agg(F.min("comp").alias("nmin"))
-        )
+        # (1) neighbor step: pull the min label across incoming edges —
+        # the self-edge rows make the min include the node's own label,
+        # so this one join + aggregate IS the full update (the pre-r19
+        # spelling needed a second left join to fix up nodes whose
+        # neighborhood had no smaller label).
         stepped = (
-            labels.join(nbr, labels.node == nbr.u, "left")
-            .select(
-                "node",
-                F.least(F.col("comp"), F.coalesce(F.col("nmin"), F.col("comp"))).alias("comp"),
-            )
+            sym_all.join(labels, sym_all.v == labels.node)
+            .groupBy("u")
+            .agg(F.min("comp").alias("comp"))
+            .select(F.col("u").alias("node"), "comp")
         )
-        # (2) pointer jumping: follow the label chain (comp <- comp[comp]),
-        # applied twice per round — label-chain depth shrinks ~4x per round
-        # for one extra tiny self-join, fewer rounds = fewer Spark jobs
-        jumped = stepped
-        for _ in range(2):
-            hop = jumped.select(F.col("node").alias("cnode"), F.col("comp").alias("ccomp"))
-            jumped = jumped.join(hop, jumped.comp == hop.cnode, "left").select(
-                "node",
-                F.least(F.col("comp"), F.coalesce(F.col("ccomp"), F.col("comp"))).alias("comp"),
-            )
+        # (2) pointer jumping: follow the label chain (comp <- comp[comp])
+        # once per round — label-chain depth shrinks ~3x per round (one
+        # neighbor hop + one compression). r19 measured the 2-jump
+        # spelling against this one on the dedup pair set: 1 jump runs
+        # one MORE round (5 vs 4) but two FEWER corpus-scale joins per
+        # round, 2.1-2.7 s -> 1.6-1.7 s warm at sf0.1; per depth-halving
+        # it is also the cheaper shape at 100 TB (2 joins per ~3x
+        # reduction vs 3 joins per ~5x).
+        hop = stepped.select(F.col("node").alias("cnode"), F.col("comp").alias("ccomp"))
+        jumped = stepped.join(hop, stepped.comp == hop.cnode, "left").select(
+            "node",
+            F.least(F.col("comp"), F.coalesce(F.col("ccomp"), F.col("comp"))).alias("comp"),
+        )
         # Lazy checkpoint: the convergence probe below is the round's ONE
         # Spark job — it fully materializes the checkpoint as a side effect
         # (a global aggregate touches every partition; an incremental
@@ -175,10 +196,15 @@ def connected_components(
         superseded = labels
         labels = jumped
         release_local_checkpoint(superseded)  # free last round's blocks now
+        # round 1 materialized sym_all, so the raw-edge checkpoint it was
+        # built from is no longer referenced — free it before later rounds
+        release_local_checkpoint(sym)
         if (cur_sum == prev_sum) if _sum_probe else (changed == 0):
             break
         prev_sum = cur_sum
-    release_local_checkpoint(sym)  # returned labels no longer need the edges
+    release_local_checkpoint(sym)  # no-op when round 1 already freed it
+    release_local_checkpoint(sym_all)  # returned labels no longer need edges
+    release_local_checkpoint(verts)
     return labels
 
 
