@@ -379,6 +379,23 @@ def main() -> None:
             key=lambda kv: -kv[1],
         )[:10]
     )
+    # VERDICT r18 #7: the driver keeps only a 2000-char stdout tail, and
+    # rotated correctness windows make PERF's per-query table come back
+    # empty — so the tail itself carries the biggest warm movers vs the
+    # recorded anchors ({query: [anchor_sec, now_sec]}, top-8 by |delta|),
+    # giving every round a comparable per-query signal. ADDITIVE: no
+    # existing field changes.
+    warm_top_deltas = {}
+    if warm_gate:
+        deltas = {
+            n: round(dt - baselines_warm[n], 3)
+            for n, dt in timings_warm.items()
+            if dt > 0 and baselines_warm.get(n, -1.0) > 0
+        }
+        warm_top_deltas = {
+            n: [baselines_warm[n], timings_warm[n]]
+            for n, _ in sorted(deltas.items(), key=lambda kv: -abs(kv[1]))[:8]
+        }
     print(
         json.dumps(
             {
@@ -393,6 +410,7 @@ def main() -> None:
                 "streaming_micro_batches": n_batches,
                 "streaming_equals_batch_q61": stream_matches,
                 "slowest_queries": slowest,
+                "warm_top_deltas_vs_anchor": warm_top_deltas,
                 "loadavg_1m_5m_15m": loadavg,
                 "n_gate_violations": len(gate_violations),
                 "n_gate_retries": len(gate_retries),

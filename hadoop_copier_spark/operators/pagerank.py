@@ -74,14 +74,7 @@ def pagerank(
     )
     if nodes is not None:
         vert = vert.union(nodes.select(F.col(nodes.columns[0]).alias("node")))
-    # lazy: the count() below materializes it in the same job (r18 —
-    # one setup job instead of eager-checkpoint + count)
     vert = vert.distinct().localCheckpoint(eager=False)
-    n = vert.count()
-    if n == 0:
-        release_local_checkpoint(e)
-        release_local_checkpoint(vert)
-        return vert.select("node", F.lit(0.0).alias("rank"))
 
     # Zero-weight SELF-edges seed every vertex into the contribution
     # aggregate, so new ranks come straight off groupBy(dst) — no
@@ -119,8 +112,30 @@ def pagerank(
             .alias("inv_deg"),
             F.when(F.col("is_edge") == 0, F.col("outdeg") > 0).alias("dst_has_out"),
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
+
+    # r19 (guide §1.2): ONE setup job replaces three — the global
+    # aggregate below materializes the lazy links checkpoint (and vert
+    # en route; a global agg touches every partition, so the pinning
+    # argument of the lazy-checkpoint discipline holds), and its two
+    # counters ARE the old separate probes: n = self-edge rows (exactly
+    # one per vertex — the old vert.count()), n_dangling = self-edge
+    # rows whose vertex has no real out-edge (the old limit-probe,
+    # which could not ride a lazy checkpoint anyway: a limit scan may
+    # leave partitions unmaterialized).
+    _stats = links.agg(
+        F.count(F.when(F.col("dst_has_out").isNotNull(), 1)).alias("n"),
+        F.count(F.when(~F.col("dst_has_out"), 1)).alias("n_dangling"),
+    ).collect()[0]
+    n = int(_stats["n"])
+    if n == 0:
+        # pin the (empty) result before its inputs' blocks are released
+        ret = vert.select("node", F.lit(0.0).alias("rank")).localCheckpoint()
+        for frame in (e, links, vert):
+            release_local_checkpoint(frame)
+        return ret
+    has_dangling = int(_stats["n_dangling"]) > 0
 
     release_local_checkpoint(e)  # links/vert now self-contained
 
@@ -133,10 +148,6 @@ def pagerank(
         F.lit(1.0 / n).alias("rank"),
         F.col("dst_has_out").alias("has_out"),
     )
-    # one O(metadata) setup probe: a graph with NO dangling nodes (e.g.
-    # any symmetrized graph) never pays the per-round dangling
-    # filter+aggregate or the 1-row scalar attach at all
-    has_dangling = ranks.where(~F.col("has_out")).limit(1).count() > 0
     teleport = (1.0 - damping) / n
     lazy_rounds = []
 
@@ -260,13 +271,7 @@ def pagerank_quantized(
     )
     if nodes is not None:
         vert = vert.union(nodes.select(F.col(nodes.columns[0]).alias("node")))
-    # lazy: the count() below materializes it in the same job (r18)
     vert = vert.distinct().localCheckpoint(eager=False)
-    n = vert.count()
-    if n == 0:
-        release_local_checkpoint(e)
-        release_local_checkpoint(vert)
-        return vert.select("node", F.lit(0).cast("long").alias("rank_units"))
 
     # r18 (guide §2.3/§2.4, mirroring :func:`pagerank`): ONE exchange
     # builds the link frame — out-degree from a window over the
@@ -298,8 +303,25 @@ def pagerank_quantized(
             "outdeg",
             F.when(F.col("is_edge") == 0, F.col("outdeg") > 0).alias("dst_has_out"),
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
+    # r19 (guide §1.2): ONE setup job replaces two — this global agg
+    # materializes the lazy links checkpoint (touching every partition)
+    # and its self-edge count IS the old vert.count() (exactly one
+    # self-edge per vertex). See :func:`pagerank`.
+    n = int(
+        links.agg(
+            F.count(F.when(F.col("dst_has_out").isNotNull(), 1)).alias("n")
+        ).collect()[0]["n"]
+    )
+    if n == 0:
+        # pin the (empty) result before its inputs' blocks are released
+        ret = vert.select(
+            "node", F.lit(0).cast("long").alias("rank_units")
+        ).localCheckpoint()
+        for frame in (e, links, vert):
+            release_local_checkpoint(frame)
+        return ret
     release_local_checkpoint(e)
 
     base = total_units // n
